@@ -9,12 +9,13 @@ Design (TPU-first, see SURVEY.md §7 Phase 0):
   * Products of 16-bit limbs fit exactly in uint32; schoolbook column sums
     accumulate ≤ 2·L terms < 2^22 and REDC adds ≤ 2·L more < 2^23 — no
     64-bit integers anywhere (TPUs have no native u64).
-  * Lazy-carry REDC: one interleaved carry per reduction step keeps column
-    values bounded; full carry resolution only at the end.
+  * Lazy-carry REDC with one interleaved carry per reduction step.
 
-Everything here is pure jnp on static shapes — jit/vmap/shard_map friendly.
-The VPU executes the elementwise limb ops; Pallas kernels (ops/) fuse them
-to keep the working set in VMEM.
+Compile-time discipline: carry chains are lax.scan, the REDC loop is a
+lax.fori_loop, and column accumulation is a one-hot matmul — so one
+Montgomery multiply is ~10^2 HLO ops, not 10^3, and the big consumers
+(NTT stages, EC adds inside MSM scans) stay compilable. Public ops are
+jitted with the field spec static.
 
 Behavioral parity: fields/src/fp_256.rs mont_reduce (fp_256.rs:69,285) and
 utilities/src/biginteger carry chains (mod.rs:102-142), re-derived for
@@ -22,7 +23,10 @@ utilities/src/biginteger carry chains (mod.rs:102-142), re-derived for
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -42,25 +46,33 @@ def limbs_to_int_py(a) -> int:
 
 
 class FpSpec:
-    """Static per-field constants (become XLA constants when closed over)."""
+    """Static per-field constants (hashed by identity; singletons only)."""
 
     def __init__(self, modulus: int, name: str):
         self.p = modulus
         self.name = name
         self.L = (modulus.bit_length() + BASE_BITS - 1) // BASE_BITS
-        # round Fr up to 16 limbs (253 bits -> 16) and Fq to 24 (377 -> 24);
-        # bit_length//16 already gives that.
         self.R = 1 << (BASE_BITS * self.L)
         self.R2 = self.R * self.R % modulus
         self.n0 = (-pow(modulus, -1, 1 << BASE_BITS)) % (1 << BASE_BITS)
         self.p_limbs = int_to_limbs_py(modulus, self.L)
         self.r2_limbs = int_to_limbs_py(self.R2, self.L)
-        self.one_mont = int_to_limbs_py(self.R % modulus, self.L)  # 1 in Mont form
+        self.one_mont = int_to_limbs_py(self.R % modulus, self.L)
         self.zero = np.zeros(self.L, dtype=np.uint32)
+        # one-hot column-routing matrices for the schoolbook product:
+        # flat index (i*L + j) -> column i+j (lo part) / i+j+1 (hi part)
+        L = self.L
+        m_lo = np.zeros((L * L, 2 * L + 1), dtype=np.uint32)
+        m_hi = np.zeros((L * L, 2 * L + 1), dtype=np.uint32)
+        for i in range(L):
+            for j in range(L):
+                m_lo[i * L + j, i + j] = 1
+                m_hi[i * L + j, i + j + 1] = 1
+        self.m_lo = m_lo
+        self.m_hi = m_hi
 
     # ---- host conversions (tests / IO) ----
     def to_limbs(self, values) -> np.ndarray:
-        """Canonical ints -> canonical (non-Montgomery) limb array [n, L]."""
         if isinstance(values, int):
             return int_to_limbs_py(values % self.p, self.L)
         return np.stack([int_to_limbs_py(v % self.p, self.L) for v in values])
@@ -78,148 +90,164 @@ class FpSpec:
 
 FQ = FpSpec(P.Q, "fq")
 FR = FpSpec(P.R, "fr")
-FS = FpSpec(P.S, "fs")  # Edwards scalar field
+FS = FpSpec(P.S, "fs")
 
 
 # ---------------------------------------------------------------------------
-# carry / compare helpers
+# carry / compare helpers (lax.scan over the limb axis — compact graphs)
 # ---------------------------------------------------------------------------
 
 def resolve_carries(cols, L_out: int):
-    """Fold a lazy uint32 column array [..., >=L_out] (values < 2^31) into
-    16-bit limbs [..., L_out]. Any carry out of the top limb is dropped
-    (callers guarantee the represented value fits)."""
-    outs = []
-    carry = jnp.zeros(cols.shape[:-1], dtype=jnp.uint32)
-    for i in range(L_out):
-        t = cols[..., i] + carry
-        outs.append(t & MASK)
-        carry = t >> BASE_BITS
-    return jnp.stack(outs, axis=-1)
+    """Fold lazy uint32 columns [..., >=L_out] (< 2^31) into 16-bit limbs
+    [..., L_out]; carries beyond the top limb are dropped (callers ensure
+    the value fits)."""
+    x = jnp.moveaxis(cols, -1, 0)
+
+    def body(carry, xi):
+        t = xi + carry
+        return t >> BASE_BITS, t & MASK
+
+    _, outs = lax.scan(body, jnp.zeros_like(x[0]), x[:L_out])
+    return jnp.moveaxis(outs, 0, -1)
 
 
 def _sub_limbs(a, b):
-    """16-bit-limb subtraction with borrow chain. Returns (diff, borrow_out)."""
-    outs = []
-    borrow = jnp.zeros(a.shape[:-1], dtype=jnp.uint32)
-    L = a.shape[-1]
-    for i in range(L):
-        # compute in uint32: a - b - borrow + 2^16
-        t = a[..., i] + (1 << BASE_BITS) - b[..., i] - borrow
-        outs.append(t & MASK)
-        borrow = 1 - (t >> BASE_BITS)  # t >= 2^16  <=> no borrow
-    return jnp.stack(outs, axis=-1), borrow
+    """16-bit-limb subtraction with borrow chain -> (diff, borrow_out)."""
+    xa = jnp.moveaxis(a, -1, 0)
+    xb = jnp.moveaxis(b, -1, 0)
+
+    def body(borrow, ab):
+        ai, bi = ab
+        t = ai + (1 << BASE_BITS) - bi - borrow
+        return 1 - (t >> BASE_BITS), t & MASK
+
+    borrow, outs = lax.scan(body, jnp.zeros_like(xa[0]), (xa, xb))
+    return jnp.moveaxis(outs, 0, -1), borrow
 
 
 def _cond_sub_p(x, spec: FpSpec):
-    """x (L limbs, value < 2p) -> x mod p via one conditional subtract."""
     p = jnp.asarray(spec.p_limbs)
     diff, borrow = _sub_limbs(x, jnp.broadcast_to(p, x.shape))
-    keep = (borrow != 0)[..., None]  # borrow => x < p => keep x
+    keep = (borrow != 0)[..., None]
     return jnp.where(keep, x, diff)
 
 
 # ---------------------------------------------------------------------------
-# modular add / sub / neg  (work on canonical or Montgomery form alike)
+# modular add / sub / neg
 # ---------------------------------------------------------------------------
 
-def add(a, b, spec: FpSpec):
-    s = a + b  # limbs < 2^17
-    s = resolve_carries(s, spec.L)
+def _add(a, b, spec: FpSpec):
+    s = resolve_carries(a + b, spec.L)
     return _cond_sub_p(s, spec)
 
 
-def sub(a, b, spec: FpSpec):
+def _sub(a, b, spec: FpSpec):
     diff, borrow = _sub_limbs(a, b)
-    # if borrow, add p back
     p = jnp.asarray(spec.p_limbs)
     fixed = resolve_carries(diff + p, spec.L)
     return jnp.where((borrow != 0)[..., None], fixed, diff)
 
 
-def neg(a, spec: FpSpec):
-    z = jnp.zeros_like(a)
+def _neg(a, spec: FpSpec):
     is_zero = jnp.all(a == 0, axis=-1, keepdims=True)
     p = jnp.broadcast_to(jnp.asarray(spec.p_limbs), a.shape)
     diff, _ = _sub_limbs(p, a)
-    return jnp.where(is_zero, z, diff)
+    return jnp.where(is_zero, jnp.zeros_like(a), diff)
 
 
 # ---------------------------------------------------------------------------
 # Montgomery multiplication (the hot kernel)
 # ---------------------------------------------------------------------------
 
-def _product_columns(a, b, L: int):
-    """Schoolbook product as lazy columns: returns uint32 [..., 2L]
-    where each column < 2L * 2^16 ≈ 2^21.6."""
-    prod = a[..., :, None] * b[..., None, :]          # [..., L, L] (mod 2^32 exact)
-    lo = prod & MASK
-    hi = prod >> BASE_BITS
-    cols = jnp.zeros(a.shape[:-1] + (2 * L + 1,), dtype=jnp.uint32)
-    for i in range(L):
-        cols = cols.at[..., i : i + L].add(lo[..., i, :])
-        cols = cols.at[..., i + 1 : i + L + 1].add(hi[..., i, :])
+def _product_columns(a, b, spec: FpSpec):
+    """Schoolbook product as lazy columns [..., 2L+1]; each column < 2^22.
+    Column routing is a one-hot matmul (MXU/VPU-friendly, tiny graph)."""
+    L = spec.L
+    prod = a[..., :, None] * b[..., None, :]              # [..., L, L]
+    lo = (prod & MASK).reshape(prod.shape[:-2] + (L * L,))
+    hi = (prod >> BASE_BITS).reshape(prod.shape[:-2] + (L * L,))
+    m_lo = jnp.asarray(spec.m_lo)
+    m_hi = jnp.asarray(spec.m_hi)
+    dn = (((lo.ndim - 1,), (0,)), ((), ()))
+    cols = lax.dot_general(lo, m_lo, dn, preferred_element_type=jnp.uint32)
+    cols = cols + lax.dot_general(hi, m_hi, dn, preferred_element_type=jnp.uint32)
     return cols
 
 
-def mont_mul(a, b, spec: FpSpec):
-    """REDC(a*b): inputs/outputs in Montgomery form, 16-bit limbs [..., L]."""
+def _mont_mul(a, b, spec: FpSpec):
+    """REDC(a*b): inputs/outputs in Montgomery form, [..., L] limbs."""
     L = spec.L
-    p = jnp.asarray(spec.p_limbs)            # [L]
-    cols = _product_columns(a, b, L)          # [..., 2L+1]
+    a, b = jnp.broadcast_arrays(a, b)
+    p = jnp.asarray(spec.p_limbs)
     n0 = jnp.uint32(spec.n0)
-    for i in range(L):
-        m = (cols[..., i] * n0) & MASK        # [...]
-        mp = m[..., None] * p                 # [..., L] each < 2^32
-        cols = cols.at[..., i : i + L].add(mp & MASK)
-        cols = cols.at[..., i + 1 : i + L + 1].add(mp >> BASE_BITS)
-        # resolve the (now complete) column i so its carry reaches column i+1
-        cols = cols.at[..., i + 1].add(cols[..., i] >> BASE_BITS)
-    res = resolve_carries(cols[..., L : 2 * L + 1], L)
+    cols = _product_columns(a, b, spec)
+
+    def body(i, cols):
+        ci = lax.dynamic_slice_in_dim(cols, i, 1, axis=-1)[..., 0]
+        m = (ci * n0) & MASK
+        mp = m[..., None] * p                                  # [..., L]
+        addvec = jnp.concatenate(
+            [mp & MASK, jnp.zeros(mp.shape[:-1] + (2,), jnp.uint32)], axis=-1
+        )
+        addvec = addvec.at[..., 1 : L + 1].add(mp >> BASE_BITS)
+        sl = lax.dynamic_slice_in_dim(cols, i, L + 2, axis=-1)
+        new = sl + addvec
+        new = new.at[..., 1].add(new[..., 0] >> BASE_BITS)     # carry out of col i
+        return lax.dynamic_update_slice_in_dim(cols, new, i, axis=-1)
+
+    cols = lax.fori_loop(0, L, body, cols)
+    res = resolve_carries(cols[..., L:], L)
     return _cond_sub_p(res, spec)
 
 
-def mont_sq(a, spec: FpSpec):
-    return mont_mul(a, a, spec)
+def _mont_sq(a, spec: FpSpec):
+    return _mont_mul(a, a, spec)
 
 
-def to_mont(a, spec: FpSpec):
-    """Canonical limbs -> Montgomery form (multiply by R^2)."""
+def _to_mont(a, spec: FpSpec):
     r2 = jnp.broadcast_to(jnp.asarray(spec.r2_limbs), a.shape)
-    return mont_mul(a, r2, spec)
+    return _mont_mul(a, r2, spec)
 
 
-def from_mont(a, spec: FpSpec):
-    """Montgomery -> canonical (multiply by 1)."""
+def _from_mont(a, spec: FpSpec):
     one = jnp.zeros_like(a).at[..., 0].set(1)
-    return mont_mul(a, one, spec)
+    return _mont_mul(a, one, spec)
 
 
-# ---------------------------------------------------------------------------
-# exponentiation / inversion (scan over exponent bits — compact XLA graph)
-# ---------------------------------------------------------------------------
-
-def pow_const(a, e: int, spec: FpSpec):
-    """a^e for a fixed Python-int exponent; a in Montgomery form."""
+def _pow_const(a, e: int, spec: FpSpec):
+    """a^e for a static exponent; a in Montgomery form (scan over bits)."""
     if e == 0:
         return jnp.broadcast_to(jnp.asarray(spec.one_mont), a.shape).astype(jnp.uint32)
-    nbits = e.bit_length()
-    bits = np.array([(e >> i) & 1 for i in range(nbits)], dtype=np.uint32)
+    bits = np.array([(e >> i) & 1 for i in range(e.bit_length())], dtype=np.uint32)
 
     def body(carry, bit):
         acc, base = carry
-        new_acc = jnp.where(bit != 0, mont_mul(acc, base, spec), acc)
-        new_base = mont_sq(base, spec)
-        return (new_acc, new_base), None
+        new_acc = jnp.where(bit != 0, _mont_mul(acc, base, spec), acc)
+        return (new_acc, _mont_sq(base, spec)), None
 
     one = jnp.broadcast_to(jnp.asarray(spec.one_mont), a.shape).astype(jnp.uint32)
     (acc, _), _ = lax.scan(body, (one, a), jnp.asarray(bits))
     return acc
 
 
-def inv(a, spec: FpSpec):
+def _inv(a, spec: FpSpec):
     """Batched inversion via Fermat: a^(p-2). Zero maps to zero."""
-    return pow_const(a, spec.p - 2, spec)
+    return _pow_const(a, spec.p - 2, spec)
+
+
+# ---------------------------------------------------------------------------
+# public jitted API (spec is static; singleton FpSpec hashes by identity)
+# ---------------------------------------------------------------------------
+
+add = jax.jit(_add, static_argnames="spec")
+sub = jax.jit(_sub, static_argnames="spec")
+neg = jax.jit(_neg, static_argnames="spec")
+mont_mul = jax.jit(_mont_mul, static_argnames="spec")
+mont_sq = jax.jit(_mont_sq, static_argnames="spec")
+to_mont = jax.jit(_to_mont, static_argnames="spec")
+from_mont = jax.jit(_from_mont, static_argnames="spec")
+pow_const = jax.jit(_pow_const, static_argnames=("e", "spec"))
+inv = jax.jit(_inv, static_argnames="spec")
 
 
 def batch_is_zero(a):

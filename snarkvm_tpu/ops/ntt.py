@@ -1,0 +1,191 @@
+"""Radix-2 NTT over BLS12-377 Fr (and any FpSpec field) — TPU batched path.
+
+Replaces the reference's EvaluationDomain FFT (algorithms/src/fft/domain.rs:83,
+CUDA dispatch at domain.rs:374-378) with a fully vectorized JAX pipeline:
+
+  * Decimation-in-time butterflies expressed as whole-array reshapes +
+    batched Montgomery muls (VPU), one dispatch per stage — no scalar loops.
+  * Twiddle planes precomputed host-side per domain size and cached
+    (Montgomery form), analogous to FFTPrecomputation (domain.rs:883).
+  * Natural-order input/output, coset shift = multiplicative generator —
+    matching reference conventions exactly, verified in tests vs an O(n^2)
+    golden evaluation.
+
+The multi-chip stage-exchange variant lives in snarkvm_tpu.parallel.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..fields import limb
+from ..fields.limb import FpSpec, FR
+
+
+class Domain:
+    """Multiplicative subgroup domain of power-of-two size n (cf. EvaluationDomain)."""
+
+    def __init__(self, n: int, spec: FpSpec = FR, two_adic_root: int | None = None,
+                 two_adicity: int | None = None, generator: int | None = None):
+        assert n & (n - 1) == 0 and n >= 1
+        from ..params import bls12_377 as P
+
+        if spec is FR:
+            two_adic_root = P.FR_TWO_ADIC_ROOT_OF_UNITY
+            two_adicity = P.FR_TWO_ADICITY
+            generator = P.FR_GENERATOR
+        elif two_adic_root is None:
+            raise ValueError("need root for non-Fr spec")
+        assert n <= (1 << two_adicity)
+        self.n = n
+        self.log_n = n.bit_length() - 1
+        self.spec = spec
+        p = spec.p
+        # group_gen = two_adic_root ^ (2^adicity / n)  (get_root_of_unity semantics)
+        self.group_gen = pow(two_adic_root, (1 << two_adicity) // n, p)
+        self.group_gen_inv = pow(self.group_gen, -1, p)
+        self.generator = generator % p
+        self.generator_inv = pow(self.generator, -1, p)
+        self.size_inv = pow(n, -1, p)
+        assert pow(self.group_gen, n, p) == 1
+
+    # ---- host-side precompute (cached numpy constants) ----
+    @functools.cached_property
+    def _bitrev(self) -> np.ndarray:
+        lb = self.log_n
+        idx = np.arange(self.n)
+        rev = np.zeros(self.n, dtype=np.int32)
+        for b in range(lb):
+            rev |= ((idx >> b) & 1) << (lb - 1 - b)
+        return rev
+
+    def _twiddles(self, root: int):
+        """Per-stage twiddle planes in Montgomery form: stage s (1-indexed,
+        block size 2^s) needs w_n^(n/2^s * k) for k < 2^(s-1)."""
+        p = self.spec.p
+        out = []
+        for s in range(1, self.log_n + 1):
+            half = 1 << (s - 1)
+            w = pow(root, self.n >> s, p)
+            tw = [1] * half
+            for k in range(1, half):
+                tw[k] = tw[k - 1] * w % p
+            arr = self.spec.to_limbs(tw)
+            out.append(np.asarray(limb.to_mont(jnp.asarray(arr), self.spec)))
+        return out
+
+    @functools.cached_property
+    def _fwd_twiddles(self):
+        return self._twiddles(self.group_gen)
+
+    @functools.cached_property
+    def _inv_twiddles(self):
+        return self._twiddles(self.group_gen_inv)
+
+    @functools.cached_property
+    def _coset_powers(self):
+        return np.asarray(self._power_plane(self.generator, 1))
+
+    @functools.cached_property
+    def _coset_inv_powers_scaled(self):
+        """generator_inv^i * n^-1 (fused coset-ifft post-scale, cf. domain.rs:442)."""
+        return np.asarray(self._power_plane(self.generator_inv, self.size_inv))
+
+    @functools.cached_property
+    def _size_inv_mont(self):
+        one = self.spec.to_limbs([self.size_inv])
+        return np.asarray(limb.to_mont(jnp.asarray(one), self.spec))[0]
+
+    def _power_plane(self, g: int, c: int):
+        p = self.spec.p
+        vals = [c % p] * self.n
+        for i in range(1, self.n):
+            vals[i] = vals[i - 1] * g % p
+        return limb.to_mont(jnp.asarray(self.spec.to_limbs(vals)), self.spec)
+
+    def elements(self):
+        """Domain elements 1, w, w^2, ... as Python ints."""
+        p = self.spec.p
+        out = [1] * self.n
+        for i in range(1, self.n):
+            out[i] = out[i - 1] * self.group_gen % p
+        return out
+
+    # ---- device transforms (x: Montgomery limbs [n, L] or [..., n, L]) ----
+    def _core(self, x, twiddles):
+        spec = self.spec
+        n, L = self.n, spec.L
+        x = jnp.take(x, jnp.asarray(self._bitrev), axis=-2)
+        for s in range(1, self.log_n + 1):
+            half = 1 << (s - 1)
+            blocks = n >> s
+            xr = x.reshape(x.shape[:-2] + (blocks, 2, half, L))
+            even = xr[..., 0, :, :]
+            odd = limb.mont_mul(xr[..., 1, :, :], jnp.asarray(twiddles[s - 1]), spec)
+            top = limb.add(even, odd, spec)
+            bot = limb.sub(even, odd, spec)
+            x = jnp.concatenate([top[..., None, :, :], bot[..., None, :, :]], axis=-3)
+            x = x.reshape(x.shape[:-4] + (n, L))
+        return x
+
+    @functools.cached_property
+    def _jitted(self):
+        # materialize all host-side constants eagerly (outside any trace)
+        self._bitrev, self._fwd_twiddles, self._inv_twiddles
+        self._coset_powers, self._coset_inv_powers_scaled, self._size_inv_mont
+
+        def fft(c):
+            return self._core(c, self._fwd_twiddles)
+
+        def ifft(e):
+            x = self._core(e, self._inv_twiddles)
+            sinv = jnp.asarray(self._size_inv_mont)
+            return limb.mont_mul(x, jnp.broadcast_to(sinv, x.shape), self.spec)
+
+        def coset_fft(c):
+            shifted = limb.mont_mul(c, jnp.asarray(self._coset_powers), self.spec)
+            return self._core(shifted, self._fwd_twiddles)
+
+        def coset_ifft(e):
+            x = self._core(e, self._inv_twiddles)
+            return limb.mont_mul(x, jnp.asarray(self._coset_inv_powers_scaled), self.spec)
+
+        return {k: jax.jit(v) for k, v in
+                dict(fft=fft, ifft=ifft, coset_fft=coset_fft, coset_ifft=coset_ifft).items()}
+
+    def fft(self, coeffs):
+        """coeffs (Mont limbs [..., n, L]) -> evals over the domain (natural order)."""
+        return self._jitted["fft"](coeffs)
+
+    def ifft(self, evals):
+        return self._jitted["ifft"](evals)
+
+    def coset_fft(self, coeffs):
+        return self._jitted["coset_fft"](coeffs)
+
+    def coset_ifft(self, evals):
+        return self._jitted["coset_ifft"](evals)
+
+
+# ---------------------------------------------------------------------------
+# Python-int golden model (small n, used by tests and host-side Varuna checks)
+# ---------------------------------------------------------------------------
+
+def ntt_py(coeffs, domain: Domain):
+    """Direct O(n^2) evaluation: evals[j] = sum_i c_i * g^(ij). Golden reference."""
+    p = domain.spec.p
+    n = domain.n
+    g = domain.group_gen
+    out = []
+    wj = 1
+    for _ in range(n):
+        acc, x = 0, 1
+        for c in coeffs:
+            acc = (acc + c * x) % p
+            x = x * wj % p
+        out.append(acc)
+        wj = wj * g % p
+    return out
