@@ -281,3 +281,24 @@ def permute_batched(state, field: str = "fr", rate: int = 2):
             acc = limb.add(acc, prod[..., j, :], spec)
         state = acc
     return state
+
+
+def domain_separator(domain: str, modulus: int = P.R) -> int:
+    """Field::new_domain_separator — LE bytes of the ASCII string mod p."""
+    return int.from_bytes(domain.encode(), "little") % modulus
+
+
+def hash_many_with_domain(field: str, rate: int, domain: str, inputs, num_outputs: int):
+    """console Poseidon{2,4,8} hash_many: preimage = [domain, len, 0-pad to rate] ++ input.
+    Ref: console/algorithms/src/poseidon/hash_many.rs."""
+    modulus = P.R if field == "fr" else P.Q
+    preimage = [domain_separator(domain, modulus), len(list(inputs)) % modulus]
+    preimage += [0] * max(0, rate - len(preimage))
+    preimage += list(inputs)
+    sp = PoseidonSponge(parameters(field, rate))
+    sp.absorb_native(preimage)
+    return sp.squeeze_native(num_outputs)
+
+
+def hash_with_domain(field: str, rate: int, domain: str, inputs) -> int:
+    return hash_many_with_domain(field, rate, domain, inputs, 1)[0]
