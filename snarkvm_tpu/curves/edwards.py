@@ -88,8 +88,11 @@ def affine_neg(pt):
 
 
 def mul(pt, k: int):
-    """Affine * scalar -> affine (double-and-add)."""
-    k %= ORDER * COFACTOR if k < 0 else k  # keep raw semantics for cofactor ops
+    """Affine * integer -> affine (double-and-add). No modular reduction:
+    callers reduce mod ORDER only for subgroup points (cofactor muls need
+    the raw integer)."""
+    if k < 0:
+        return mul(affine_neg(pt), -k)
     if k == 0:
         return IDENTITY_AFFINE
     acc = IDENTITY_EXT

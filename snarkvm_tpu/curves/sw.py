@@ -104,8 +104,11 @@ class SWCurve:
 
     # ---- scalar multiplication ----
     def mul(self, pt, k: int):
-        """Affine point times integer scalar -> affine."""
-        k %= self.order
+        """Affine point times integer -> affine. No modular reduction (the
+        cofactor-clearing path multiplies non-subgroup points by integers
+        larger than the subgroup order)."""
+        if k < 0:
+            return self.mul(self.affine_neg(pt), -k)
         if pt is None or k == 0:
             return None
         acc = (self.F.one(), self.F.one(), self.F.zero())

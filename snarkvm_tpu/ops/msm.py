@@ -93,26 +93,24 @@ def _bucket_windows(points, scalar_limbs, c, windows, add_fn, neg_fn, identity_f
         sorted_pts = jax.tree_util.tree_map(lambda x: x[order], points)
         # prefix scan of point adds
         prefix = _scan_add(sorted_pts, add_fn)                 # [n]
-        # boundary index for bucket b: last position with digit <= b
+        # boundary index for bucket b: last position with digit <= b.
+        # S[b] = prefix sum up to that boundary (identity when nothing <= b);
+        # bucket_b = S[b] - S[b-1], which is automatically the identity for
+        # empty buckets (equal prefixes).
         boundary = jnp.searchsorted(sorted_digits, jnp.arange(nb, dtype=jnp.int32), side="right") - 1
         has_any = boundary >= 0
         safe_boundary = jnp.maximum(boundary, 0)
-        S = jax.tree_util.tree_map(lambda x: x[safe_boundary], prefix)   # [nb]
-        # bucket_b = S[b] - S[b-1]  (S monotone over buckets; equal => empty)
-        S_prev = jax.tree_util.tree_map(lambda x: jnp.concatenate([jnp.zeros_like(x[:1]), x[:-1]], 0), S)
-        # represent "zero prefix" for b=0 as identity
         ident = identity_fn((nb,))
+        S = jax.tree_util.tree_map(lambda x: x[safe_boundary], prefix)   # [nb]
+        S = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(_bc(has_any, a), a, b), S, ident
+        )
+        S_prev = jax.tree_util.tree_map(lambda x: jnp.concatenate([jnp.zeros_like(x[:1]), x[:-1]], 0), S)
         prev_valid = jnp.arange(nb) > 0
         S_prev = jax.tree_util.tree_map(
             lambda a, b: jnp.where(_bc(prev_valid, a), a, b), S_prev, ident
         )
         buckets = add_fn(S, neg_fn(S_prev))                    # [nb]
-        # empty buckets -> identity
-        empty = jax.tree_util.tree_map(lambda a, b: jnp.where(_bc(has_any, a), a, b), buckets, ident)
-        same_as_prev = jnp.concatenate([jnp.zeros(1, bool), boundary[1:] == boundary[:-1]])
-        buckets = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(_bc(~same_as_prev, a), a, b), empty, identity_fn((nb,))
-        )
         # drop bucket 0 (digit 0 contributes nothing)
         buckets = jax.tree_util.tree_map(lambda x: x[1:], buckets)
         # window total = sum_b b * bucket_b = sum of suffix sums
