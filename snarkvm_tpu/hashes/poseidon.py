@@ -236,14 +236,15 @@ def hash_psd(rate: int, inputs):
 
 @functools.lru_cache(maxsize=None)
 def _device_constants(field: str, rate: int):
-    import jax.numpy as jnp
     from ..fields import limb
 
     spec = limb.FR if field == "fr" else limb.FQ
     p = parameters(field, rate)
-    ark = np.stack([np.asarray(limb.mont_from_ints(row, spec)) for row in p.ark])      # [rounds, t, L]
-    mds = np.stack([np.asarray(limb.mont_from_ints(row, spec)) for row in p.mds])      # [t, t, L]
-    return p, spec, ark, mds
+    # pure-host Montgomery conversion (safe inside jax traces)
+    conv = lambda rows: np.stack(
+        [np.stack([limb.int_to_limbs_py(x * spec.R % spec.p, spec.L) for x in row]) for row in rows]
+    )
+    return p, spec, conv(p.ark), conv(p.mds)
 
 
 def permute_batched(state, field: str = "fr", rate: int = 2):

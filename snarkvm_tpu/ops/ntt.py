@@ -73,8 +73,8 @@ class Domain:
             tw = [1] * half
             for k in range(1, half):
                 tw[k] = tw[k - 1] * w % p
-            arr = self.spec.to_limbs(tw)
-            out.append(np.asarray(limb.to_mont(jnp.asarray(arr), self.spec)))
+            R = self.spec.R
+            out.append(np.stack([limb.int_to_limbs_py(x * R % p, self.spec.L) for x in tw]))
         return out
 
     @functools.cached_property
@@ -96,15 +96,14 @@ class Domain:
 
     @functools.cached_property
     def _size_inv_mont(self):
-        one = self.spec.to_limbs([self.size_inv])
-        return np.asarray(limb.to_mont(jnp.asarray(one), self.spec))[0]
+        return limb.int_to_limbs_py(self.size_inv * self.spec.R % self.spec.p, self.spec.L)
 
     def _power_plane(self, g: int, c: int):
-        p = self.spec.p
+        p, R, L = self.spec.p, self.spec.R, self.spec.L
         vals = [c % p] * self.n
         for i in range(1, self.n):
             vals[i] = vals[i - 1] * g % p
-        return limb.to_mont(jnp.asarray(self.spec.to_limbs(vals)), self.spec)
+        return np.stack([limb.int_to_limbs_py(x * R % p, L) for x in vals])
 
     def elements(self):
         """Domain elements 1, w, w^2, ... as Python ints."""

@@ -1,0 +1,176 @@
+"""Multi-chip parallelism: the TPU replacement for the reference's
+parallelism inventory (SURVEY.md §2.8):
+
+  P1 rayon loops        -> batched/vmapped kernels (implicit, everywhere)
+  P2 CUDA offload       -> the limb-plane kernels in ops/ on each chip
+  P4 batch proving      -> instance-batch data parallelism (leading dims)
+  scale-out (new)       -> shard_map over a jax Mesh:
+       * distributed four-step NTT: local column FFTs + all_to_all
+         stage exchange over ICI + local row FFTs (the "sequence
+         parallelism" of polynomial domains, SURVEY.md §5.7)
+       * sharded Pippenger MSM: points partitioned per chip, per-window
+         partial sums combined with an all_gather + EC-add fold
+         (EC addition is not a ring sum, so psum does not apply).
+
+All functions work on any mesh — real ICI-connected TPU chips or the
+8-virtual-device CPU mesh used by tests and the driver's dryrun.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..fields import limb
+from ..fields.limb import FR, FQ
+from ..ops.ntt import Domain
+from ..ops import ec, msm
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "x") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+# ---------------------------------------------------------------------------
+# Distributed four-step NTT
+# ---------------------------------------------------------------------------
+
+class DistributedNTT:
+    """Four-step NTT of size n = n1*n2 over a 1-D mesh.
+
+    Layout: coeffs viewed as M[k1, k2] (row-major reshape of the
+    coefficient vector, k = k2 + n2*k1).
+      step 1: size-n1 FFTs along k1 (columns sharded over the mesh)
+      step 2: twiddle multiply by w_n^(j1*k2)
+      step 3: all_to_all re-shard from columns to rows (ICI exchange)
+      step 4: size-n2 FFTs along k2
+    Output: evals in natural order [n, L], sharded over the mesh.
+    """
+
+    def __init__(self, n1: int, n2: int, mesh: Mesh, axis: str = "x"):
+        self.n1, self.n2, self.n = n1, n2, n1 * n2
+        self.mesh = mesh
+        self.axis = axis
+        self.d1 = Domain(n1)
+        self.d2 = Domain(n2)
+        self.big = Domain(self.n)
+        # twiddle plane w_n^(j1*k2) [n1, n2] in Montgomery form (host precompute)
+        p = FR.p
+        w = self.big.group_gen
+        rows = []
+        wj1 = 1
+        for j1 in range(n1):
+            row = [1] * n2
+            for k2 in range(1, n2):
+                row[k2] = row[k2 - 1] * wj1 % p
+            rows.append(row)
+            wj1 = wj1 * w % p
+        flat = [x * FR.R % p for row in rows for x in row]
+        self.twiddle = np.stack([limb.int_to_limbs_py(x, FR.L) for x in flat]).reshape(n1, n2, FR.L)
+
+    @functools.cached_property
+    def _fn(self):
+        n1, n2, L = self.n1, self.n2, FR.L
+        ax = self.axis
+        d1, d2 = self.d1, self.d2
+        tw_full = jnp.asarray(self.twiddle)
+
+        def step(m_local, tw_local):
+            # m_local: [n1, n2/D, L] (columns local), tw_local same sharding
+            cols = jnp.moveaxis(m_local, 0, -3)  # already [n1, cols, L] -> treat axis0 as transform dim
+            # FFT along axis 0 (k1): arrange [cols, n1, L]
+            a = jnp.swapaxes(m_local, 0, 1)               # [n2/D, n1, L]
+            a = d1.fft(a)                                  # size-n1 FFTs
+            a = jnp.swapaxes(a, 0, 1)                      # [n1, n2/D, L]
+            b = limb.mont_mul(a, tw_local, FR)             # twiddle
+            # re-shard: rows local. all_to_all splits axis 0, concats axis 1.
+            c = jax.lax.all_to_all(b, ax, split_axis=0, concat_axis=1, tiled=True)
+            # c: [n1/D, n2, L]; FFT along axis 1 (k2)
+            out = d2.fft(c)                                # [n1/D, n2, L]
+            return out
+
+        fn = shard_map(
+            step,
+            mesh=self.mesh,
+            in_specs=(P(None, ax), P(None, ax)),
+            out_specs=P(ax, None),
+            check_rep=False,
+        )
+        return jax.jit(lambda m: fn(m, tw_full))
+
+    def fft(self, coeffs):
+        """coeffs: [n, L] Montgomery limbs -> evals [n, L] natural order.
+        Result rows C[j1, j2]; natural order X[j1 + n1*j2] = C[j1][j2] means
+        the flat output is C transposed."""
+        m = coeffs.reshape(self.n1, self.n2, FR.L)
+        c = self._fn(m)                                    # [n1, n2, L] (sharded rows)
+        return jnp.swapaxes(c, 0, 1).reshape(self.n, FR.L)
+
+
+# ---------------------------------------------------------------------------
+# Sharded MSM
+# ---------------------------------------------------------------------------
+
+def sharded_msm_g1(mesh: Mesh, c: int, num_bits: int, axis: str = "x"):
+    """Returns a jitted fn(points, scalar_limbs) -> G1 Jacobian point (shape []).
+
+    Points/scalars are sharded along the mesh; each chip runs local
+    Pippenger window accumulation; per-window partial sums cross ICI via
+    all_gather and are folded with EC adds; window combination is
+    replicated (tiny)."""
+    windows = (num_bits + c - 1) // c
+    ax = axis
+
+    def local(points, scalars):
+        sums = msm._bucket_windows(points, scalars, c, windows, ec.g1_add, ec.g1_neg, ec.g1_infinity)
+        # sums: leading dim = windows. gather over chips: [D, windows, ...]
+        gathered = jax.tree_util.tree_map(
+            lambda x: jax.lax.all_gather(x, ax, axis=0), sums
+        )
+        ndev = mesh.shape[ax]
+        acc = jax.tree_util.tree_map(lambda x: x[0], gathered)
+        for d in range(1, ndev):
+            acc = ec.g1_add(acc, jax.tree_util.tree_map(lambda x: x[d], gathered))
+        return acc
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=({"X": P(ax), "Y": P(ax), "Z": P(ax)}, P(ax)),
+        out_specs={"X": P(), "Y": P(), "Z": P()},
+        check_rep=False,
+    )
+
+    def run(points, scalar_limbs):
+        sums = fn(points, scalar_limbs)           # [windows, ...] replicated
+        total = msm._index(sums, windows - 1)
+        for w in range(windows - 2, -1, -1):
+            for _ in range(c):
+                total = ec.g1_double(total)
+            total = ec.g1_add(total, msm._index(sums, w))
+        return total
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# Instance-batch data parallelism (the "batch proving" axis, P4)
+# ---------------------------------------------------------------------------
+
+def batch_parallel_ntt(mesh: Mesh, domain: Domain, axis: str = "x"):
+    """Shard a batch of polynomials across chips; local NTTs, no comms."""
+    ax = axis
+
+    def local(batch):
+        return domain.fft(batch)
+
+    return jax.jit(
+        shard_map(local, mesh=mesh, in_specs=P(ax, None, None), out_specs=P(ax, None, None), check_rep=False)
+    )

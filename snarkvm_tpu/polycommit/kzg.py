@@ -1,0 +1,317 @@
+"""KZG10 + SonicKZG10 polynomial commitment (host orchestration).
+
+Behavioral mirror of algorithms/src/polycommit/{kzg10,sonic_pc}:
+  * commit: MSM of coefficients over powers of beta (shifted powers for
+    degree-bounded polys); hiding via a blinding polynomial against
+    powers of beta*gamma.
+  * open: witness poly (p(X) - p(z))/(X - z), committed over the powers.
+  * sonic batch_open: per query point, sponge-squeezed 168-bit challenges
+    combine polynomials; one KZG proof per point.
+  * batch_check: accumulate commitments per degree bound + witnesses with
+    a running randomizer, finish with one multi-pairing product.
+
+The SRS here is a locally generated test SRS (known beta); the loader for
+Aleo's shipped .usrs artifacts plugs into the same PowersOfBeta interface.
+"""
+from __future__ import annotations
+
+import functools
+import hashlib
+
+from ..params import bls12_377 as P
+from ..curves import sw_fast as g1
+from ..curves import sw, pairing
+from ..fields.scalar import Fq, Fq2
+from ..snark.poly import Poly
+
+R = P.R
+
+
+class UniversalSRS:
+    """Test SRS with known beta (deterministic from a seed)."""
+
+    def __init__(self, max_degree: int, seed: bytes = b"snarkvm-tpu-test-srs"):
+        self.max_degree = max_degree
+        h = hashlib.sha256(seed).digest()
+        self.beta = int.from_bytes(h, "little") % R
+        self.gamma = int.from_bytes(hashlib.sha256(seed + b"/gamma").digest(), "little") % R
+        g = (P.G1_GENERATOR_X, P.G1_GENERATOR_Y)
+        self.g = g
+        # powers_of_beta_g[i] = beta^i * G (affine int tuples)
+        pows = []
+        acc = g1.from_affine(g)
+        cur = 1
+        for _ in range(max_degree + 1):
+            pows.append(cur)
+            cur = cur * self.beta % R
+        self.powers_of_beta = pows  # scalars; points computed lazily in batch
+        self._powers_g = None
+        self._gamma_powers_g = None
+        # G2 side
+        self.h = (sw.G2.generator[0], sw.G2.generator[1])
+        self.beta_h = sw.G2.mul(self.h, self.beta)
+
+    @property
+    def powers_of_beta_g(self):
+        if self._powers_g is None:
+            gj = g1.from_affine(self.g)
+            self._powers_g = [g1.to_affine(g1.mul_int(gj, s)) for s in self.powers_of_beta]
+        return self._powers_g
+
+    @property
+    def powers_of_beta_times_gamma_g(self):
+        if self._gamma_powers_g is None:
+            gj = g1.from_affine(self.g)
+            self._gamma_powers_g = [
+                g1.to_affine(g1.mul_int(gj, s * self.gamma % R)) for s in self.powers_of_beta
+            ]
+        return self._gamma_powers_g
+
+    @functools.lru_cache(maxsize=None)
+    def neg_power_of_beta_h(self, degree_bound: int):
+        """h^(beta^-(max_degree - degree_bound)) for the degree-bound pairing."""
+        shift = self.max_degree - degree_bound
+        beta_inv_pow = pow(pow(self.beta, -1, R), shift, R)
+        return sw.G2.mul(self.h, beta_inv_pow)
+
+
+@functools.lru_cache(maxsize=8)
+def test_srs(max_degree: int) -> UniversalSRS:
+    return UniversalSRS(max_degree)
+
+
+class Randomness:
+    """Commitment randomness: a blinding polynomial (empty = non-hiding)."""
+
+    def __init__(self, blinding: Poly | None = None):
+        self.blinding = blinding if blinding is not None else Poly.zero()
+
+    @classmethod
+    def empty(cls):
+        return cls()
+
+    def is_hiding(self):
+        return not self.blinding.is_zero()
+
+    @classmethod
+    def rand(cls, hiding_degree: int, rng):
+        coeffs = [rng.randrange(R) for _ in range(hiding_degree + 1)]
+        if all(c == 0 for c in coeffs):
+            coeffs[0] = 1
+        return cls(Poly(coeffs))
+
+    def add_scaled(self, coeff: int, other: "Randomness"):
+        return Randomness(self.blinding + other.blinding.scale(coeff))
+
+
+def commit(srs: UniversalSRS, poly: Poly, degree_bound: int | None = None,
+           hiding_bound: int | None = None, rng=None):
+    """KZG10::commit (+ sonic shifted powers). Returns ((x,y)|None affine, Randomness)."""
+    coeffs = poly.c
+    shift = (srs.max_degree - degree_bound) if degree_bound is not None else 0
+    assert shift + len(coeffs) <= srs.max_degree + 1, "polynomial too large for SRS"
+    bases = srs.powers_of_beta_g[shift : shift + len(coeffs)]
+    comm = g1.msm(bases, coeffs)
+    randomness = Randomness.empty()
+    if hiding_bound is not None:
+        assert rng is not None
+        randomness = Randomness.rand(hiding_bound, rng)
+        rbases = srs.powers_of_beta_times_gamma_g[: len(randomness.blinding.c)]
+        comm = g1.jac_add(comm, g1.msm(rbases, randomness.blinding.c))
+    return g1.to_affine(comm), randomness
+
+
+def open_single(srs: UniversalSRS, poly: Poly, point: int, randomness: Randomness):
+    """KZG10::open — returns (w affine, random_v or None)."""
+    witness, _ = poly.divide_by_linear(point)
+    w = g1.msm(srs.powers_of_beta_g[: max(1, len(witness.c))], witness.c or [0])
+    random_v = None
+    if randomness.is_hiding():
+        hw, _ = randomness.blinding.divide_by_linear(point)
+        w = g1.jac_add(w, g1.msm(srs.powers_of_beta_times_gamma_g[: max(1, len(hw.c))], hw.c or [0]))
+        random_v = randomness.blinding.evaluate(point)
+    return g1.to_affine(w), random_v
+
+
+# ---------------------------------------------------------------------------
+# Sonic batched opening / checking
+# ---------------------------------------------------------------------------
+
+class LabeledPoly:
+    def __init__(self, label: str, poly: Poly, degree_bound=None, hiding_bound=None):
+        self.label = label
+        self.poly = poly
+        self.degree_bound = degree_bound
+        self.hiding_bound = hiding_bound
+
+
+class LabeledCommitment:
+    def __init__(self, label: str, commitment, degree_bound=None):
+        self.label = label
+        self.commitment = commitment  # affine (x, y) or None
+        self.degree_bound = degree_bound
+
+
+def batch_open(srs: UniversalSRS, labeled_polys, query_set, rands, sponge):
+    """sonic_pc::batch_open. query_set: set of (label, (point_name, point)).
+    Returns list of (w, random_v) proofs ordered by point_name."""
+    poly_rand = {lp.label: (lp, r) for lp, r in zip(labeled_polys, rands)}
+    query_to_labels = {}
+    for label, (point_name, point) in sorted(query_set):
+        query_to_labels.setdefault(point_name, (point, []))
+        query_to_labels[point_name][1].append(label)
+    proofs = []
+    for point_name in sorted(query_to_labels):
+        point, labels = query_to_labels[point_name]
+        # combine with sponge challenges (labels sorted/BTreeSet order)
+        combined = Poly.zero()
+        combined_rand = Randomness.empty()
+        for label in sorted(set(labels)):
+            lp, rand = poly_rand[label]
+            challenge = sponge.squeeze_short_nonnative_field_element()
+            combined = combined + lp.poly.scale(challenge)
+            combined_rand = combined_rand.add_scaled(challenge, rand)
+        _ = sponge.squeeze_short_nonnative_field_element()  # _randomizer (discarded)
+        proofs.append(open_single(srs, combined, point, combined_rand))
+    return proofs
+
+
+def batch_check(srs: UniversalSRS, labeled_comms, query_set, values, proofs, sponge) -> bool:
+    """sonic_pc::batch_check — accumulate + one multi-pairing."""
+    comm_map = {c.label: c for c in labeled_comms}
+    query_to_labels = {}
+    for label, (point_name, point) in sorted(query_set):
+        query_to_labels.setdefault(point_name, (point, []))
+        query_to_labels[point_name][1].append(label)
+    assert len(proofs) == len(query_to_labels)
+
+    randomizer = 1
+    combined_comms = {}   # degree_bound -> jacobian
+    combined_witness = g1.INF
+    combined_adjusted_witness = g1.INF
+
+    for point_name, (w_proof) in zip(sorted(query_to_labels), proofs):
+        point, labels = query_to_labels[point_name]
+        w, random_v = w_proof
+        combined_values = 0
+        for label in sorted(set(labels)):
+            c = comm_map[label]
+            value = values[(label, point)]
+            chal = sponge.squeeze_short_nonnative_field_element()
+            combined_values = (combined_values + value * chal) % R
+            coeff = randomizer * chal % R
+            db = c.degree_bound
+            cur = combined_comms.get(db, g1.INF)
+            combined_comms[db] = g1.jac_add(cur, g1.mul_int(g1.from_affine(c.commitment), coeff))
+        # accumulate witness terms
+        bases = [srs.g, (w[0], (-w[1]) % P.Q) if w else None]
+        coeffs = [combined_values, point]
+        if random_v is not None:
+            bases.append(srs.powers_of_beta_times_gamma_g[0])
+            coeffs.append(random_v)
+        coeffs = [c * randomizer % R for c in coeffs]
+        combined_witness = g1.jac_add(combined_witness, g1.mul_int(g1.from_affine(w), randomizer))
+        acc = g1.INF
+        for b, cf in zip(bases, coeffs):
+            acc = g1.jac_add(acc, g1.mul_int(g1.from_affine(b), cf))
+        combined_adjusted_witness = g1.jac_add(combined_adjusted_witness, acc)
+        randomizer = sponge.squeeze_short_nonnative_field_element()
+
+    return _check_elems(srs, combined_comms, combined_witness, combined_adjusted_witness)
+
+
+def _check_elems(srs, combined_comms, combined_witness, combined_adjusted_witness) -> bool:
+    pairs = []
+    for db in sorted(combined_comms, key=lambda x: (x is not None, x)):
+        comm = combined_comms[db]
+        g2pt = srs.neg_power_of_beta_h(db) if db is not None else srs.h
+        pairs.append((_to_fq_affine(comm), g2pt))
+    pairs.append((_to_fq_affine(g1.neg(combined_adjusted_witness)), srs.h))
+    pairs.append((_to_fq_affine(g1.neg(combined_witness)), srs.beta_h))
+    pairs = [(a, b) for a, b in pairs if a is not None]
+    return pairing.product_of_pairings(pairs).is_one()
+
+
+def _to_fq_affine(j):
+    aff = g1.to_affine(j)
+    if aff is None:
+        return None
+    return (Fq(aff[0]), Fq(aff[1]))
+
+
+class LinearCombination:
+    """Label -> coefficient map; LCTerm 'one' uses the key None."""
+
+    def __init__(self, label: str, terms=()):
+        self.label = label
+        self.terms = {}  # key: str poly label or None (the constant term)
+        for coeff, term in terms:
+            self.add(coeff, term)
+
+    def add(self, coeff: int, term):
+        key = None if term is None or term == 1 else term
+        self.terms[key] = (self.terms.get(key, 0) + coeff) % R
+        return self
+
+    def scale(self, k: int):
+        for key in self.terms:
+            self.terms[key] = self.terms[key] * k % R
+        return self
+
+    def add_lc(self, coeff: int, other: "LinearCombination"):
+        for key, c in other.terms.items():
+            self.terms[key] = (self.terms.get(key, 0) + coeff * c) % R
+        return self
+
+
+def open_combinations(srs, linear_combinations, labeled_polys, rands, query_set, sponge):
+    """sonic_pc::open_combinations — build LC polys then batch_open."""
+    label_map = {lp.label: (lp, r) for lp, r in zip(labeled_polys, rands)}
+    lc_polys = []
+    lc_rands = []
+    for lc in linear_combinations:
+        poly = Poly.zero()
+        randomness = Randomness.empty()
+        degree_bound = None
+        hiding_bound = None
+        num_polys = len(lc.terms)
+        for label, coeff in lc.terms.items():
+            if label is None:
+                continue
+            lp, rand = label_map[label]
+            if lp.degree_bound is not None:
+                assert num_polys == 1, f"degree-bounded LC {lc.label} must be singleton"
+                assert coeff == 1
+                degree_bound = lp.degree_bound
+            if lp.hiding_bound is not None:
+                hiding_bound = max(hiding_bound or 0, lp.hiding_bound)
+            poly = poly + lp.poly.scale(coeff)
+            randomness = randomness.add_scaled(coeff, rand)
+        lc_polys.append(LabeledPoly(lc.label, poly, degree_bound, hiding_bound))
+        lc_rands.append(randomness)
+    return batch_open(srs, lc_polys, query_set, lc_rands, sponge)
+
+
+def check_combinations(srs, linear_combinations, labeled_comms, query_set, evaluations, proofs, sponge) -> bool:
+    """sonic_pc::check_combinations — combine commitments then batch_check."""
+    comm_map = {c.label: c for c in labeled_comms}
+    evaluations = dict(evaluations)
+    lc_comms = []
+    for lc in linear_combinations:
+        degree_bound = None
+        acc = g1.INF
+        num_polys = len(lc.terms)
+        for label, coeff in lc.terms.items():
+            if label is None:
+                # constant term: subtract from claimed evaluations of this LC
+                for key in list(evaluations):
+                    if key[0] == lc.label:
+                        evaluations[key] = (evaluations[key] - coeff) % R
+                continue
+            c = comm_map[label]
+            if c.degree_bound is not None:
+                assert num_polys == 1 and coeff == 1
+                degree_bound = c.degree_bound
+            acc = g1.jac_add(acc, g1.mul_int(g1.from_affine(c.commitment), coeff))
+        lc_comms.append(LabeledCommitment(lc.label, g1.to_affine(acc), degree_bound))
+    return batch_check(srs, lc_comms, query_set, evaluations, proofs, sponge)

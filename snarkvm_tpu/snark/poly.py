@@ -1,0 +1,281 @@
+"""Host-side dense polynomial arithmetic over Fr (Python ints).
+
+The Varuna AHP orchestration runs on host with exact integers; the heavy
+transforms dispatch to the device NTT (ops/ntt.py) when polynomials are
+large (mirroring the reference's opportunistic CUDA dispatch,
+fft/domain.rs:374) and use a fast host NTT below that threshold.
+
+Behavioral parity: algorithms/src/fft/polynomial/{dense.rs,multiplier.rs}
+and domain.rs (interpolation, vanishing-poly division, Lagrange coeffs).
+"""
+from __future__ import annotations
+
+import functools
+
+from ..params import bls12_377 as P
+
+MOD = P.R
+
+# Device dispatch threshold: above this size, NTTs run on the accelerator.
+DEVICE_NTT_THRESHOLD = 1 << 12
+
+
+@functools.lru_cache(maxsize=None)
+def domain_params(n: int, mod: int = MOD):
+    """(group_gen, group_gen_inv, size_inv) for the order-n subgroup."""
+    if mod == P.R:
+        root, adicity = P.FR_TWO_ADIC_ROOT_OF_UNITY, P.FR_TWO_ADICITY
+    elif mod == P.Q:
+        root, adicity = P.FQ_TWO_ADIC_ROOT_OF_UNITY, P.FQ_TWO_ADICITY
+    else:
+        raise ValueError("unsupported modulus")
+    g = pow(root, (1 << adicity) // n, mod)
+    return g, pow(g, -1, mod), pow(n, -1, mod)
+
+
+@functools.lru_cache(maxsize=None)
+def _twiddle_tables(n: int, inverse: bool, mod: int = MOD):
+    g = domain_params(n, mod)[1 if inverse else 0]
+    tables = []
+    for s in range(1, n.bit_length()):
+        half = 1 << (s - 1)
+        w = pow(g, n >> s, mod)
+        tw = [1] * half
+        for k in range(1, half):
+            tw[k] = tw[k - 1] * w % mod
+        tables.append(tw)
+    return tables
+
+
+@functools.lru_cache(maxsize=None)
+def _bitrev(n: int):
+    lb = n.bit_length() - 1
+    rev = [0] * n
+    for i in range(n):
+        r = 0
+        x = i
+        for _ in range(lb):
+            r = (r << 1) | (x & 1)
+            x >>= 1
+        rev[i] = r
+    return rev
+
+
+def ntt_host(vals, inverse: bool = False, mod: int = MOD):
+    """In-natural-order radix-2 NTT over a size-len(vals) subgroup."""
+    n = len(vals)
+    assert n & (n - 1) == 0
+    if n == 1:
+        return list(vals)
+    x = [vals[r] for r in _bitrev(n)]
+    tables = _twiddle_tables(n, inverse, mod)
+    for s in range(1, n.bit_length()):
+        m = 1 << s
+        half = m >> 1
+        tw = tables[s - 1]
+        for start in range(0, n, m):
+            for k in range(half):
+                a = x[start + k]
+                b = x[start + k + half] * tw[k] % mod
+                x[start + k] = (a + b) % mod
+                x[start + k + half] = (a - b) % mod
+    if inverse:
+        ninv = domain_params(n, mod)[2]
+        x = [v * ninv % mod for v in x]
+    return x
+
+
+def _ntt_device(vals, inverse: bool, mod: int):
+    import jax.numpy as jnp
+    import numpy as np
+    from ..fields import limb
+    from ..ops.ntt import Domain
+
+    spec = limb.FR if mod == P.R else limb.FQ
+    d = Domain(len(vals), spec)
+    dev = limb.mont_from_ints(vals, spec)
+    out = d.ifft(dev) if inverse else d.fft(dev)
+    return limb.ints_from_mont(out, spec)
+
+
+def ntt(vals, inverse: bool = False, mod: int = MOD):
+    if len(vals) >= DEVICE_NTT_THRESHOLD:
+        try:
+            return _ntt_device(list(vals), inverse, mod)
+        except Exception:
+            pass  # device unavailable -> host fallback (cf. domain.rs CPU fallback)
+    return ntt_host(vals, inverse, mod)
+
+
+def next_pow2(n: int) -> int:
+    return 1 << max(0, (n - 1)).bit_length() if n > 1 else 1
+
+
+class Poly:
+    """Dense polynomial, ascending coefficients (ints mod `mod`)."""
+
+    __slots__ = ("c", "mod")
+
+    def __init__(self, coeffs=(), mod: int = MOD):
+        c = [x % mod for x in coeffs]
+        while c and c[-1] == 0:
+            c.pop()
+        self.c = c
+        self.mod = mod
+
+    @classmethod
+    def zero(cls, mod: int = MOD):
+        return cls((), mod)
+
+    @classmethod
+    def constant(cls, v: int, mod: int = MOD):
+        return cls((v,), mod)
+
+    def is_zero(self):
+        return not self.c
+
+    @property
+    def degree(self):
+        return len(self.c) - 1 if self.c else 0
+
+    def __add__(self, o):
+        n = max(len(self.c), len(o.c))
+        a = self.c + [0] * (n - len(self.c))
+        b = o.c + [0] * (n - len(o.c))
+        return Poly([(x + y) for x, y in zip(a, b)], self.mod)
+
+    def __sub__(self, o):
+        n = max(len(self.c), len(o.c))
+        a = self.c + [0] * (n - len(self.c))
+        b = o.c + [0] * (n - len(o.c))
+        return Poly([(x - y) for x, y in zip(a, b)], self.mod)
+
+    def __neg__(self):
+        return Poly([-x for x in self.c], self.mod)
+
+    def scale(self, k: int):
+        k %= self.mod
+        return Poly([x * k for x in self.c], self.mod)
+
+    def __mul__(self, o):
+        if isinstance(o, int):
+            return self.scale(o)
+        if self.is_zero() or o.is_zero():
+            return Poly.zero(self.mod)
+        out_len = len(self.c) + len(o.c) - 1
+        if out_len <= 64:
+            out = [0] * out_len
+            for i, a in enumerate(self.c):
+                if a:
+                    for j, b in enumerate(o.c):
+                        out[i + j] += a * b
+            return Poly(out, self.mod)
+        n = next_pow2(out_len)
+        ea = ntt(self.c + [0] * (n - len(self.c)), mod=self.mod)
+        eb = ntt(o.c + [0] * (n - len(o.c)), mod=self.mod)
+        prod = [x * y % self.mod for x, y in zip(ea, eb)]
+        return Poly(ntt(prod, inverse=True, mod=self.mod)[:out_len], self.mod)
+
+    def evaluate(self, x: int) -> int:
+        acc = 0
+        for c in reversed(self.c):
+            acc = (acc * x + c) % self.mod
+        return acc
+
+    def evaluate_over_domain(self, n: int):
+        """Evaluations at the order-n subgroup (natural order)."""
+        c = self.c
+        if len(c) <= n:
+            return ntt(c + [0] * (n - len(c)), mod=self.mod)
+        # fold coefficients mod x^n - 1 first
+        folded = [0] * n
+        for i, v in enumerate(c):
+            folded[i % n] += v
+        return ntt([v % self.mod for v in folded], mod=self.mod)
+
+    def divide_by_vanishing(self, n: int):
+        """Divide by x^n - 1. Returns (quotient, remainder)."""
+        if len(self.c) < n + 1:
+            return Poly.zero(self.mod), Poly(self.c, self.mod)
+        r = list(self.c)
+        q = [0] * (len(r) - n)
+        for i in range(len(r) - 1, n - 1, -1):
+            q[i - n] = r[i]
+            r[i - n] = (r[i - n] + r[i]) % self.mod
+            r[i] = 0
+        return Poly(q, self.mod), Poly(r[:n], self.mod)
+
+    def mul_by_vanishing(self, n: int):
+        """Multiply by x^n - 1."""
+        out = [0] * (len(self.c) + n)
+        for i, v in enumerate(self.c):
+            out[i + n] += v
+            out[i] -= v
+        return Poly(out, self.mod)
+
+    def divide_by_linear(self, z: int):
+        """Divide by (x - z) via synthetic division: (quotient, remainder)."""
+        q = [0] * max(0, len(self.c) - 1)
+        carry = 0
+        for i in range(len(self.c) - 1, 0, -1):
+            carry = (self.c[i] + carry * z) % self.mod
+            q[i - 1] = carry
+        rem = (self.c[0] + carry * z) % self.mod if self.c else 0
+        return Poly(q, self.mod), rem
+
+    def shift_coeffs(self, k: int):
+        """Drop the lowest k coefficients (coeffs[k:])."""
+        return Poly(self.c[k:], self.mod)
+
+    def __eq__(self, o):
+        return isinstance(o, Poly) and self.mod == o.mod and self.c == o.c
+
+    def __repr__(self):
+        return f"Poly(deg={self.degree}, {self.c[:4]}...)"
+
+
+def interpolate(evals, mod: int = MOD) -> Poly:
+    """iNTT: evaluations over the order-len subgroup -> coefficients."""
+    return Poly(ntt(list(evals), inverse=True, mod=mod), mod)
+
+
+def domain_elements(n: int, mod: int = MOD):
+    g = domain_params(n, mod)[0]
+    out = [1] * n
+    for i in range(1, n):
+        out[i] = out[i - 1] * g % mod
+    return out
+
+
+def evaluate_vanishing(n: int, x: int, mod: int = MOD) -> int:
+    return (pow(x, n, mod) - 1) % mod
+
+
+def lagrange_coefficients(n: int, tau: int, mod: int = MOD):
+    """L_i(tau) for the order-n subgroup: omega^i (tau^n - 1) / (n (tau - omega^i)).
+    (evaluate_all_lagrange_coefficients semantics, domain.rs)"""
+    elems = domain_elements(n, mod)
+    vanish = evaluate_vanishing(n, tau, mod)
+    if vanish == 0:
+        return [1 if tau == e else 0 for e in elems]
+    # batch invert n*(tau - w^i)
+    denoms = [n * (tau - e) % mod for e in elems]
+    inv = batch_inverse(denoms, mod)
+    return [e * vanish % mod * iv % mod for e, iv in zip(elems, inv)]
+
+
+def batch_inverse(vals, mod: int = MOD):
+    """Montgomery batch inversion; zeros map to zero."""
+    prefix = []
+    acc = 1
+    for v in vals:
+        prefix.append(acc)
+        if v:
+            acc = acc * v % mod
+    acc_inv = pow(acc, -1, mod)
+    out = [0] * len(vals)
+    for i in range(len(vals) - 1, -1, -1):
+        if vals[i]:
+            out[i] = prefix[i] * acc_inv % mod
+            acc_inv = acc_inv * vals[i] % mod
+    return out

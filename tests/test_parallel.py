@@ -1,0 +1,56 @@
+"""Multi-chip sharding paths on the 8-virtual-device CPU mesh."""
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from snarkvm_tpu.params import bls12_377 as P
+from snarkvm_tpu.fields import limb
+from snarkvm_tpu.ops.ntt import Domain, ntt_py
+from snarkvm_tpu.ops import ec, msm
+from snarkvm_tpu.curves import sw
+from snarkvm_tpu.parallel import mesh as pm
+
+rng = random.Random(0xD157)
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_distributed_ntt_matches_single():
+    m = pm.make_mesh(8)
+    n1, n2 = 16, 8
+    d = pm.DistributedNTT(n1, n2, m)
+    coeffs = [rng.randrange(P.R) for _ in range(n1 * n2)]
+    dev = limb.mont_from_ints(coeffs, limb.FR)
+    got = limb.ints_from_mont(d.fft(dev), limb.FR)
+    want = ntt_py(coeffs, Domain(n1 * n2))
+    assert got == want
+
+
+def test_batch_parallel_ntt():
+    m = pm.make_mesh(8)
+    n = 16
+    d = Domain(n)
+    fn = pm.batch_parallel_ntt(m, d)
+    polys = [[rng.randrange(P.R) for _ in range(n)] for _ in range(8)]
+    batch = jnp.stack([limb.mont_from_ints(p, limb.FR) for p in polys])
+    out = fn(batch)
+    for i, p in enumerate(polys):
+        assert limb.ints_from_mont(out[i], limb.FR) == ntt_py(p, d)
+
+
+def test_sharded_msm_matches_scalar():
+    m = pm.make_mesh(8)
+    n, c, bits = 16, 4, 12
+    pts = [sw.G1.mul(sw.G1.generator, rng.randrange(1, P.R)) for _ in range(n)]
+    scalars = [rng.randrange(1 << bits) for _ in range(n)]
+    pts_dev = ec.g1_from_affine_ints([(p[0].v, p[1].v) for p in pts])
+    sc_dev = jnp.asarray(limb.FR.to_limbs(scalars))
+    fn = pm.sharded_msm_g1(m, c=c, num_bits=bits)
+    got = ec.g1_to_affine_ints(fn(pts_dev, sc_dev))[0]
+    want = sw.G1.msm_naive(pts, scalars)
+    assert got == (want[0].v, want[1].v)
