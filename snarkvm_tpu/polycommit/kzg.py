@@ -116,7 +116,9 @@ def commit(srs: UniversalSRS, poly: Poly, degree_bound: int | None = None,
     if hiding_bound is not None:
         assert rng is not None
         randomness = Randomness.rand(hiding_bound, rng)
-        rbases = srs.powers_of_beta_times_gamma_g[: len(randomness.blinding.c)]
+        # degree-bounded commits use SHIFTED gamma powers, matching
+        # sonic_pc shifted_powers_of_beta_times_gamma_g (mod.rs:80-90)
+        rbases = srs.powers_of_beta_times_gamma_g[shift : shift + len(randomness.blinding.c)]
         comm = g1.jac_add(comm, g1.msm(rbases, randomness.blinding.c))
     return g1.to_affine(comm), randomness
 

@@ -1,0 +1,966 @@
+"""Varuna universal zkSNARK ("VARUNA-2023"): AHP for R1CS + SonicKZG10.
+
+Full behavioral mirror of algorithms/src/snark/varuna/ — the 5-round AHP
+(rowcheck + two-layer univariate sumcheck over matrix arithmetizations),
+batch proving across instances and circuits, ZK and non-hiding modes, and
+the exact Fiat–Shamir transcript schedule (varuna.rs:336 prove_batch,
+varuna.rs:625 verify_batch). Host orchestration over exact ints; heavy
+NTT/MSM work dispatches to the TPU kernels through snark.poly / ops.
+
+Round map (SURVEY.md Appendix A.1):
+  0  12 index polys per circuit: circuit_{id}_{row,col,row_col,row_col_val}_{a,b,c}
+  1  w_j per instance (+ mask_poly in ZK)        -> batch_combiners
+  2  h_0 (rowcheck quotient)                      -> alpha, eta_b, eta_c
+  3  g_1 (bound |C|-2), h_1 + per-instance sums   -> beta
+  4  g_a/g_b/g_c per circuit (bounds |K_m|-2)     -> delta_a/b/c
+  5  h_2                                          -> gamma -> query set
+"""
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+from ..params import bls12_377 as P
+from ..utils.blake2xs import blake2s
+from ..polycommit import kzg
+from .fs import FiatShamir
+from .poly import (
+    Poly, interpolate, ntt, domain_elements, domain_params, evaluate_vanishing,
+    lagrange_coefficients, batch_inverse, next_pow2,
+)
+from . import r1cs
+
+R = P.R
+PROTOCOL_NAME = b"VARUNA-2023"
+
+
+def domain_size(n: int) -> int:
+    return next_pow2(max(n, 1))
+
+
+def witness_label(circuit_id: str, poly: str, i: int) -> str:
+    return f"circuit_{circuit_id}_{poly}_{i:0>8}"
+
+
+# ---------------------------------------------------------------------------
+# Modes
+# ---------------------------------------------------------------------------
+
+class VarunaHidingMode:
+    ZK = True
+
+
+class VarunaNonHidingMode:
+    ZK = False
+
+
+def zk_bound(mode) -> int | None:
+    return 1 if mode.ZK else None
+
+
+# ---------------------------------------------------------------------------
+# Indexer
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class CircuitInfo:
+    num_public_inputs: int
+    num_variables: int
+    num_constraints: int
+    num_non_zero_a: int
+    num_non_zero_b: int
+    num_non_zero_c: int
+
+    def serialize(self) -> bytes:
+        return struct.pack(
+            "<6Q", self.num_public_inputs, self.num_variables, self.num_constraints,
+            self.num_non_zero_a, self.num_non_zero_b, self.num_non_zero_c,
+        )
+
+
+def reindex_by_subdomain(self_size: int, other_size: int, index: int) -> int:
+    """domain.rs:322 — embed the input domain into the variable domain."""
+    period = self_size // other_size
+    if index < other_size:
+        return index * period
+    i = index - other_size
+    x = period - 1
+    return i + (i // x) + 1
+
+
+@dataclass
+class MatrixEvals:
+    row: list
+    col: list
+    row_col: list
+    row_col_val: list
+
+
+def matrix_evals(matrix, non_zero_size, variable_size, input_size, constraint_elems, variable_elems):
+    """matrices.rs:115 — row/col/row_col/row_col_val evaluations over K."""
+    row_i, col_i, rc_i, rcv = [], [], [], []
+    for row_index, row in enumerate(matrix):
+        for val, col_index in row:
+            r = constraint_elems[row_index]
+            c = variable_elems[reindex_by_subdomain(variable_size, input_size, col_index)]
+            row_i.append(r)
+            col_i.append(c)
+            rc_i.append(r * c % R)
+            rcv.append(val * r % R * c % R)
+    pad = non_zero_size - len(row_i)
+    row_i += [1] * pad
+    col_i += [1] * pad
+    rc_i += [1] * pad
+    rcv += [0] * pad
+    return MatrixEvals(row_i, col_i, rc_i, rcv)
+
+
+def _serialize_matrix(matrix) -> bytes:
+    out = [struct.pack("<Q", len(matrix))]
+    for row in matrix:
+        out.append(struct.pack("<Q", len(row)))
+        for val, col in row:
+            out.append((val % R).to_bytes(32, "little"))
+            out.append(struct.pack("<Q", col))
+    return b"".join(out)
+
+
+@dataclass
+class Circuit:
+    info: CircuitInfo
+    id: str                     # 64-hex-char display of blake2s digest
+    a: list
+    b: list
+    c: list
+    arith: dict                 # "a"|"b"|"c" -> MatrixEvals
+
+    @property
+    def constraint_domain(self):
+        return domain_size(self.info.num_constraints)
+
+    @property
+    def variable_domain(self):
+        return domain_size(self.info.num_variables)
+
+    @property
+    def input_domain(self):
+        return domain_size(self.info.num_public_inputs)
+
+    def non_zero_domain(self, m: str):
+        return domain_size(getattr(self.info, f"num_non_zero_{m}"))
+
+    def max_degree(self, mode) -> int:
+        zkb = zk_bound(mode) or 0
+        cd, vd = self.constraint_domain, self.variable_domain
+        nz = max(self.non_zero_domain(m) for m in "abc")
+        return max(
+            2 * cd + 2 * zkb - 2,
+            2 * vd + 2 * zkb - 2,
+            vd + 3 if mode.ZK else 0,
+            vd, cd, nz - 1,
+        )
+
+    def index_polys(self):
+        """12 labeled index polynomials (a,b,c × row,col,row_col,row_col_val)."""
+        out = []
+        for m in "abc":
+            ev = self.arith[m]
+            nz = self.non_zero_domain(m)
+            for name, evals in (("row", ev.row), ("col", ev.col),
+                                ("row_col", ev.row_col), ("row_col_val", ev.row_col_val)):
+                out.append(kzg.LabeledPoly(f"circuit_{self.id}_{name}_{m}", interpolate(evals)))
+        return out
+
+
+def index(cs_builder, mode=VarunaNonHidingMode, zk_randomizers=None) -> Circuit:
+    """AHP::index — synthesize, pad, arithmetize (indexer.rs:46)."""
+    cs = r1cs.ConstraintSystem()
+    cs_builder.generate_constraints(cs)
+    if mode.ZK:
+        cs.add_randomizing_variables(zk_randomizers)
+    cs.pad_input_to_power_of_two()
+    a, b, c = cs.to_matrices()
+    info = CircuitInfo(
+        num_public_inputs=cs.num_public,
+        num_variables=cs.num_public + cs.num_private,
+        num_constraints=cs.num_constraints,
+        num_non_zero_a=r1cs.num_non_zero(a),
+        num_non_zero_b=r1cs.num_non_zero(b),
+        num_non_zero_c=r1cs.num_non_zero(c),
+    )
+    cd = domain_size(info.num_constraints)
+    vd = domain_size(info.num_variables)
+    idd = domain_size(info.num_public_inputs)
+    c_elems = domain_elements(cd)
+    v_elems = domain_elements(vd)
+    arith = {
+        "a": matrix_evals(a, domain_size(info.num_non_zero_a), vd, idd, c_elems, v_elems),
+        "b": matrix_evals(b, domain_size(info.num_non_zero_b), vd, idd, c_elems, v_elems),
+        "c": matrix_evals(c, domain_size(info.num_non_zero_c), vd, idd, c_elems, v_elems),
+    }
+    digest = blake2s(info.serialize() + _serialize_matrix(a) + _serialize_matrix(b) + _serialize_matrix(c))
+    return Circuit(info, digest.hex(), a, b, c, arith)
+
+
+@dataclass
+class CircuitVerifyingKey:
+    circuit_info: CircuitInfo
+    circuit_commitments: list   # 12 commitments in sorted-label order
+    id: str
+
+
+@dataclass
+class CircuitProvingKey:
+    circuit: Circuit
+    vk: CircuitVerifyingKey
+
+
+def circuit_setup(srs: kzg.UniversalSRS, cs_builder, mode=VarunaNonHidingMode):
+    """Commit to the 12 index polys; vk commitments sorted by label (varuna.rs:115)."""
+    circuit = index(cs_builder, mode)
+    polys = circuit.index_polys()
+    labeled = sorted(polys, key=lambda lp: lp.label)
+    comms = [kzg.commit(srs, lp.poly)[0] for lp in labeled]
+    vk = CircuitVerifyingKey(circuit.info, comms, circuit.id)
+    return CircuitProvingKey(circuit, vk), vk
+
+
+# ---------------------------------------------------------------------------
+# Proof
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Proof:
+    batch_sizes: list
+    witness_commitments: list   # flat, per instance (circuit-major)
+    mask_poly: object | None
+    h_0: object
+    g_1: object
+    h_1: object
+    g_a_commitments: list
+    g_b_commitments: list
+    g_c_commitments: list
+    h_2: object
+    g_1_eval: int = 0
+    g_a_evals: list = field(default_factory=list)
+    g_b_evals: list = field(default_factory=list)
+    g_c_evals: list = field(default_factory=list)
+    third_sums: list = field(default_factory=list)    # per circuit, per instance MatrixSums
+    fourth_sums: list = field(default_factory=list)   # per circuit MatrixSums
+    pc_proof: list = field(default_factory=list)      # [(w, random_v)] per point group
+
+    def evaluations_to_field_elements(self):
+        return [self.g_1_eval] + list(self.g_a_evals) + list(self.g_b_evals) + list(self.g_c_evals)
+
+    def is_hiding(self):
+        return any(rv is not None for _, rv in self.pc_proof)
+
+
+@dataclass
+class MatrixSums:
+    sum_a: int
+    sum_b: int
+    sum_c: int
+
+    def __iter__(self):
+        return iter((self.sum_a, self.sum_b, self.sum_c))
+
+
+def third_message_sum(third_sums, batch_combiners, eta_b, eta_c):
+    total = 0
+    for circuit_sums, comb in zip(third_sums, batch_combiners):
+        inner = 0
+        for sums, ic in zip(circuit_sums, comb["instance"]):
+            inner += (sums.sum_a + eta_b * sums.sum_b + eta_c * sums.sum_c) * ic
+        total += comb["circuit"] * inner
+    return total % R
+
+
+# ---------------------------------------------------------------------------
+# Fiat–Shamir helpers
+# ---------------------------------------------------------------------------
+
+def _absorb_commitments(sponge: FiatShamir, comms):
+    """Commitments as [x, y, infinity] Fq triples (to_field_vec.rs:52)."""
+    elems = []
+    for c in comms:
+        if c is None:
+            elems += [0, 1, 1]
+        else:
+            elems += [c[0], c[1], 0]
+    sponge.absorb_native_field_elements(elems)
+
+
+def _absorb_sums(sponge: FiatShamir, sums_list):
+    for s in sums_list:
+        sponge.absorb_nonnative_field_elements([s.sum_a, s.sum_b, s.sum_c])
+
+
+def init_sponge(inputs_and_batch_sizes, circuit_commitments) -> FiatShamir:
+    """varuna.rs:117 — protocol name, batch sizes + padded inputs, index comms."""
+    sponge = FiatShamir()
+    sponge.absorb_bytes(PROTOCOL_NAME)
+    for batch_size, padded_inputs in inputs_and_batch_sizes:
+        sponge.absorb_bytes(struct.pack("<Q", batch_size))
+        for inp in padded_inputs:
+            sponge.absorb_nonnative_field_elements(inp)
+    for comms in circuit_commitments:
+        _absorb_commitments(sponge, comms)
+    return sponge
+
+
+# ---------------------------------------------------------------------------
+# Verifier challenge rounds (shared by prover and verifier)
+# ---------------------------------------------------------------------------
+
+def verifier_first_round(batch_sizes, sponge):
+    """Per circuit: batch_size-1 instance combiners (+1 circuit combiner
+    except the first circuit). (verifier.rs:23)"""
+    combiners = []
+    for i, bs in enumerate(batch_sizes):
+        num_c = 0 if i == 0 else 1
+        elems = sponge.squeeze_nonnative_field_elements(bs - 1 + num_c)
+        instance = elems[: bs - 1]
+        comb = {"circuit": 1, "instance": [1] + list(instance)}
+        if num_c == 1:
+            comb["circuit"] = elems[bs - 1]
+        combiners.append(comb)
+    return combiners
+
+
+def verifier_second_round(max_constraint_domain, sponge):
+    alpha, eta_b, eta_c = sponge.squeeze_nonnative_field_elements(3)
+    assert evaluate_vanishing(max_constraint_domain, alpha) != 0
+    return alpha, eta_b, eta_c
+
+
+def verifier_third_round(max_variable_domain, sponge):
+    beta = sponge.squeeze_nonnative_field_elements(1)[0]
+    assert evaluate_vanishing(max_variable_domain, beta) != 0
+    return beta
+
+
+def verifier_fourth_round(num_circuits, sponge):
+    delta_a, delta_b, delta_c = [1], [], []
+    first = sponge.squeeze_nonnative_field_elements(2)
+    delta_b.append(first[0])
+    delta_c.append(first[1])
+    for _ in range(1, num_circuits):
+        e = sponge.squeeze_nonnative_field_elements(3)
+        delta_a.append(e[0])
+        delta_b.append(e[1])
+        delta_c.append(e[2])
+    return delta_a, delta_b, delta_c
+
+
+def verifier_fifth_round(max_non_zero_domain, sponge):
+    gamma = sponge.squeeze_nonnative_field_elements(1)[0]
+    assert evaluate_vanishing(max_non_zero_domain, gamma) != 0
+    return gamma
+
+
+def build_query_set(circuit_ids, alpha, beta, gamma):
+    qs = set()
+    for cid in circuit_ids:
+        qs.add((witness_label(cid, "g_a", 0), ("gamma", gamma)))
+        qs.add((witness_label(cid, "g_b", 0), ("gamma", gamma)))
+        qs.add((witness_label(cid, "g_c", 0), ("gamma", gamma)))
+    qs.add(("g_1", ("beta", beta)))
+    qs.add(("rowcheck_zerocheck", ("alpha", alpha)))
+    qs.add(("lineval_sumcheck", ("beta", beta)))
+    qs.add(("matrix_sumcheck", ("gamma", gamma)))
+    return qs
+
+
+LC_WITH_ZERO_EVAL = ("matrix_sumcheck", "lineval_sumcheck", "rowcheck_zerocheck")
+
+
+# ---------------------------------------------------------------------------
+# Selectors (selectors.rs:13)
+# ---------------------------------------------------------------------------
+
+def selector(max_size: int, size: int, challenge: int) -> int:
+    num = evaluate_vanishing(max_size, challenge) * size % R
+    den = evaluate_vanishing(size, challenge) * max_size % R
+    return num * pow(den, -1, R) % R
+
+
+def apply_randomized_selector(poly: Poly, combiner: int, target_size: int, src_size: int,
+                              remainder_witness: bool):
+    """selectors.rs:45 — multiply by the (randomized) selector in quotient form."""
+    multiplier = combiner * src_size % R * pow(target_size, -1, R) % R
+    if not remainder_witness:
+        h, rem = poly.divide_by_vanishing(src_size)
+        assert rem.is_zero(), "non-zero remainder dividing by vanishing poly"
+        return h.scale(multiplier), None
+    scaled = poly.scale(multiplier)
+    h, xg = scaled.divide_by_vanishing(src_size)
+    xg = xg.mul_by_vanishing(target_size)
+    xg, rem = xg.divide_by_vanishing(src_size)
+    assert rem.is_zero()
+    return h, xg
+
+
+def sum_over_domain(poly: Poly, n: int) -> int:
+    """Σ_{x in H} p(x) = n * Σ_{n | k} c_k."""
+    return sum(poly.c[k] for k in range(0, len(poly.c), n)) * n % R
+
+
+# ---------------------------------------------------------------------------
+# Prover
+# ---------------------------------------------------------------------------
+
+def _matrix_vector(matrix, assignment):
+    out = []
+    for row in matrix:
+        acc = 0
+        for val, col in row:
+            acc += val * assignment[col]
+        out.append(acc % R)
+    return out
+
+
+def _transpose(matrix, variable_size, input_size):
+    out = [[] for _ in range(variable_size)]
+    for row_index, row in enumerate(matrix):
+        for val, col_index in row:
+            ci = reindex_by_subdomain(variable_size, input_size, col_index)
+            out[ci].append((val, row_index))
+    return out
+
+
+def prove_batch(srs: kzg.UniversalSRS, keys_to_constraints, rng, mode=VarunaNonHidingMode):
+    """keys_to_constraints: list of (CircuitProvingKey, [ConstraintSynthesizer,...]).
+    Returns Proof. (varuna.rs:336)"""
+    zkb = zk_bound(mode)
+
+    # --- init_prover: synthesize every instance ---
+    circuit_states = []  # per circuit dicts
+    for pk, instances in keys_to_constraints:
+        circuit = pk.circuit
+        st = {
+            "pk": pk, "circuit": circuit, "batch_size": len(instances),
+            "padded_public": [], "private": [], "z_a": [], "z_b": [], "z_c": [],
+            "x_polys": [],
+        }
+        for inst in instances:
+            cs = r1cs.ConstraintSystem()
+            inst.generate_constraints(cs)
+            if mode.ZK:
+                a_r, b_r = rng.randrange(R), rng.randrange(R)
+                cs.add_randomizing_variables([a_r, b_r, a_r * b_r % R])
+            cs.pad_input_to_power_of_two()
+            a, b, c = cs.to_matrices()
+            assert cs.num_constraints == circuit.info.num_constraints, "instance/index mismatch"
+            assert cs.num_public + cs.num_private == circuit.info.num_variables
+            z = cs.full_assignment()
+            st["padded_public"].append(cs.public[:])
+            st["private"].append(cs.private[:])
+            st["z_a"].append(_matrix_vector(circuit.a, z))
+            st["z_b"].append(_matrix_vector(circuit.b, z))
+            st["z_c"].append(_matrix_vector(circuit.c, z))
+            idd = circuit.input_domain
+            st["x_polys"].append(interpolate(cs.public + [0] * (idd - len(cs.public))))
+        circuit_states.append(st)
+
+    batch_sizes = [st["batch_size"] for st in circuit_states]
+    circuit_ids = [st["circuit"].id for st in circuit_states]
+    max_cd = max(st["circuit"].constraint_domain for st in circuit_states)
+    max_vd = max(st["circuit"].variable_domain for st in circuit_states)
+    max_nz = max(st["circuit"].non_zero_domain(m) for st in circuit_states for m in "abc")
+
+    inputs_and_batch_sizes = [(st["batch_size"], st["padded_public"]) for st in circuit_states]
+    vk_comms = [st["pk"].vk.circuit_commitments for st in circuit_states]
+    sponge = init_sponge(inputs_and_batch_sizes, vk_comms)
+
+    all_polys = {}      # label -> (LabeledPoly, Randomness)
+
+    def commit_round(labeled_polys, hiding):
+        comms = []
+        for lp in labeled_polys:
+            c, r = kzg.commit(srs, lp.poly, degree_bound=lp.degree_bound,
+                              hiding_bound=lp.hiding_bound if hiding else None,
+                              rng=rng if hiding else None)
+            all_polys[lp.label] = (lp, r)
+            comms.append(c)
+        return comms
+
+    # --- round 1: witness polynomials ---
+    first_polys = []
+    for st in circuit_states:
+        circuit = st["circuit"]
+        vd, idd = circuit.variable_domain, circuit.input_domain
+        ratio = vd // idd
+        for j in range(st["batch_size"]):
+            w_ext = st["private"][j] + [0] * ((vd - idd) - len(st["private"][j]))
+            x_evals = ntt(st["x_polys"][j].c + [0] * (vd - len(st["x_polys"][j].c)))
+            w_evals = [0] * vd
+            for k in range(vd):
+                if k % ratio != 0:
+                    w_evals[k] = (w_ext[k - (k // ratio) - 1] - x_evals[k]) % R
+            w_poly = interpolate(w_evals)
+            w_poly, rem = w_poly.divide_by_vanishing(idd)
+            assert rem.is_zero()
+            first_polys.append(kzg.LabeledPoly(witness_label(circuit.id, "w", j), w_poly,
+                                               None, zkb))
+    mask_poly = None
+    if mode.ZK:
+        h1m = Poly([rng.randrange(R) for _ in range(4)]).mul_by_vanishing(max_vd)
+        g1m = Poly([0] + [rng.randrange(R) for _ in range(5)])
+        mask = h1m + g1m
+        first_polys.append(kzg.LabeledPoly("mask_poly", mask, None, None))
+        mask_poly = mask
+    first_comms = commit_round(first_polys, mode.ZK)
+    _absorb_commitments(sponge, first_comms)
+
+    batch_combiners = verifier_first_round(batch_sizes, sponge)
+
+    # --- round 2: rowcheck h_0 ---
+    h_0 = Poly.zero()
+    for st, comb in zip(circuit_states, batch_combiners):
+        circuit = st["circuit"]
+        cd = circuit.constraint_domain
+        for j, ic in enumerate(comb["instance"]):
+            za = interpolate(st["z_a"][j] + [0] * (cd - len(st["z_a"][j])))
+            zb = interpolate(st["z_b"][j] + [0] * (cd - len(st["z_b"][j])))
+            zc = interpolate(st["z_c"][j] + [0] * (cd - len(st["z_c"][j])))
+            rowcheck = za * zb - zc
+            lhs = rowcheck.scale(ic)
+            h_0_i, _ = apply_randomized_selector(lhs, comb["circuit"], max_cd, cd, False)
+            h_0 = h_0 + h_0_i
+    second_polys = [kzg.LabeledPoly("h_0", h_0)]
+    second_comms = commit_round(second_polys, mode.ZK)
+    _absorb_commitments(sponge, second_comms)
+
+    alpha, eta_b, eta_c = verifier_second_round(max_cd, sponge)
+
+    # --- round 3: lineval sumcheck (g_1, h_1) ---
+    third_sums = []
+    h_1_sum = Poly.zero()
+    xg_1_sum = Poly.zero()
+    for st, comb in zip(circuit_states, batch_combiners):
+        circuit = st["circuit"]
+        cd, vd, idd = circuit.constraint_domain, circuit.variable_domain, circuit.input_domain
+        l_at_alpha = lagrange_coefficients(cd, alpha)
+        transposes = {m: _transpose(getattr(circuit, m), vd, idd) for m in "abc"}
+        m_at_alpha_polys = {}
+        for m in "abc":
+            evals = []
+            for col in transposes[m]:
+                evals.append(sum(val * l_at_alpha[ri] for val, ri in col) % R)
+            m_at_alpha_polys[m] = interpolate(evals)
+        circuit_sums = []
+        for j, ic in enumerate(comb["instance"]):
+            w_poly = all_polys[witness_label(circuit.id, "w", j)][0].poly
+            assignment = w_poly.mul_by_vanishing(idd) + st["x_polys"][j]
+            sums_j = {}
+            for m, mc in (("a", 1), ("b", eta_b), ("c", eta_c)):
+                combiner = comb["circuit"] * ic % R * mc % R
+                z_m_at_alpha = m_at_alpha_polys[m] * assignment
+                s = sum_over_domain(z_m_at_alpha, vd)
+                h_1_i, xg_1_i = apply_randomized_selector(z_m_at_alpha, combiner, max_vd, vd, True)
+                h_1_sum = h_1_sum + h_1_i
+                xg_1_sum = xg_1_sum + xg_1_i
+                sums_j[m] = s
+            circuit_sums.append(MatrixSums(sums_j["a"], sums_j["b"], sums_j["c"]))
+        third_sums.append(circuit_sums)
+    if mode.ZK:
+        h1m, xg1m = mask_poly.divide_by_vanishing(max_vd)
+        h_1_sum = h_1_sum + h1m
+        xg_1_sum = xg_1_sum + xg1m
+    g_1 = xg_1_sum.shift_coeffs(1)
+    third_polys = [
+        kzg.LabeledPoly("g_1", g_1, max_vd - 2, zkb),
+        kzg.LabeledPoly("h_1", h_1_sum),
+    ]
+    third_comms = commit_round(third_polys, mode.ZK)
+    _absorb_commitments(sponge, third_comms)
+    _absorb_sums(sponge, [s for cs_ in third_sums for s in cs_])
+
+    beta = verifier_third_round(max_vd, sponge)
+
+    # --- round 4: matrix sumchecks (g_a/g_b/g_c) ---
+    fourth_sums = []
+    fourth_comms = []
+    lhs_polys = []   # per circuit [lhs_a, lhs_b, lhs_c]
+    for st in circuit_states:
+        circuit = st["circuit"]
+        cd, vd = circuit.constraint_domain, circuit.variable_domain
+        v_R_alpha = evaluate_vanishing(cd, alpha)
+        v_C_beta = evaluate_vanishing(vd, beta)
+        v_rc = v_R_alpha * v_C_beta % R
+        sums_c = {}
+        circuit_lhs = []
+        for m in "abc":
+            nz = circuit.non_zero_domain(m)
+            ev = circuit.arith[m]
+            a_poly = interpolate([v_rc * v % R for v in ev.row_col_val])
+            ab = alpha * beta % R
+            rc_size = cd * vd % R
+            b_evals = [rc_size * ((ab - beta * r - alpha * c + rc) % R) % R
+                       for r, c, rc in zip(ev.row, ev.col, ev.row_col)]
+            b_poly = interpolate(b_evals)
+            const = v_rc * pow(cd, -1, R) % R * pow(vd, -1, R) % R
+            denoms = [(alpha - r) * (beta - c) % R for r, c in zip(ev.row, ev.col)]
+            invs = batch_inverse(denoms)
+            f_evals = [const * iv % R * v % R for iv, v in zip(invs, ev.row_col_val)]
+            f = interpolate(f_evals)
+            g_m = f.shift_coeffs(1)
+            h = a_poly - b_poly * f
+            lhs, _ = apply_randomized_selector(h, 1, max_nz, nz, False)
+            circuit_lhs.append(lhs)
+            sums_c[m] = f.c[0] if f.c else 0
+            label = witness_label(circuit.id, f"g_{m}", 0)
+            lp = kzg.LabeledPoly(label, g_m, nz - 2, None)
+            c_comm = commit_round([lp], False)[0]
+            fourth_comms.append(c_comm)
+            # keep a_poly/b_poly for the opening phase
+            all_polys[f"circuit_{circuit.id}_a_poly_{m}"] = (
+                kzg.LabeledPoly(f"circuit_{circuit.id}_a_poly_{m}", a_poly), kzg.Randomness.empty())
+            all_polys[f"circuit_{circuit.id}_b_poly_{m}"] = (
+                kzg.LabeledPoly(f"circuit_{circuit.id}_b_poly_{m}", b_poly), kzg.Randomness.empty())
+        lhs_polys.append(circuit_lhs)
+        fourth_sums.append(MatrixSums(sums_c["a"], sums_c["b"], sums_c["c"]))
+    _absorb_commitments(sponge, fourth_comms)
+    _absorb_sums(sponge, fourth_sums)
+
+    delta_a, delta_b, delta_c = verifier_fourth_round(len(circuit_states), sponge)
+
+    # --- round 5: h_2 ---
+    h_2 = Poly.zero()
+    for i, circuit_lhs in enumerate(lhs_polys):
+        for delta, lhs in zip((delta_a[i], delta_b[i], delta_c[i]), circuit_lhs):
+            h_2 = h_2 + lhs.scale(delta)
+    fifth_polys = [kzg.LabeledPoly("h_2", h_2)]
+    fifth_comms = commit_round(fifth_polys, False)
+    _absorb_commitments(sponge, fifth_comms)
+
+    gamma = verifier_fifth_round(max_nz, sponge)
+
+    # --- query set, linear combinations, evaluations ---
+    query_set = build_query_set(circuit_ids, alpha, beta, gamma)
+
+    def get_eval(label, point):
+        return all_polys[label][0].poly.evaluate(point)
+
+    lc_s = construct_linear_combinations(
+        circuits=[st["circuit"] for st in circuit_states],
+        padded_public=[st["padded_public"] for st in circuit_states],
+        batch_combiners=batch_combiners,
+        third_sums=third_sums, fourth_sums=fourth_sums,
+        alpha=alpha, eta_b=eta_b, eta_c=eta_c, beta=beta,
+        deltas=(delta_a, delta_b, delta_c), gamma=gamma,
+        max_cd=max_cd, max_vd=max_vd, max_nz=max_nz, mode=mode,
+        get_eval=get_eval, has_poly=lambda label: label in all_polys,
+    )
+
+    def poly_eval_lc(lc, point):
+        acc = 0
+        for label, coeff in lc.terms.items():
+            if label is None:
+                acc += coeff
+            else:
+                acc += coeff * all_polys[label][0].poly.evaluate(point)
+        return acc % R
+
+    evaluations = {}
+    for label, (_, point) in sorted(query_set):
+        if label not in LC_WITH_ZERO_EVAL:
+            evaluations[label] = poly_eval_lc(lc_s[label], point)
+
+    g_a_evals = [evaluations[witness_label(cid, "g_a", 0)] for cid in circuit_ids]
+    g_b_evals = [evaluations[witness_label(cid, "g_b", 0)] for cid in circuit_ids]
+    g_c_evals = [evaluations[witness_label(cid, "g_c", 0)] for cid in circuit_ids]
+    eval_fields = [evaluations["g_1"]] + g_a_evals + g_b_evals + g_c_evals
+    sponge.absorb_nonnative_field_elements(eval_fields)
+
+    labeled_for_open = [lp for lp, _ in all_polys.values()]
+    rands_for_open = [r for _, r in all_polys.values()]
+    pc_proof = kzg.open_combinations(
+        srs, [lc_s[k] for k in sorted(lc_s)], labeled_for_open, rands_for_open,
+        query_set, sponge,
+    )
+
+    num_witness = sum(batch_sizes)
+    return Proof(
+        batch_sizes=batch_sizes,
+        witness_commitments=first_comms[:num_witness],
+        mask_poly=first_comms[num_witness] if mode.ZK else None,
+        h_0=second_comms[0],
+        g_1=third_comms[0], h_1=third_comms[1],
+        g_a_commitments=fourth_comms[0::3],
+        g_b_commitments=fourth_comms[1::3],
+        g_c_commitments=fourth_comms[2::3],
+        h_2=fifth_comms[0],
+        g_1_eval=evaluations["g_1"],
+        g_a_evals=g_a_evals, g_b_evals=g_b_evals, g_c_evals=g_c_evals,
+        third_sums=third_sums, fourth_sums=fourth_sums,
+        pc_proof=pc_proof,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear combinations (ahp.rs construct_linear_combinations)
+# ---------------------------------------------------------------------------
+
+def construct_linear_combinations(circuits, padded_public, batch_combiners,
+                                  third_sums, fourth_sums, alpha, eta_b, eta_c, beta,
+                                  deltas, gamma, max_cd, max_vd, max_nz, mode,
+                                  get_eval, has_poly):
+    """Build the verifier's LCs with all scalar coefficients resolved.
+
+    get_eval(label, point) -> value for single-poly labels (g_1, g_m, and —
+    prover only — a_poly/b_poly); has_poly(label) says whether the evaluator
+    can evaluate that label directly (prover) or not (verifier, which falls
+    back to index-polynomial combinations). (ahp.rs:150-408)
+    """
+    delta_a, delta_b, delta_c = deltas
+    LC = kzg.LinearCombination
+    lcs = {}
+
+    batch_lineval_sum = third_message_sum(third_sums, batch_combiners, eta_b, eta_c) \
+        * pow(max_vd, -1, R) % R
+
+    # --- rowcheck_zerocheck (queried at alpha, expected 0) ---
+    v_R_at_alpha = evaluate_vanishing(max_cd, alpha)
+    rowcheck = LC("rowcheck_zerocheck")
+    for i, (circuit, comb) in enumerate(zip(circuits, batch_combiners)):
+        term = 0
+        for j, ic in enumerate(comb["instance"]):
+            s = third_sums[i][j]
+            term = (term + ic * ((s.sum_a * s.sum_b - s.sum_c) % R)) % R
+        sel = selector(max_cd, circuit.constraint_domain, alpha)
+        rowcheck.add(comb["circuit"] * term % R * sel % R, None)
+    rowcheck.add(-v_R_at_alpha, "h_0")
+    lcs["rowcheck_zerocheck"] = rowcheck
+
+    # --- g_1 + lineval_sumcheck (queried at beta, expected 0) ---
+    g_1_lc = LC("g_1", [(1, "g_1")])
+    lcs["g_1"] = g_1_lc
+    g_1_at_beta = get_eval("g_1", beta)
+    v_C_at_beta = evaluate_vanishing(max_vd, beta)
+    v_K_at_gamma = evaluate_vanishing(max_nz, gamma)
+
+    lineval = LC("lineval_sumcheck")
+    if mode.ZK:
+        lineval.add(1, "mask_poly")
+    for i, (circuit, comb) in enumerate(zip(circuits, batch_combiners)):
+        idd = circuit.input_domain
+        v_X_at_beta = evaluate_vanishing(idd, beta)
+        lag = lagrange_coefficients(idd, beta)
+        term = LC(f"__term_{i}")
+        s4 = fourth_sums[i]
+        for j, ic in enumerate(comb["instance"]):
+            w_label = witness_label(circuit.id, "w", j)
+            x_at_beta = sum(x * l for x, l in zip(padded_public[i][j], lag)) % R
+            sa = s4.sum_a * circuit.non_zero_domain("a") % R
+            sb = s4.sum_b * circuit.non_zero_domain("b") % R
+            sc = s4.sum_c * circuit.non_zero_domain("c") % R
+            inner = LC(f"__lineval_{i}_{j}")
+            inner.add(sa * x_at_beta, None)
+            inner.add(sa * v_X_at_beta, w_label)
+            inner.add(sb * eta_b % R * x_at_beta, None)
+            inner.add(sb * eta_b % R * v_X_at_beta, w_label)
+            inner.add(sc * eta_c % R * x_at_beta, None)
+            inner.add(sc * eta_c % R * v_X_at_beta, w_label)
+            term.add_lc(ic, inner)
+        sel = selector(max_vd, circuit.variable_domain, beta)
+        term.scale(sel)
+        lineval.add_lc(comb["circuit"], term)
+    lineval.add(-v_C_at_beta, "h_1")
+    lineval.add(-(beta * g_1_at_beta) % R, None)
+    lineval.add(-batch_lineval_sum, None)
+    lcs["lineval_sumcheck"] = lineval
+
+    # --- matrix_sumcheck (queried at gamma, expected 0) ---
+    matrix = LC("matrix_sumcheck")
+    for i, circuit in enumerate(circuits):
+        v_rc = evaluate_vanishing(circuit.constraint_domain, alpha) \
+            * evaluate_vanishing(circuit.variable_domain, beta) % R
+        rc = circuit.constraint_domain * circuit.variable_domain % R
+        for m, delta, s in (("a", delta_a[i], fourth_sums[i].sum_a),
+                            ("b", delta_b[i], fourth_sums[i].sum_b),
+                            ("c", delta_c[i], fourth_sums[i].sum_c)):
+            nz = circuit.non_zero_domain(m)
+            sel = selector(max_nz, nz, gamma)
+            g_m_label = witness_label(circuit.id, f"g_{m}", 0)
+            lcs[g_m_label] = LC(g_m_label, [(1, g_m_label)])
+            g_m_at_gamma = get_eval(g_m_label, gamma)
+            label_a = f"circuit_{circuit.id}_a_poly_{m}"
+            label_b = f"circuit_{circuit.id}_b_poly_{m}"
+            if has_poly(label_a):
+                a_lc = LC(label_a, [(1, label_a)])
+                b_lc = LC(label_b, [(1, label_b)])
+            else:
+                a_lc = LC(label_a, [(v_rc, f"circuit_{circuit.id}_row_col_val_{m}")])
+                b_lc = LC(label_b)
+                b_lc.add(alpha * beta % R, None)
+                b_lc.add((-alpha) % R, f"circuit_{circuit.id}_col_{m}")
+                b_lc.add((-beta) % R, f"circuit_{circuit.id}_row_{m}")
+                b_lc.add(1, f"circuit_{circuit.id}_row_col_{m}")
+                b_lc.scale(rc)
+            b_term = (gamma * g_m_at_gamma + s) % R
+            b_lc.scale(b_term)
+            g_m_term = LC(f"__gm_{i}_{m}")
+            g_m_term.add_lc(1, a_lc)
+            g_m_term.add_lc(-1, b_lc)
+            g_m_term.scale(sel)
+            matrix.add_lc(delta, g_m_term)
+    matrix.add((-v_K_at_gamma) % R, "h_2")
+    lcs["matrix_sumcheck"] = matrix
+    return lcs
+
+
+# ---------------------------------------------------------------------------
+# Verifier
+# ---------------------------------------------------------------------------
+
+def verify_batch(srs: kzg.UniversalSRS, keys_to_inputs, proof: Proof,
+                 mode=VarunaNonHidingMode) -> bool:
+    """keys_to_inputs: list of (CircuitVerifyingKey, [public_input_list,...]).
+    Public inputs are the *formatted* inputs ([1, x...]). (varuna.rs:625)"""
+    try:
+        return _verify_batch(srs, keys_to_inputs, proof, mode)
+    except (AssertionError, KeyError, ZeroDivisionError):
+        return False
+
+
+def _verify_batch(srs, keys_to_inputs, proof, mode):
+    if proof.is_hiding() != mode.ZK or (proof.mask_poly is not None) != mode.ZK:
+        return False
+
+    batch_sizes = proof.batch_sizes
+    assert len(batch_sizes) == len(keys_to_inputs)
+    circuits = []
+    padded_public = []
+    for (vk, inputs_i), bs in zip(keys_to_inputs, batch_sizes):
+        assert len(inputs_i) == bs
+        idd = domain_size(vk.circuit_info.num_public_inputs)
+        padded_i = []
+        for inp in inputs_i:
+            assert inp and inp[0] == 1 % R
+            assert len(inp) <= idd
+            padded_i.append(list(inp) + [0] * (idd - len(inp)))
+        padded_public.append(padded_i)
+        circuits.append(_VkCircuitView(vk))
+
+    circuit_ids = [c.id for c in circuits]
+    max_cd = max(c.constraint_domain for c in circuits)
+    max_vd = max(c.variable_domain for c in circuits)
+    max_nz = max(c.non_zero_domain(m) for c in circuits for m in "abc")
+
+    inputs_and_batch_sizes = [(bs, pp) for bs, pp in zip(batch_sizes, padded_public)]
+    vk_comms = [vk.circuit_commitments for vk, _ in keys_to_inputs]
+    sponge = init_sponge(inputs_and_batch_sizes, vk_comms)
+
+    first_comms = list(proof.witness_commitments)
+    if mode.ZK:
+        first_comms.append(proof.mask_poly)
+    _absorb_commitments(sponge, first_comms)
+    batch_combiners = verifier_first_round(batch_sizes, sponge)
+
+    _absorb_commitments(sponge, [proof.h_0])
+    alpha, eta_b, eta_c = verifier_second_round(max_cd, sponge)
+
+    _absorb_commitments(sponge, [proof.g_1, proof.h_1])
+    _absorb_sums(sponge, [s for cs_ in proof.third_sums for s in cs_])
+    beta = verifier_third_round(max_vd, sponge)
+
+    fourth_comms = []
+    for ga, gb, gc in zip(proof.g_a_commitments, proof.g_b_commitments, proof.g_c_commitments):
+        fourth_comms += [ga, gb, gc]
+    _absorb_commitments(sponge, fourth_comms)
+    _absorb_sums(sponge, proof.fourth_sums)
+    delta_a, delta_b, delta_c = verifier_fourth_round(len(circuits), sponge)
+
+    _absorb_commitments(sponge, [proof.h_2])
+    gamma = verifier_fifth_round(max_nz, sponge)
+
+    query_set = build_query_set(circuit_ids, alpha, beta, gamma)
+    sponge.absorb_nonnative_field_elements(proof.evaluations_to_field_elements())
+
+    # evaluations map from the proof
+    evaluations = {}
+    for label, (_, point) in sorted(query_set):
+        if label in LC_WITH_ZERO_EVAL:
+            evaluations[(label, point)] = 0
+        elif label == "g_1":
+            evaluations[(label, point)] = proof.g_1_eval
+        else:
+            ci = circuit_ids.index(label.split("_")[1])
+            if "_g_a_" in label:
+                evaluations[(label, point)] = proof.g_a_evals[ci]
+            elif "_g_b_" in label:
+                evaluations[(label, point)] = proof.g_b_evals[ci]
+            elif "_g_c_" in label:
+                evaluations[(label, point)] = proof.g_c_evals[ci]
+
+    def get_eval(label, point):
+        return evaluations[(label, point)]
+
+    lc_s = construct_linear_combinations(
+        circuits=circuits, padded_public=padded_public, batch_combiners=batch_combiners,
+        third_sums=proof.third_sums, fourth_sums=proof.fourth_sums,
+        alpha=alpha, eta_b=eta_b, eta_c=eta_c, beta=beta,
+        deltas=(delta_a, delta_b, delta_c), gamma=gamma,
+        max_cd=max_cd, max_vd=max_vd, max_nz=max_nz, mode=mode,
+        get_eval=get_eval, has_poly=lambda label: False,
+    )
+
+    # assemble labeled commitments: index comms (sorted label order) + oracles
+    labeled_comms = []
+    for (vk, _), circuit in zip(keys_to_inputs, circuits):
+        labels = sorted(
+            f"circuit_{circuit.id}_{name}_{m}"
+            for m in "abc" for name in ("row", "col", "row_col", "row_col_val")
+        )
+        for label, comm in zip(labels, vk.circuit_commitments):
+            labeled_comms.append(kzg.LabeledCommitment(label, comm))
+    wi = 0
+    for circuit, bs in zip(circuits, batch_sizes):
+        for j in range(bs):
+            labeled_comms.append(kzg.LabeledCommitment(
+                witness_label(circuit.id, "w", j), proof.witness_commitments[wi]))
+            wi += 1
+    if mode.ZK:
+        labeled_comms.append(kzg.LabeledCommitment("mask_poly", proof.mask_poly))
+    labeled_comms.append(kzg.LabeledCommitment("h_0", proof.h_0))
+    labeled_comms.append(kzg.LabeledCommitment("g_1", proof.g_1, max_vd - 2))
+    labeled_comms.append(kzg.LabeledCommitment("h_1", proof.h_1))
+    for circuit, ga, gb, gc in zip(circuits, proof.g_a_commitments,
+                                   proof.g_b_commitments, proof.g_c_commitments):
+        labeled_comms.append(kzg.LabeledCommitment(
+            witness_label(circuit.id, "g_a", 0), ga, circuit.non_zero_domain("a") - 2))
+        labeled_comms.append(kzg.LabeledCommitment(
+            witness_label(circuit.id, "g_b", 0), gb, circuit.non_zero_domain("b") - 2))
+        labeled_comms.append(kzg.LabeledCommitment(
+            witness_label(circuit.id, "g_c", 0), gc, circuit.non_zero_domain("c") - 2))
+    labeled_comms.append(kzg.LabeledCommitment("h_2", proof.h_2))
+
+    return kzg.check_combinations(
+        srs, [lc_s[k] for k in sorted(lc_s)], labeled_comms, query_set,
+        evaluations, proof.pc_proof, sponge,
+    )
+
+
+class _VkCircuitView:
+    """Circuit-shaped domain view over a verifying key."""
+
+    def __init__(self, vk: CircuitVerifyingKey):
+        self.info = vk.circuit_info
+        self.id = vk.id
+
+    @property
+    def constraint_domain(self):
+        return domain_size(self.info.num_constraints)
+
+    @property
+    def variable_domain(self):
+        return domain_size(self.info.num_variables)
+
+    @property
+    def input_domain(self):
+        return domain_size(self.info.num_public_inputs)
+
+    def non_zero_domain(self, m: str):
+        return domain_size(getattr(self.info, f"num_non_zero_{m}"))

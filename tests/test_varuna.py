@@ -1,0 +1,73 @@
+"""Varuna end-to-end: setup -> prove -> verify (self-consistency + soundness)."""
+import random
+
+import pytest
+
+from snarkvm_tpu.params import bls12_377 as P
+from snarkvm_tpu.polycommit import kzg
+from snarkvm_tpu.snark import varuna, r1cs
+
+R = P.R
+rng = random.Random(0x5A5A)
+
+
+class MulCircuit(r1cs.ConstraintSynthesizer):
+    """Prove knowledge of a, b with a*b = c (c public), plus filler constraints."""
+
+    def __init__(self, a, b, num_extra=5):
+        self.a = a % R
+        self.b = b % R
+        self.num_extra = num_extra
+
+    def generate_constraints(self, cs):
+        c_pub = cs.alloc_input(self.a * self.b % R)
+        a = cs.alloc(self.a)
+        b = cs.alloc(self.b)
+        cs.enforce([(1, a)], [(1, b)], [(1, c_pub)])
+        # filler: x_i * x_i = x_{i+1} chain
+        prev, prev_val = a, self.a
+        for _ in range(self.num_extra):
+            nxt_val = prev_val * prev_val % R
+            nxt = cs.alloc(nxt_val)
+            cs.enforce([(1, prev)], [(1, prev)], [(1, nxt)])
+            prev, prev_val = nxt, nxt_val
+
+    def public_inputs(self):
+        return [1, self.a * self.b % R]
+
+
+@pytest.fixture(scope="module")
+def srs():
+    return kzg.test_srs(128)
+
+
+def test_prove_verify_single(srs):
+    circ = MulCircuit(7, 6)
+    pk, vk = varuna.circuit_setup(srs, circ)
+    proof = varuna.prove_batch(srs, [(pk, [circ])], rng)
+    assert varuna.verify_batch(srs, [(vk, [circ.public_inputs()])], proof)
+
+
+def test_verify_rejects_wrong_input(srs):
+    circ = MulCircuit(7, 6)
+    pk, vk = varuna.circuit_setup(srs, circ)
+    proof = varuna.prove_batch(srs, [(pk, [circ])], rng)
+    bad = [1, (7 * 6 + 1) % R]
+    assert not varuna.verify_batch(srs, [(vk, [bad])], proof)
+
+
+def test_prove_verify_multi_instance(srs):
+    instances = [MulCircuit(3, 5), MulCircuit(11, 13), MulCircuit(2, 9)]
+    pk, vk = varuna.circuit_setup(srs, instances[0])
+    proof = varuna.prove_batch(srs, [(pk, instances)], rng)
+    inputs = [i.public_inputs() for i in instances]
+    assert varuna.verify_batch(srs, [(vk, inputs)], proof)
+
+
+def test_prove_verify_zk(srs):
+    mode = varuna.VarunaHidingMode
+    circ = MulCircuit(4, 9)
+    pk, vk = varuna.circuit_setup(srs, circ, mode)
+    proof = varuna.prove_batch(srs, [(pk, [circ])], rng, mode)
+    assert proof.is_hiding()
+    assert varuna.verify_batch(srs, [(vk, [circ.public_inputs()])], proof, mode)
