@@ -71,3 +71,34 @@ def test_prove_verify_zk(srs):
     proof = varuna.prove_batch(srs, [(pk, [circ])], rng, mode)
     assert proof.is_hiding()
     assert varuna.verify_batch(srs, [(vk, [circ.public_inputs()])], proof, mode)
+
+
+class SquareCircuit(r1cs.ConstraintSynthesizer):
+    """x^2 = y (y public) with a different structure than MulCircuit."""
+
+    def __init__(self, x):
+        self.x = x % R
+
+    def generate_constraints(self, cs):
+        y = cs.alloc_input(self.x * self.x % R)
+        x = cs.alloc(self.x)
+        cs.enforce([(1, x)], [(1, x)], [(1, y)])
+        z = cs.alloc(self.x * self.x % R * self.x % R)
+        cs.enforce([(1, x)], [(1, y)], [(1, z)])
+
+    def public_inputs(self):
+        return [1, self.x * self.x % R]
+
+
+def test_prove_verify_multi_circuit(srs):
+    m1, m2 = MulCircuit(3, 5), MulCircuit(7, 2)
+    s1, s2 = SquareCircuit(4), SquareCircuit(10)
+    pk_a, vk_a = varuna.circuit_setup(srs, m1)
+    pk_b, vk_b = varuna.circuit_setup(srs, s1)
+    keys = [(pk_a, [m1, m2]), (pk_b, [s1, s2])]
+    # keys_to_constraints is a BTreeMap keyed by pk in the reference;
+    # we keep list order stable and sort by circuit id for parity
+    keys.sort(key=lambda kv: kv[0].circuit.id)
+    proof = varuna.prove_batch(srs, keys, rng)
+    inputs = [(pk.vk, [c.public_inputs() for c in cs_]) for pk, cs_ in keys]
+    assert varuna.verify_batch(srs, [(vk, i) for (vk, i) in inputs], proof)
