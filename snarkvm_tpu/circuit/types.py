@@ -1,0 +1,312 @@
+"""Circuit gadget types: field, boolean, integers, group — dual-value
+(console value + linear combination) mirrors of circuit/types/*.
+
+Each gadget keeps its evaluated value alongside its LC so witness
+generation is single-pass (the "two worlds" execute in lock-step,
+SURVEY.md §1).
+"""
+from __future__ import annotations
+
+from ..params import bls12_377 as P
+from ..curves import edwards as ed
+from .builder import CircuitBuilder, LinearCombination, CONSTANT, PUBLIC, PRIVATE
+
+R = P.R
+
+
+class CField:
+    __slots__ = ("b", "lc")
+
+    def __init__(self, builder: CircuitBuilder, lc: LinearCombination):
+        self.b = builder
+        self.lc = lc
+
+    @classmethod
+    def new(cls, builder, mode, value: int):
+        return cls(builder, builder.new_variable(mode, value))
+
+    @classmethod
+    def constant(cls, builder, value: int):
+        return cls(builder, LinearCombination(value))
+
+    @property
+    def value(self) -> int:
+        return self.b.value_of(self.lc)
+
+    # -- linear ops (free) --
+    def __add__(self, o):
+        return CField(self.b, self.lc.add(o.lc))
+
+    def __sub__(self, o):
+        return CField(self.b, self.lc.add(o.lc, R - 1))
+
+    def __neg__(self):
+        return CField(self.b, self.lc.scale(R - 1))
+
+    def scale_const(self, k: int):
+        return CField(self.b, self.lc.scale(k))
+
+    def add_const(self, k: int):
+        return CField(self.b, self.lc.add(LinearCombination(k)))
+
+    # -- multiplicative ops (1 constraint) --
+    def __mul__(self, o):
+        if self.lc.is_constant():
+            return CField(self.b, o.lc.scale(self.lc.constant))
+        if o.lc.is_constant():
+            return CField(self.b, self.lc.scale(o.lc.constant))
+        prod = self.value * o.value % R
+        out = self.b.new_private(prod)
+        self.b.enforce(self.lc, o.lc, out)
+        return CField(self.b, out)
+
+    def square(self):
+        return self * self
+
+    def inverse(self):
+        v = self.value
+        inv = pow(v, -1, R)
+        out = self.b.new_private(inv)
+        self.b.enforce(self.lc, out, LinearCombination(1))
+        return CField(self.b, out)
+
+    def pow_const(self, e: int):
+        if e == 0:
+            return CField.constant(self.b, 1)
+        result = None
+        base = self
+        while e:
+            if e & 1:
+                result = base if result is None else result * base
+            e >>= 1
+            if e:
+                base = base.square()
+        return result
+
+    # -- equality / assertions --
+    def assert_eq(self, o):
+        self.b.assert_eq(self.lc, o.lc)
+
+    def is_equal(self, o) -> "CBool":
+        """1 constraint pair: (a-b) * inv = 1 - eq; (a-b) * eq = 0."""
+        diff = self - o
+        dv = diff.value
+        eq_val = 1 if dv == 0 else 0
+        eq = self.b.new_private(eq_val)
+        inv_val = pow(dv, -1, R) if dv else 0
+        inv = self.b.new_private(inv_val)
+        one = LinearCombination(1)
+        self.b.enforce(diff.lc, inv, one.add(eq, R - 1))
+        self.b.enforce(diff.lc, eq, LinearCombination(0))
+        return CBool(self.b, eq)
+
+    def ternary(self, cond: "CBool", other: "CField"):
+        """cond ? self : other — 1 constraint."""
+        out_val = self.value if cond.value else other.value
+        out = self.b.new_private(out_val)
+        # cond * (self - other) = out - other
+        self.b.enforce(cond.lc, self.lc.add(other.lc, R - 1), out.add(other.lc, R - 1))
+        return CField(self.b, out)
+
+    def to_bits_le(self, num_bits: int = 253):
+        """Bit decomposition with recomposition constraint (+ range implied
+        by bit count)."""
+        v = self.value
+        bits = []
+        acc = LinearCombination(0)
+        coeff = 1
+        for i in range(num_bits):
+            bit = CBool.new(self.b, PRIVATE, (v >> i) & 1)
+            bits.append(bit)
+            acc = acc.add(bit.lc, coeff)
+            coeff = coeff * 2 % R
+        self.b.assert_eq(acc, self.lc)
+        return bits
+
+
+class CBool:
+    __slots__ = ("b", "lc")
+
+    def __init__(self, builder, lc):
+        self.b = builder
+        self.lc = lc
+
+    @classmethod
+    def new(cls, builder, mode, value):
+        lc = builder.new_variable(mode, 1 if value else 0)
+        out = cls(builder, lc)
+        if mode != CONSTANT:
+            # b * (1 - b) = 0
+            builder.enforce(lc, LinearCombination(1).add(lc, R - 1), LinearCombination(0))
+        return out
+
+    @classmethod
+    def constant(cls, builder, value):
+        return cls(builder, LinearCombination(1 if value else 0))
+
+    @property
+    def value(self) -> bool:
+        return self.b.value_of(self.lc) != 0
+
+    def __and__(self, o):
+        out = self.b.new_private(1 if (self.value and o.value) else 0)
+        self.b.enforce(self.lc, o.lc, out)
+        return CBool(self.b, out)
+
+    def __or__(self, o):
+        # a | b = a + b - a*b
+        land = self & o
+        return CBool(self.b, self.lc.add(o.lc).add(land.lc, R - 1))
+
+    def __xor__(self, o):
+        # a ^ b = a + b - 2ab
+        land = self & o
+        return CBool(self.b, self.lc.add(o.lc).add(land.lc, R - 2))
+
+    def __invert__(self):
+        return CBool(self.b, LinearCombination(1).add(self.lc, R - 1))
+
+    def assert_true(self):
+        self.b.assert_eq(self.lc, LinearCombination(1))
+
+    def to_field(self) -> CField:
+        return CField(self.b, self.lc)
+
+
+class CInteger:
+    """Unsigned/signed integers as bit vectors (circuit/types/integers)."""
+
+    __slots__ = ("b", "bits", "width", "signed")
+
+    def __init__(self, builder, bits, width, signed=False):
+        self.b = builder
+        self.bits = bits
+        self.width = width
+        self.signed = signed
+
+    @classmethod
+    def new(cls, builder, mode, value: int, width: int, signed=False):
+        mask = (1 << width) - 1
+        v = value & mask
+        bits = [CBool.new(builder, mode, (v >> i) & 1) for i in range(width)]
+        return cls(builder, bits, width, signed)
+
+    @property
+    def value(self) -> int:
+        v = 0
+        for i, bt in enumerate(self.bits):
+            if bt.value:
+                v |= 1 << i
+        if self.signed and (v >> (self.width - 1)) & 1:
+            v -= 1 << self.width
+        return v
+
+    def to_field(self) -> CField:
+        acc = LinearCombination(0)
+        coeff = 1
+        for bt in self.bits:
+            acc = acc.add(bt.lc, coeff)
+            coeff = coeff * 2 % R
+        return CField(self.b, acc)
+
+    def add_checked(self, o: "CInteger") -> "CInteger":
+        """Unsigned checked add: decompose field sum into width+1 bits, top must be 0."""
+        assert not self.signed
+        s = self.to_field() + o.to_field()
+        total = s.value
+        bits = []
+        acc = LinearCombination(0)
+        coeff = 1
+        for i in range(self.width + 1):
+            bit = CBool.new(self.b, PRIVATE, (total >> i) & 1)
+            bits.append(bit)
+            acc = acc.add(bit.lc, coeff)
+            coeff = coeff * 2 % R
+        self.b.assert_eq(acc, s.lc)
+        bits[-1].b.assert_eq(bits[-1].lc, LinearCombination(0))  # overflow flag = 0
+        return CInteger(self.b, bits[: self.width], self.width, self.signed)
+
+    def add_wrapped(self, o: "CInteger") -> "CInteger":
+        s = self.to_field() + o.to_field()
+        total = s.value
+        bits = []
+        acc = LinearCombination(0)
+        coeff = 1
+        for i in range(self.width + 1):
+            bit = CBool.new(self.b, PRIVATE, (total >> i) & 1)
+            bits.append(bit)
+            acc = acc.add(bit.lc, coeff)
+            coeff = coeff * 2 % R
+        self.b.assert_eq(acc, s.lc)
+        return CInteger(self.b, bits[: self.width], self.width, self.signed)
+
+    def is_equal(self, o: "CInteger") -> CBool:
+        return self.to_field().is_equal(o.to_field())
+
+
+class CGroup:
+    """Edwards point gadget in affine coordinates (x, y as CField)."""
+
+    __slots__ = ("b", "x", "y")
+
+    def __init__(self, builder, x: CField, y: CField):
+        self.b = builder
+        self.x = x
+        self.y = y
+
+    @classmethod
+    def new(cls, builder, mode, pt):
+        x = CField.new(builder, mode, pt[0])
+        y = CField.new(builder, mode, pt[1])
+        out = cls(builder, x, y)
+        if mode != CONSTANT:
+            out.assert_on_curve()
+        return out
+
+    @classmethod
+    def constant(cls, builder, pt):
+        return cls(builder, CField.constant(builder, pt[0]), CField.constant(builder, pt[1]))
+
+    @property
+    def value(self):
+        return (self.x.value, self.y.value)
+
+    def assert_on_curve(self):
+        # -x^2 + y^2 = 1 + d x^2 y^2
+        x2 = self.x.square()
+        y2 = self.y.square()
+        lhs = y2 - x2
+        x2y2 = x2 * y2
+        rhs = x2y2.scale_const(P.EDWARDS_D).add_const(1)
+        self.b.assert_eq(lhs.lc, rhs.lc)
+
+    def __add__(self, o: "CGroup"):
+        """Complete twisted Edwards addition (3 mul + 2 div constraints)."""
+        x1, y1, x2, y2 = self.x, self.y, o.x, o.y
+        x1y2 = x1 * y2
+        x2y1 = x2 * y1
+        y1y2 = y1 * y2
+        x1x2 = x1 * x2
+        dxy = (x1y2 * x2y1).scale_const(P.EDWARDS_D)
+        # x3 = (x1y2 + x2y1) / (1 + d x1x2y1y2)
+        x3_num = x1y2 + x2y1
+        y3_num = y1y2 + x1x2  # a=-1: y3 = (y1y2 + x1x2)/(1 - d...)
+        pt3 = ed.add(self.value, o.value)
+        x3 = CField.new(self.b, PRIVATE, pt3[0])
+        y3 = CField.new(self.b, PRIVATE, pt3[1])
+        one = LinearCombination(1)
+        self.b.enforce(x3.lc, one.add(dxy.lc), x3_num.lc)
+        self.b.enforce(y3.lc, one.add(dxy.lc, R - 1), y3_num.lc)
+        return CGroup(self.b, x3, y3)
+
+    def mul_bits(self, bits):
+        """Scalar mul by little-endian CBool bits (double-and-add over gadgets)."""
+        acc = CGroup.constant(self.b, ed.IDENTITY_AFFINE)
+        base = self
+        for bit in bits:
+            added = acc + base
+            nx = added.x.ternary(bit, acc.x)
+            ny = added.y.ternary(bit, acc.y)
+            acc = CGroup(self.b, nx, ny)
+            base = base + base
+        return acc

@@ -1,0 +1,213 @@
+"""Console typed literals and program data model (console/types + console/program/data).
+
+Literal variants and bit encodings mirror the reference exactly:
+  * Literal variant indices (literal/mod.rs:40) and per-type bit widths;
+  * Plaintext bit layout (plaintext/to_bits.rs): 2 variant bits, then
+    literal: [variant u8][size u16][payload], struct: [len u8] + per
+    member [id-size u8][id bits][value-size u16][value bits];
+  * to_fields packing (data/plaintext/to_fields.rs): bits chunked into
+    252-bit field elements with a trailing 1 marker bit.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..params import bls12_377 as P
+from ..curves import edwards as ed
+from . import network as N
+
+R = P.R
+S = P.S
+
+FIELD_BITS = 253
+FIELD_DATA_BITS = 252
+SCALAR_BITS = 251
+
+# Literal variant indices (console/program/src/data/literal/mod.rs:40)
+VARIANTS = {
+    "address": 0, "boolean": 1, "field": 2, "group": 3,
+    "i8": 4, "i16": 5, "i32": 6, "i64": 7, "i128": 8,
+    "u8": 9, "u16": 10, "u32": 11, "u64": 12, "u128": 13,
+    "scalar": 14, "signature": 15, "string": 16,
+}
+INT_WIDTHS = {"i8": 8, "i16": 16, "i32": 32, "i64": 64, "i128": 128,
+              "u8": 8, "u16": 16, "u32": 32, "u64": 64, "u128": 128}
+
+
+def int_to_bits_le(v: int, width: int):
+    return [(v >> i) & 1 == 1 for i in range(width)]
+
+
+def bits_to_int_le(bits):
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    return v
+
+
+def bytes_to_bits_le(data: bytes):
+    return [(byte >> i) & 1 == 1 for byte in data for i in range(8)]
+
+
+@dataclass(frozen=True)
+class Literal:
+    """type_name in VARIANTS; value: int for fields/scalars/ints/bool,
+    (x, y) tuple for group/address, str for string."""
+    type_name: str
+    value: object
+
+    def variant(self) -> int:
+        return VARIANTS[self.type_name]
+
+    def size_in_bits(self) -> int:
+        t = self.type_name
+        if t in ("address", "group", "field"):
+            return FIELD_BITS
+        if t == "boolean":
+            return 1
+        if t == "scalar":
+            return SCALAR_BITS
+        if t == "string":
+            return len(self.value.encode()) * 8
+        return INT_WIDTHS[t]
+
+    def to_bits_le(self):
+        t, v = self.type_name, self.value
+        if t in ("address", "group"):
+            x = v[0] if isinstance(v, tuple) else v
+            return int_to_bits_le(x, FIELD_BITS)
+        if t == "field":
+            return int_to_bits_le(v % R, FIELD_BITS)
+        if t == "scalar":
+            return int_to_bits_le(v % S, SCALAR_BITS)
+        if t == "boolean":
+            return [bool(v)]
+        if t == "string":
+            return bytes_to_bits_le(v.encode())
+        width = INT_WIDTHS[t]
+        return int_to_bits_le(v & ((1 << width) - 1), width)
+
+    @classmethod
+    def from_bits_le(cls, type_name: str, bits):
+        if type_name in ("address", "group"):
+            x = bits_to_int_le(bits)
+            y = ed.x_recover_y(x)
+            # disambiguation by subgroup membership (group from x semantics)
+            pt = _group_from_x(x)
+            return cls(type_name, pt)
+        if type_name == "field":
+            return cls(type_name, bits_to_int_le(bits) % R)
+        if type_name == "scalar":
+            return cls(type_name, bits_to_int_le(bits) % S)
+        if type_name == "boolean":
+            return cls(type_name, bool(bits[0]))
+        width = INT_WIDTHS[type_name]
+        v = bits_to_int_le(bits[:width])
+        return cls(type_name, v)
+
+
+def _group_from_x(x: int):
+    """Group::from_x_coordinate: pick the root whose point is in the subgroup
+    (console group elements are subgroup points)."""
+    y = ed.x_recover_y(x)
+    if y is None:
+        raise ValueError("x not on curve")
+    for cand in ((x, y), (x, (R - y) % R)):
+        if ed.mul(cand, ed.ORDER) == ed.IDENTITY_AFFINE:
+            return cand
+    raise ValueError("x not in subgroup")
+
+
+@dataclass(frozen=True)
+class Identifier:
+    name: str
+
+    def size_in_bits(self) -> int:
+        return len(self.name.encode()) * 8
+
+    def to_bits_le(self):
+        return bytes_to_bits_le(self.name.encode())
+
+    def to_field(self) -> int:
+        """Identifier as a field element: LE bytes (identifier/to_field.rs)."""
+        v = int.from_bytes(self.name.encode(), "little")
+        assert v < R
+        return v
+
+
+class Plaintext:
+    """Literal / Struct / Array (console/program/src/data/plaintext/mod.rs:37)."""
+
+    def __init__(self, kind: str, value):
+        assert kind in ("literal", "struct", "array")
+        self.kind = kind
+        self.value = value  # Literal | list[(Identifier, Plaintext)] | list[Plaintext]
+
+    @classmethod
+    def literal(cls, type_name: str, value):
+        return cls("literal", Literal(type_name, value))
+
+    @classmethod
+    def struct(cls, members):
+        return cls("struct", [(Identifier(k) if isinstance(k, str) else k, v)
+                              for k, v in members])
+
+    @classmethod
+    def array(cls, elements):
+        return cls("array", list(elements))
+
+    def to_bits_le(self):
+        if self.kind == "literal":
+            lit = self.value
+            bits = [False, False]
+            bits += int_to_bits_le(lit.variant(), 8)
+            bits += int_to_bits_le(lit.size_in_bits(), 16)
+            bits += lit.to_bits_le()
+            return bits
+        if self.kind == "struct":
+            bits = [False, True]
+            bits += int_to_bits_le(len(self.value), 8)
+            for ident, val in self.value:
+                bits += int_to_bits_le(ident.size_in_bits(), 8)
+                bits += ident.to_bits_le()
+                vb = val.to_bits_le()
+                bits += int_to_bits_le(len(vb), 16)
+                bits += vb
+            return bits
+        bits = [True, False]
+        bits += int_to_bits_le(len(self.value), 32)
+        for el in self.value:
+            eb = el.to_bits_le()
+            bits += int_to_bits_le(len(eb), 16)
+            bits += eb
+        return bits
+
+    def to_fields(self):
+        """Pack bits into field elements: data bits chunked at 252 with a
+        trailing `true` marker appended first (plaintext/to_fields.rs)."""
+        bits = self.to_bits_le() + [True]
+        out = []
+        for i in range(0, len(bits), FIELD_DATA_BITS):
+            out.append(bits_to_int_le(bits[i : i + FIELD_DATA_BITS]))
+        assert len(out) <= N.MAX_DATA_SIZE_IN_FIELDS
+        return out
+
+    def __eq__(self, o):
+        return isinstance(o, Plaintext) and self.to_bits_le() == o.to_bits_le()
+
+
+class Value:
+    """Plaintext / Record / Future (data/value/mod.rs:29)."""
+
+    def __init__(self, kind: str, value):
+        assert kind in ("plaintext", "record", "future")
+        self.kind = kind
+        self.value = value
+
+    @classmethod
+    def plaintext(cls, pt: Plaintext):
+        return cls("plaintext", pt)
+
+    def to_fields(self):
+        return self.value.to_fields()
