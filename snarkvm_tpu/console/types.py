@@ -70,6 +70,8 @@ class Literal:
             return SCALAR_BITS
         if t == "string":
             return len(self.value.encode()) * 8
+        if t == "signature":
+            return SCALAR_BITS * 2 + FIELD_BITS * 2   # challenge, response, pk_sig, pr_sig
         return INT_WIDTHS[t]
 
     def to_bits_le(self):
@@ -85,6 +87,11 @@ class Literal:
             return [bool(v)]
         if t == "string":
             return bytes_to_bits_le(v.encode())
+        if t == "signature":
+            return (int_to_bits_le(v.challenge, SCALAR_BITS)
+                    + int_to_bits_le(v.response, SCALAR_BITS)
+                    + int_to_bits_le(v.compute_key.pk_sig[0], FIELD_BITS)
+                    + int_to_bits_le(v.compute_key.pr_sig[0], FIELD_BITS))
         width = INT_WIDTHS[t]
         return int_to_bits_le(v & ((1 << width) - 1), width)
 
@@ -211,3 +218,78 @@ class Value:
 
     def to_fields(self):
         return self.value.to_fields()
+
+
+# ---------------------------------------------------------------------------
+# Literal text format (console/program parse/display round trips)
+# ---------------------------------------------------------------------------
+
+_INT_TYPES = ("i8", "i16", "i32", "i64", "i128", "u8", "u16", "u32", "u64", "u128")
+
+
+def literal_to_str(lit: Literal) -> str:
+    t, v = lit.type_name, lit.value
+    if t == "boolean":
+        return "true" if v else "false"
+    if t == "field":
+        return f"{v % R}field"
+    if t == "scalar":
+        return f"{v % S}scalar"
+    if t == "group":
+        x = v[0] if isinstance(v, tuple) else v
+        return f"{x}group"
+    if t == "address":
+        from ..utils.encoding import bech32m_encode
+        x = v[0] if isinstance(v, tuple) else v
+        return bech32m_encode("aleo", x.to_bytes(32, "little"))
+    if t == "string":
+        return f'"{v}"'
+    if t == "signature":
+        from ..utils.encoding import bech32m_encode
+        data = (v.challenge.to_bytes(32, "little") + v.response.to_bytes(32, "little")
+                + v.compute_key.pk_sig[0].to_bytes(32, "little")
+                + v.compute_key.pr_sig[0].to_bytes(32, "little"))
+        return bech32m_encode("sign", data)
+    return f"{v}{t}"
+
+
+def literal_from_str(s: str) -> Literal:
+    s = s.strip().replace("_", "")
+    if s in ("true", "false"):
+        return Literal("boolean", s == "true")
+    if s.startswith('"') and s.endswith('"'):
+        return Literal("string", s[1:-1])
+    if s.startswith("aleo1"):
+        from ..utils.encoding import bech32m_decode
+        _, data = bech32m_decode(s)
+        x = int.from_bytes(data, "little")
+        return Literal("address", _group_from_x(x))
+    if s.startswith("sign1"):
+        from ..utils.encoding import bech32m_decode
+        from ..console import account as _acct
+        _, data = bech32m_decode(s)
+        assert len(data) == 128, f"signature must be 128 bytes, got {len(data)}"
+        challenge = int.from_bytes(data[0:32], "little")
+        response = int.from_bytes(data[32:64], "little")
+        pk_sig = _group_from_x(int.from_bytes(data[64:96], "little"))
+        pr_sig = _group_from_x(int.from_bytes(data[96:128], "little"))
+        sk_prf = N.hash_to_scalar_psd(4, [pk_sig[0], pr_sig[0]])
+        ck = _acct.ComputeKey(pk_sig, pr_sig, sk_prf)
+        return Literal("signature", _acct.Signature(challenge, response, ck))
+    for suffix, tname in (("field", "field"), ("scalar", "scalar"), ("group", "group")):
+        if s.endswith(suffix):
+            v = int(s[: -len(suffix)])
+            if tname == "group":
+                return Literal("group", _group_from_x(v % R)) if v % R else Literal("group", (0, 1))
+            return Literal(tname, v % (S if tname == "scalar" else R))
+    for t in sorted(_INT_TYPES, key=len, reverse=True):
+        if s.endswith(t):
+            v = int(s[: -len(t)])
+            width = INT_WIDTHS[t]
+            signed = t[0] == "i"
+            lo = -(1 << (width - 1)) if signed else 0
+            hi = (1 << (width - 1)) - 1 if signed else (1 << width) - 1
+            if not (lo <= v <= hi):
+                raise ValueError(f"integer literal out of range: {s}")
+            return Literal(t, v)
+    raise ValueError(f"cannot parse literal: {s}")

@@ -1,0 +1,311 @@
+"""Stack execution: register file + instruction dispatch (console path).
+
+Mirrors synthesizer/process/src/stack/ evaluate semantics: registers
+load/store, operand resolution (literals, registers, member accesses,
+special operands), per-opcode dispatch into interpreter.py. The circuit
+path (dual execution) hooks in via the same dispatch table.
+"""
+from __future__ import annotations
+
+from ..console.types import (
+    Literal, Plaintext, Identifier, literal_from_str, literal_to_str, INT_WIDTHS,
+)
+from ..console import network as N
+from . import interpreter as I
+from .interpreter import HaltError
+from .program import Program, parse_program
+
+
+LITERAL_TYPES = set(INT_WIDTHS) | {"field", "group", "scalar", "boolean", "address", "string", "signature"}
+
+
+class Registers:
+    def __init__(self, signer=None, caller=None):
+        self.regs = {}
+        self.signer = signer
+        self.caller = caller
+
+    def store(self, dest: str, value):
+        assert dest.startswith("r")
+        self.regs[dest] = value
+
+    def load(self, operand):
+        if isinstance(operand, tuple):
+            raise HaltError(f"unsupported operand {operand}")
+        if operand.startswith("r") and operand[1:2].isdigit():
+            import re as _re
+            m = _re.match(r"(r\d+)((?:\.\w+|\[[^\]]+\])*)$", operand)
+            if m and m.group(1) in self.regs:
+                v = self.regs[m.group(1)]
+                for acc in _re.findall(r"\.(\w+)|\[([^\]]+)\]", m.group(2)):
+                    member, index = acc
+                    if member:
+                        v = _access_member(v, member)
+                    else:
+                        idx = literal_from_str(index).value
+                        assert isinstance(v, Plaintext) and v.kind == "array"
+                        v = v.value[idx]
+                return v
+        if operand == "self.signer":
+            return Literal("address", self.signer)
+        if operand == "self.caller":
+            return Literal("address", self.caller)
+        if operand in ("group::GEN",):
+            from ..curves import edwards as ed
+            return Literal("group", ed.GENERATOR)
+        return literal_from_str(operand)
+
+
+def _access_member(v, member):
+    if isinstance(v, Plaintext) and v.kind == "struct":
+        for ident, val in v.value:
+            if ident.name == member:
+                return val.value if isinstance(val, Plaintext) and val.kind == "literal" and False else val
+    if isinstance(v, dict):  # record entries
+        if member in v:
+            return v[member]
+    raise HaltError(f"no member {member}")
+
+
+_BINARY = {
+    "add": I.op_add, "add.w": I.op_add_wrapped, "sub": I.op_sub, "sub.w": I.op_sub_wrapped,
+    "mul": I.op_mul, "mul.w": I.op_mul_wrapped, "div": I.op_div, "div.w": I.op_div_wrapped,
+    "rem": I.op_rem, "rem.w": I.op_rem_wrapped, "mod": I.op_modulo,
+    "pow": I.op_pow, "pow.w": I.op_pow_wrapped,
+    "shl": I.op_shl, "shl.w": I.op_shl_wrapped, "shr": I.op_shr, "shr.w": I.op_shr_wrapped,
+    "and": I.op_and, "or": I.op_or, "xor": I.op_xor, "nand": I.op_nand, "nor": I.op_nor,
+    "lt": I.op_lt, "lte": I.op_lte, "gt": I.op_gt, "gte": I.op_gte,
+}
+_UNARY = {
+    "abs": I.op_abs, "abs.w": I.op_abs_wrapped, "neg": I.op_neg, "not": I.op_not,
+    "inv": I.op_inv, "double": I.op_double, "square": I.op_square, "sqrt": I.op_sqrt,
+}
+
+
+class Stack:
+    def __init__(self, program: Program, external=None):
+        self.program = program
+        self.external = external or {}
+
+    def evaluate_function(self, name: str, inputs, signer=None, caller=None):
+        """Run a function (or closure) on console values; returns output list."""
+        fn = self.program.functions.get(name) or self.program.closures.get(name)
+        if fn is None:
+            raise HaltError(f"no function {name}")
+        if len(inputs) != len(fn.inputs):
+            raise HaltError("input arity mismatch")
+        regs = Registers(signer=signer, caller=caller)
+        for finput, value in zip(fn.inputs, inputs):
+            value = self._check_input_type(finput.value_type, value)
+            regs.store(finput.register, value)
+        self._run_instructions(fn.instructions, regs)
+        outputs = []
+        for out in fn.outputs:
+            outputs.append(regs.load(out.operand))
+        return outputs
+
+    def _check_input_type(self, value_type: str, value):
+        base = value_type.split(".")[0]
+        if isinstance(value, str):
+            value = parse_plaintext_str(value)
+            if isinstance(value, Literal):
+                value = value
+        if base in LITERAL_TYPES:
+            if isinstance(value, Plaintext) and value.kind == "literal":
+                value = value.value
+            assert isinstance(value, Literal), f"expected literal for {value_type}"
+            if value.type_name != base:
+                raise HaltError(f"type mismatch: {value.type_name} vs {base}")
+            return value
+        return value  # struct/record values pass through
+
+    def _run_instructions(self, instructions, regs: Registers):
+        for inst in instructions:
+            self._execute(inst, regs)
+
+    def _execute(self, inst, regs: Registers):
+        op = inst.opcode
+        if op in _BINARY:
+            a = _as_literal(regs.load(inst.operands[0]))
+            b = _as_literal(regs.load(inst.operands[1]))
+            regs.store(inst.destinations[0], _BINARY[op](a, b))
+            return
+        if op in _UNARY:
+            a = _as_literal(regs.load(inst.operands[0]))
+            regs.store(inst.destinations[0], _UNARY[op](a))
+            return
+        if op == "ternary":
+            c = _as_literal(regs.load(inst.operands[0]))
+            a = regs.load(inst.operands[1])
+            b = regs.load(inst.operands[2])
+            regs.store(inst.destinations[0], I.op_ternary(c, _as_literal(a), _as_literal(b)))
+            return
+        if op in ("is.eq", "is.neq"):
+            a = regs.load(inst.operands[0])
+            b = regs.load(inst.operands[1])
+            eq = I.plaintext_eq(a, b)
+            regs.store(inst.destinations[0], Literal("boolean", eq if op == "is.eq" else not eq))
+            return
+        if op in ("assert.eq", "assert.neq"):
+            a = regs.load(inst.operands[0])
+            b = regs.load(inst.operands[1])
+            eq = I.plaintext_eq(a, b)
+            if (op == "assert.eq") != eq:
+                raise HaltError(f"{op} failed")
+            return
+        if op.startswith("hash_many."):
+            value = regs.load(inst.operands[0])
+            num = int(inst.operands[1]) if len(inst.operands) > 1 else 1
+            outs = I.hash_many_instruction(op, value, num)
+            regs.store(inst.destinations[0], Plaintext.array([Plaintext("literal", o) for o in outs]))
+            return
+        if op.startswith("hash."):
+            value = regs.load(inst.operands[0])
+            dest_type = (inst.as_type or "field").split(".")[0]
+            if dest_type in self.program.structs:
+                raise HaltError("Invalid destination type in 'hash' instruction")
+            regs.store(inst.destinations[0], I.hash_instruction(op, value, dest_type))
+            return
+        if op.startswith("commit."):
+            value = regs.load(inst.operands[0])
+            rand = _as_literal(regs.load(inst.operands[1]))
+            dest_type = (inst.as_type or "field").split(".")[0]
+            regs.store(inst.destinations[0], I.commit_instruction(op, value, rand, dest_type))
+            return
+        if op in ("cast", "cast.lossy"):
+            dest_type = inst.as_type
+            lossy = op.endswith("lossy")
+            if dest_type in self.program.structs:
+                st = self.program.structs[dest_type]
+                assert len(inst.operands) == len(st.members)
+                members = []
+                for (mname, mtype), operand in zip(st.members, inst.operands):
+                    v = regs.load(operand)
+                    members.append((mname, _as_plaintext(v)))
+                regs.store(inst.destinations[0], Plaintext.struct(members))
+                return
+            base = dest_type if dest_type in ("group.x", "group.y") else dest_type.split(".")[0]
+            if base.startswith("["):
+                elems = [_as_plaintext(regs.load(o)) for o in inst.operands]
+                regs.store(inst.destinations[0], Plaintext.array(elems))
+                return
+            v = _as_literal(regs.load(inst.operands[0]))
+            regs.store(inst.destinations[0], I.cast_literal(v, base, lossy))
+            return
+        if op == "sign.verify":
+            sig = _as_literal(regs.load(inst.operands[0]))
+            addr = _as_literal(regs.load(inst.operands[1]))
+            msg = regs.load(inst.operands[2])
+            fields = _as_plaintext(msg).to_fields()
+            from ..console.types import _group_from_x
+            addr_pt = addr.value if isinstance(addr.value, tuple) else _group_from_x(addr.value)
+            ok = sig.value.verify(addr_pt, fields)
+            regs.store(inst.destinations[0], Literal("boolean", ok))
+            return
+        if op == "call":
+            callee = inst.operands[0]
+            args = [regs.load(o) for o in inst.operands[1:]]
+            if "/" in callee or "." in callee and callee.endswith(".aleo"):
+                raise HaltError("external calls not yet wired")
+            results = self.evaluate_function(callee, args, regs.signer, regs.caller)
+            for dest, res in zip(inst.destinations, results):
+                regs.store(dest, res)
+            return
+        if op == "async":
+            raise HaltError("async not yet wired")
+        raise HaltError(f"unknown opcode {op}")
+
+
+def _as_literal(v):
+    if isinstance(v, Plaintext) and v.kind == "literal":
+        return v.value
+    if isinstance(v, Literal):
+        return v
+    raise HaltError("expected literal operand")
+
+
+def _as_plaintext(v):
+    if isinstance(v, Literal):
+        return Plaintext("literal", v)
+    assert isinstance(v, Plaintext)
+    return v
+
+
+def value_to_str(v, depth: int = 0) -> str:
+    """Exact Plaintext Display (plaintext/parse.rs fmt_internal)."""
+    IND = "  "
+    if isinstance(v, Literal):
+        return IND * depth + literal_to_str(v) if depth else literal_to_str(v)
+    if isinstance(v, Plaintext):
+        if v.kind == "literal":
+            return literal_to_str(v.value)
+        if v.kind == "struct":
+            out = "{"
+            n = len(v.value)
+            for i, (ident, member) in enumerate(v.value):
+                if member.kind == "literal":
+                    out += f"\n{IND * (depth + 1)}{ident.name}: {literal_to_str(member.value)}"
+                    out += f"\n{IND * depth}}}" if i == n - 1 else ","
+                else:
+                    out += f"\n{IND * (depth + 1)}{ident.name}: "
+                    out += value_to_str(member, depth + 1)
+                    out += f"\n{IND * depth}}}" if i == n - 1 else ","
+            if n == 0:
+                out += "}"
+            return out
+        out = "["
+        n = len(v.value)
+        for i, member in enumerate(v.value):
+            if member.kind == "literal":
+                out += f"\n{IND * (depth + 1)}{literal_to_str(member.value)}"
+                out += f"\n{IND * depth}]" if i == n - 1 else ","
+            else:
+                out += f"\n{IND * (depth + 1)}"
+                out += value_to_str(member, depth + 1)
+                out += f"\n{IND * depth}]" if i == n - 1 else ","
+        if n == 0:
+            out += "]"
+        return out
+    return str(v)
+
+
+def parse_plaintext_str(s: str) -> "Plaintext | Literal":
+    """Parse a plaintext text value: literal, [a, b, ...], { name: v, ... }."""
+    s = s.strip()
+    pt, rest = _parse_pt(s)
+    assert not rest.strip(), f"trailing input: {rest}"
+    return pt
+
+
+def _parse_pt(s: str):
+    s = s.lstrip()
+    if s.startswith("["):
+        s = s[1:]
+        elems = []
+        while True:
+            s = s.lstrip()
+            if s.startswith("]"):
+                return Plaintext.array(elems), s[1:]
+            pt, s = _parse_pt(s)
+            elems.append(pt if isinstance(pt, Plaintext) else Plaintext("literal", pt))
+            s = s.lstrip()
+            if s.startswith(","):
+                s = s[1:]
+    if s.startswith("{"):
+        s = s[1:]
+        members = []
+        while True:
+            s = s.lstrip()
+            if s.startswith("}"):
+                return Plaintext.struct(members), s[1:]
+            name, s = s.split(":", 1)
+            pt, s = _parse_pt(s)
+            members.append((name.strip(), pt if isinstance(pt, Plaintext) else Plaintext("literal", pt)))
+            s = s.lstrip()
+            if s.startswith(","):
+                s = s[1:]
+    # literal token: up to , ] } or end
+    import re as _re
+    m = _re.match(r"[^,\]\}]+", s)
+    tok = m.group(0).strip()
+    return literal_from_str(tok), s[m.end():]
