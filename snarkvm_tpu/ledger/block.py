@@ -1,0 +1,159 @@
+"""Block / Header / Transactions structures + Merkle roots (ledger/block/src/).
+
+Structural mirror with the reference's tree depths (console/program
+state_path/configuration/mod.rs:30-67): TRANSACTIONS_DEPTH=20,
+TRANSACTION_DEPTH=5, TRANSITION_DEPTH=5, HEADER_DEPTH=3. Trees are
+BHP-hashed (N::merkle_tree_bhp: BHP1024 leaves / BHP512 paths).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..console.merkle import MerkleTree, BHPHasher
+from ..console.types import int_to_bits_le, bits_to_int_le
+from ..console import network as N
+from . import target as T
+
+HEADER_DEPTH = 3
+TRANSACTIONS_DEPTH = 20
+TRANSACTION_DEPTH = 5
+TRANSITION_DEPTH = 5
+
+_BHP = BHPHasher(1024, 512)
+
+
+def _u8_field_leaf(index: int, value: int):
+    return int_to_bits_le(index, 8) + int_to_bits_le(value, 253)
+
+
+@dataclass
+class Metadata:
+    """header/metadata/mod.rs."""
+    network: int = 0
+    round: int = 1
+    height: int = 1
+    cumulative_weight: int = 0
+    cumulative_proof_target: int = 0
+    coinbase_target: int = T.GENESIS_COINBASE_TARGET
+    proof_target: int = T.GENESIS_PROOF_TARGET
+    last_coinbase_target: int = T.GENESIS_COINBASE_TARGET
+    last_coinbase_timestamp: int = 0
+    timestamp: int = 0
+
+    def to_bits_le(self):
+        bits = []
+        bits += int_to_bits_le(self.network, 16)
+        bits += int_to_bits_le(self.round, 64)
+        bits += int_to_bits_le(self.height, 32)
+        bits += int_to_bits_le(self.cumulative_weight, 128)
+        bits += int_to_bits_le(self.cumulative_proof_target, 128)
+        bits += int_to_bits_le(self.coinbase_target, 64)
+        bits += int_to_bits_le(self.proof_target, 64)
+        bits += int_to_bits_le(self.last_coinbase_target, 64)
+        bits += int_to_bits_le(self.last_coinbase_timestamp % (1 << 64), 64)
+        bits += int_to_bits_le(self.timestamp % (1 << 64), 64)
+        return bits
+
+    def to_hash(self) -> int:
+        return N.hash_bhp(1024, self.to_bits_le())
+
+    def is_valid(self) -> bool:
+        return self.round > 0 and self.height > 0 and self.timestamp > 0
+
+
+@dataclass
+class Header:
+    previous_state_root: int
+    transactions_root: int
+    finalize_root: int
+    ratifications_root: int
+    solutions_root: int
+    subdag_root: int
+    metadata: Metadata
+
+    def to_tree(self) -> MerkleTree:
+        leaves = [
+            _u8_field_leaf(0, self.previous_state_root),
+            _u8_field_leaf(1, self.transactions_root),
+            _u8_field_leaf(2, self.finalize_root),
+            _u8_field_leaf(3, self.ratifications_root),
+            _u8_field_leaf(4, self.solutions_root),
+            _u8_field_leaf(5, self.subdag_root),
+            _u8_field_leaf(6, 0),
+            _u8_field_leaf(7, self.metadata.to_hash()),
+        ]
+        return MerkleTree(HEADER_DEPTH, _BHP, leaves)
+
+    def to_root(self) -> int:
+        return self.to_tree().root
+
+
+@dataclass
+class Transition:
+    """block/src/transition/mod.rs:51 — structural subset."""
+    program_id: str
+    function_name: str
+    inputs: list                 # input records: (tag, payload field)
+    outputs: list
+    tpk: tuple | None = None     # transition public key (group)
+    tcm: int = 0                 # transition commitment
+    scm: int = 0                 # signer commitment
+
+    def to_bits(self):
+        from ..console.types import bytes_to_bits_le
+        bits = bytes_to_bits_le(f"{self.program_id}/{self.function_name}".encode())
+        for kind, val in list(self.inputs) + list(self.outputs):
+            bits += int_to_bits_le(val % N.R, 253)
+        bits += int_to_bits_le(self.tcm, 253)
+        return bits
+
+    def id(self) -> int:
+        """Transition id = tree root over input/output ids (transition/merkle.rs)."""
+        leaves = [int_to_bits_le(v % N.R, 253) for _, v in list(self.inputs) + list(self.outputs)]
+        if not leaves:
+            leaves = [int_to_bits_le(0, 253)]
+        return MerkleTree(TRANSITION_DEPTH, _BHP, leaves).root
+
+
+@dataclass
+class Transaction:
+    """Deploy | Execute | Fee (block/src/transaction/mod.rs:38)."""
+    kind: str                    # "deploy" | "execute" | "fee"
+    transitions: list
+    payload: object = None       # Deployment / Execution extra data
+
+    def id(self) -> int:
+        leaves = [int_to_bits_le(t.id(), 253) for t in self.transitions]
+        if not leaves:
+            leaves = [int_to_bits_le(0, 253)]
+        return MerkleTree(TRANSACTION_DEPTH, _BHP, leaves).root
+
+
+def transactions_root(transactions) -> int:
+    leaves = [int_to_bits_le(tx.id(), 253) for tx in transactions]
+    if not leaves:
+        leaves = [int_to_bits_le(0, 253)]
+    return MerkleTree(TRANSACTIONS_DEPTH, _BHP, leaves).root
+
+
+@dataclass
+class Block:
+    previous_hash: int
+    header: Header
+    transactions: list
+    authority: object = None     # Beacon(signature) | Quorum(subdag)
+    ratifications: list = field(default_factory=list)
+    solutions: list = field(default_factory=list)
+    aborted_transaction_ids: list = field(default_factory=list)
+    aborted_solution_ids: list = field(default_factory=list)
+
+    def hash(self) -> int:
+        bits = int_to_bits_le(self.previous_hash, 253) + int_to_bits_le(self.header.to_root(), 253)
+        return N.hash_bhp(1024, bits)
+
+    def verify_structure(self) -> bool:
+        if transactions_root(self.transactions) != self.header.transactions_root:
+            return False
+        if not self.header.metadata.is_valid():
+            return False
+        return True

@@ -1,0 +1,116 @@
+"""Ledger layer: atomic store semantics, committee, target math, blocks."""
+import random
+
+from snarkvm_tpu.ledger.store import AtomicMap, NestedMap
+from snarkvm_tpu.ledger.committee import Committee, MIN_VALIDATOR_STAKE
+from snarkvm_tpu.ledger import target as T
+from snarkvm_tpu.ledger.block import Metadata, Header, Transaction, Transition, Block, transactions_root
+
+rng = random.Random(11)
+
+
+class TestAtomicStore:
+    def test_checkpoint_rewind(self):
+        m = AtomicMap()
+        m.insert("a", 1)
+        m.start_atomic()
+        m.insert("b", 2)
+        m.atomic_checkpoint()
+        m.insert("c", 3)
+        assert m.get_speculative("c") == 3
+        m.atomic_rewind()
+        assert m.get_speculative("c") is None
+        assert m.get_speculative("b") == 2
+        m.finish_atomic()
+        assert m.get_confirmed("b") == 2 and m.get_confirmed("c") is None
+
+    def test_abort(self):
+        m = AtomicMap()
+        m.start_atomic()
+        m.insert("x", 1)
+        m.abort_atomic()
+        assert m.get_confirmed("x") is None
+
+    def test_remove_speculative(self):
+        m = AtomicMap()
+        m.insert("k", 5)
+        m.start_atomic()
+        m.remove("k")
+        assert not m.contains_speculative("k")
+        assert m.contains_confirmed("k")
+        m.finish_atomic()
+        assert not m.contains_confirmed("k")
+
+    def test_nested_mid_batch(self):
+        nm = NestedMap()
+        nm.start_atomic()
+        nm.atomic_checkpoint()
+        nm.map("new").insert("k", 1)
+        nm.atomic_rewind()
+        assert not nm.map("new").contains_speculative("k")
+        nm.finish_atomic()
+
+
+class TestCommittee:
+    def _committee(self):
+        members = {100 + i: (MIN_VALIDATOR_STAKE * (i + 1), True, 0) for i in range(4)}
+        return Committee.new_genesis(members)
+
+    def test_quorum(self):
+        c = self._committee()
+        assert c.total_stake == MIN_VALIDATOR_STAKE * 10
+        assert not c.is_quorum_threshold_reached([100])
+        assert c.is_quorum_threshold_reached([101, 102, 103])
+
+    def test_leader_deterministic(self):
+        c = self._committee()
+        l1 = c.get_leader(5)
+        assert l1 == c.get_leader(5)
+        assert c.is_committee_member(l1)
+        leaders = {c.get_leader(r) for r in range(1, 30)}
+        assert len(leaders) > 1  # stake-weighted but varied
+
+
+class TestTargets:
+    def test_retarget_directions(self):
+        t0 = T.GENESIS_COINBASE_TARGET * 64
+        # block slower than anchor -> target decreases (is_inverse)
+        slow = T.coinbase_target(t0, 0, T.ANCHOR_TIME + 50)
+        fast = T.coinbase_target(t0, 0, 1)
+        assert slow < t0 < fast
+        assert T.coinbase_target(t0, 0, T.ANCHOR_TIME) == t0
+
+    def test_coinbase_reward_decay(self):
+        r1 = T.anchor_block_reward_at_height(1, T.STARTING_SUPPLY, T.ANCHOR_HEIGHT, T.BLOCK_TIME)
+        r2 = T.anchor_block_reward_at_height(1_000_000, T.STARTING_SUPPLY, T.ANCHOR_HEIGHT, T.BLOCK_TIME)
+        assert r2 < r1
+        y95 = T.block_height_at_year(T.BLOCK_TIME, 9) + 1000
+        y10 = T.block_height_at_year(T.BLOCK_TIME, 10) + 1000
+        assert (T.anchor_block_reward_at_height(y95, T.STARTING_SUPPLY, T.ANCHOR_HEIGHT, T.BLOCK_TIME)
+                == T.anchor_block_reward_at_height(y10, T.STARTING_SUPPLY, T.ANCHOR_HEIGHT, T.BLOCK_TIME))
+
+    def test_max_reward_at_block_1(self):
+        r = T.coinbase_reward(1, T.STARTING_SUPPLY, T.ANCHOR_HEIGHT, T.BLOCK_TIME,
+                              2**30, 0, 2**30)
+        assert r == T.MAX_COINBASE_REWARD
+
+    def test_proof_target(self):
+        assert T.proof_target(100) == 26
+
+
+class TestBlocks:
+    def test_header_root_changes(self):
+        md = Metadata(timestamp=100)
+        h1 = Header(1, 2, 3, 4, 5, 6, md)
+        h2 = Header(1, 2, 3, 4, 5, 7, md)
+        assert h1.to_root() != h2.to_root()
+        assert h1.to_root() == Header(1, 2, 3, 4, 5, 6, md).to_root()
+
+    def test_block_structure(self):
+        tr = Transition("credits.aleo", "transfer_public", [("public", 1)], [("public", 2)], tcm=7)
+        tx = Transaction("execute", [tr])
+        md = Metadata(timestamp=100)
+        hdr = Header(1, transactions_root([tx]), 3, 4, 0, 0, md)
+        blk = Block(previous_hash=9, header=hdr, transactions=[tx])
+        assert blk.verify_structure()
+        assert blk.hash() == blk.hash()
