@@ -114,3 +114,31 @@ class TestBlocks:
         blk = Block(previous_hash=9, header=hdr, transactions=[tx])
         assert blk.verify_structure()
         assert blk.hash() == blk.hash()
+
+
+class TestKaryMerkle:
+    def test_roundtrip(self):
+        from snarkvm_tpu.console.kary_merkle import KaryMerkleTree, Sha3Hasher
+        h = Sha3Hasher(256)
+        leaves = [[bool((i >> j) & 1) for j in range(16)] for i in range(10)]
+        t = KaryMerkleTree(9, 8, h, leaves)
+        for i in (0, 5, 9):
+            sibs = t.prove(i)
+            assert t.verify(i, sibs, leaves[i])
+        assert not t.verify(0, t.prove(0), leaves[1])
+
+
+class TestPuzzle:
+    def test_solution_lifecycle(self):
+        from snarkvm_tpu.ledger.puzzle import Puzzle, PartialSolution
+        p = Puzzle()
+        epoch_hash, addr = 123456789, 42
+        # find a counter meeting a tiny target
+        sol = p.prove(epoch_hash, addr, counter=7)
+        assert p.check_solution(sol, epoch_hash, 0)
+        assert not p.check_solution(sol, epoch_hash + 1, 0)
+        # deterministic
+        assert p.prove(epoch_hash, addr, 7).target == sol.target
+        # different counters give different targets (w.h.p.)
+        targets = {p.prove(epoch_hash, addr, c).target for c in range(4)}
+        assert len(targets) > 1
