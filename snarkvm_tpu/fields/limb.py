@@ -264,3 +264,80 @@ def mont_from_ints(values, spec: FpSpec):
 
 def ints_from_mont(arr, spec: FpSpec):
     return spec.from_limbs(np.asarray(from_mont(arr, spec)))
+
+
+# ---------------------------------------------------------------------------
+# Unrolled variants: bigger XLA graphs, but the whole carry/REDC chain is
+# elementwise across the batch, so XLA fuses it into ONE pass over memory
+# (the fori/scan variants force per-iteration materialization). Use these
+# in bandwidth-bound pipelines (NTT stages, Poseidon rounds); keep the
+# rolled variants inside scans/loops where graph size dominates.
+# ---------------------------------------------------------------------------
+
+def _resolve_carries_unrolled(cols, L_out: int):
+    outs = []
+    carry = jnp.zeros_like(cols[..., 0])
+    for i in range(L_out):
+        t = cols[..., i] + carry
+        outs.append(t & MASK)
+        carry = t >> BASE_BITS
+    return jnp.stack(outs, axis=-1)
+
+
+def _sub_limbs_unrolled(a, b):
+    outs = []
+    borrow = jnp.zeros_like(a[..., 0])
+    for i in range(a.shape[-1]):
+        t = a[..., i] + (1 << BASE_BITS) - b[..., i] - borrow
+        outs.append(t & MASK)
+        borrow = 1 - (t >> BASE_BITS)
+    return jnp.stack(outs, axis=-1), borrow
+
+
+def _cond_sub_p_unrolled(x, spec: FpSpec):
+    p = jnp.asarray(spec.p_limbs)
+    diff, borrow = _sub_limbs_unrolled(x, jnp.broadcast_to(p, x.shape))
+    return jnp.where((borrow != 0)[..., None], x, diff)
+
+
+def _mont_mul_unrolled(a, b, spec: FpSpec):
+    """Fully unrolled schoolbook + lazy REDC (list-of-columns form; no
+    dynamic slices, no loops — one fused elementwise chain)."""
+    L = spec.L
+    a, b = jnp.broadcast_arrays(a, b)
+    prod = a[..., :, None] * b[..., None, :]
+    lo = prod & MASK
+    hi = prod >> BASE_BITS
+    cols = [jnp.zeros_like(a[..., 0]) for _ in range(2 * L + 1)]
+    for i in range(L):
+        for j in range(L):
+            cols[i + j] = cols[i + j] + lo[..., i, j]
+            cols[i + j + 1] = cols[i + j + 1] + hi[..., i, j]
+    n0 = jnp.uint32(spec.n0)
+    p = spec.p_limbs
+    for i in range(L):
+        m = (cols[i] * n0) & MASK
+        for j in range(L):
+            mp = m * jnp.uint32(int(p[j]))
+            cols[i + j] = cols[i + j] + (mp & MASK)
+            cols[i + j + 1] = cols[i + j + 1] + (mp >> BASE_BITS)
+        cols[i + 1] = cols[i + 1] + (cols[i] >> BASE_BITS)
+    res = _resolve_carries_unrolled(jnp.stack(cols[L:], axis=-1), L)
+    return _cond_sub_p_unrolled(res, spec)
+
+
+def _add_unrolled(a, b, spec: FpSpec):
+    s = _resolve_carries_unrolled(a + b, spec.L)
+    return _cond_sub_p_unrolled(s, spec)
+
+
+def _sub_unrolled(a, b, spec: FpSpec):
+    diff, borrow = _sub_limbs_unrolled(a, b)
+    p = jnp.asarray(spec.p_limbs)
+    fixed = _resolve_carries_unrolled(diff + p, spec.L)
+    return jnp.where((borrow != 0)[..., None], fixed, diff)
+
+
+mont_mul_u = jax.jit(_mont_mul_unrolled, static_argnames="spec")
+add_u = jax.jit(_add_unrolled, static_argnames="spec")
+sub_u = jax.jit(_sub_unrolled, static_argnames="spec")

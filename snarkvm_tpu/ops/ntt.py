@@ -123,9 +123,9 @@ class Domain:
             blocks = n >> s
             xr = x.reshape(x.shape[:-2] + (blocks, 2, half, L))
             even = xr[..., 0, :, :]
-            odd = limb.mont_mul(xr[..., 1, :, :], jnp.asarray(twiddles[s - 1]), spec)
-            top = limb.add(even, odd, spec)
-            bot = limb.sub(even, odd, spec)
+            odd = limb._mont_mul_unrolled(xr[..., 1, :, :], jnp.asarray(twiddles[s - 1]), spec)
+            top = limb._add_unrolled(even, odd, spec)
+            bot = limb._sub_unrolled(even, odd, spec)
             x = jnp.concatenate([top[..., None, :, :], bot[..., None, :, :]], axis=-3)
             x = x.reshape(x.shape[:-4] + (n, L))
         return x
