@@ -25,6 +25,18 @@ from ..fields import limb
 from ..fields.limb import FpSpec, FR
 
 
+def _use_unrolled() -> bool:
+    """Unrolled limb chains on accelerators (single-pass fusion); rolled
+    loops on CPU where compile time dominates unit tests."""
+    import os
+    mode = os.environ.get("SNARKVM_TPU_UNROLL", "auto")
+    if mode in ("1", "true"):
+        return True
+    if mode in ("0", "false"):
+        return False
+    return jax.default_backend() != "cpu"
+
+
 class Domain:
     """Multiplicative subgroup domain of power-of-two size n (cf. EvaluationDomain)."""
 
@@ -117,15 +129,21 @@ class Domain:
     def _core(self, x, twiddles):
         spec = self.spec
         n, L = self.n, spec.L
+        if _use_unrolled():
+            # accelerators: fully unrolled limb chains fuse into one pass/stage
+            mul, add_, sub_ = limb._mont_mul_unrolled, limb._add_unrolled, limb._sub_unrolled
+        else:
+            # CPU tests: compact rolled graphs compile fast
+            mul, add_, sub_ = limb.mont_mul, limb.add, limb.sub
         x = jnp.take(x, jnp.asarray(self._bitrev), axis=-2)
         for s in range(1, self.log_n + 1):
             half = 1 << (s - 1)
             blocks = n >> s
             xr = x.reshape(x.shape[:-2] + (blocks, 2, half, L))
             even = xr[..., 0, :, :]
-            odd = limb._mont_mul_unrolled(xr[..., 1, :, :], jnp.asarray(twiddles[s - 1]), spec)
-            top = limb._add_unrolled(even, odd, spec)
-            bot = limb._sub_unrolled(even, odd, spec)
+            odd = mul(xr[..., 1, :, :], jnp.asarray(twiddles[s - 1]), spec)
+            top = add_(even, odd, spec)
+            bot = sub_(even, odd, spec)
             x = jnp.concatenate([top[..., None, :, :], bot[..., None, :, :]], axis=-3)
             x = x.reshape(x.shape[:-4] + (n, L))
         return x
