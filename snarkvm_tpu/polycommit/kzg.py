@@ -21,10 +21,20 @@ import hashlib
 from ..params import bls12_377 as P
 from ..curves import sw_fast as g1
 from ..curves import sw, pairing
+from ..utils import native
 from ..fields.scalar import Fq, Fq2
 from ..snark.poly import Poly
 
 R = P.R
+
+
+def _msm(bases, scalars):
+    """Native C Pippenger when available (utils/native.py), Python fallback."""
+    if native.available() and len(bases) >= 8:
+        out = native.msm_g1(list(bases), [s % R for s in scalars])
+        if out is not None:
+            return out
+    return g1.msm(list(bases), [s % R for s in scalars])
 
 
 class UniversalSRS:
@@ -51,20 +61,24 @@ class UniversalSRS:
         self.h = (sw.G2.generator[0], sw.G2.generator[1])
         self.beta_h = sw.G2.mul(self.h, self.beta)
 
+    def _powers_for(self, scalars):
+        jac = native.batch_scalar_mul(self.g, scalars) if native.available() else None
+        if jac is not None:
+            return [g1.to_affine(j) for j in jac]
+        gj = g1.from_affine(self.g)
+        return [g1.to_affine(g1.mul_int(gj, s)) for s in scalars]
+
     @property
     def powers_of_beta_g(self):
         if self._powers_g is None:
-            gj = g1.from_affine(self.g)
-            self._powers_g = [g1.to_affine(g1.mul_int(gj, s)) for s in self.powers_of_beta]
+            self._powers_g = self._powers_for(self.powers_of_beta)
         return self._powers_g
 
     @property
     def powers_of_beta_times_gamma_g(self):
         if self._gamma_powers_g is None:
-            gj = g1.from_affine(self.g)
-            self._gamma_powers_g = [
-                g1.to_affine(g1.mul_int(gj, s * self.gamma % R)) for s in self.powers_of_beta
-            ]
+            self._gamma_powers_g = self._powers_for(
+                [s * self.gamma % R for s in self.powers_of_beta])
         return self._gamma_powers_g
 
     @functools.lru_cache(maxsize=None)
@@ -111,7 +125,7 @@ def commit(srs: UniversalSRS, poly: Poly, degree_bound: int | None = None,
     shift = (srs.max_degree - degree_bound) if degree_bound is not None else 0
     assert shift + len(coeffs) <= srs.max_degree + 1, "polynomial too large for SRS"
     bases = srs.powers_of_beta_g[shift : shift + len(coeffs)]
-    comm = g1.msm(bases, coeffs)
+    comm = _msm(bases, coeffs)
     randomness = Randomness.empty()
     if hiding_bound is not None:
         assert rng is not None
@@ -119,18 +133,18 @@ def commit(srs: UniversalSRS, poly: Poly, degree_bound: int | None = None,
         # degree-bounded commits use SHIFTED gamma powers, matching
         # sonic_pc shifted_powers_of_beta_times_gamma_g (mod.rs:80-90)
         rbases = srs.powers_of_beta_times_gamma_g[shift : shift + len(randomness.blinding.c)]
-        comm = g1.jac_add(comm, g1.msm(rbases, randomness.blinding.c))
+        comm = g1.jac_add(comm, _msm(rbases, randomness.blinding.c))
     return g1.to_affine(comm), randomness
 
 
 def open_single(srs: UniversalSRS, poly: Poly, point: int, randomness: Randomness):
     """KZG10::open — returns (w affine, random_v or None)."""
     witness, _ = poly.divide_by_linear(point)
-    w = g1.msm(srs.powers_of_beta_g[: max(1, len(witness.c))], witness.c or [0])
+    w = _msm(srs.powers_of_beta_g[: max(1, len(witness.c))], witness.c or [0])
     random_v = None
     if randomness.is_hiding():
         hw, _ = randomness.blinding.divide_by_linear(point)
-        w = g1.jac_add(w, g1.msm(srs.powers_of_beta_times_gamma_g[: max(1, len(hw.c))], hw.c or [0]))
+        w = g1.jac_add(w, _msm(srs.powers_of_beta_times_gamma_g[: max(1, len(hw.c))], hw.c or [0]))
         random_v = randomness.blinding.evaluate(point)
     return g1.to_affine(w), random_v
 

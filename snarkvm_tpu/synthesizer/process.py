@@ -212,7 +212,13 @@ class Stack:
                 regs.store(dest, res)
             return
         if op == "async":
-            raise HaltError("async not yet wired")
+            # `async fn r0 r1... into rN` -> a Future carrying the finalize args
+            fname = inst.operands[0]
+            args = [regs.load(o) for o in inst.operands[1:]]
+            from ..console.types import Value
+            future = Value("future", (self.program.id, fname, args))
+            regs.store(inst.destinations[0], future)
+            return
         raise HaltError(f"unknown opcode {op}")
 
 

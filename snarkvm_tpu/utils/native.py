@@ -1,0 +1,120 @@
+"""ctypes bindings for the native host kernels (csrc/g1_msm.c).
+
+Builds the shared library on first use (gcc -O3); falls back to the
+pure-Python paths when the toolchain is unavailable (same
+dispatch-with-fallback shape as the reference's CUDA hooks,
+fft/domain.rs:374).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+_CSRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
+
+
+def _lib():
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    so_path = os.path.join(_CSRC, "libg1msm.so")
+    src = os.path.join(_CSRC, "g1_msm.c")
+    try:
+        if (not os.path.exists(so_path)
+                or os.path.getmtime(so_path) < os.path.getmtime(src)):
+            subprocess.run(
+                ["gcc", "-O3", "-march=native", "-shared", "-fPIC", src, "-o", so_path],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(so_path)
+        lib.g1_msm.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_size_t, ctypes.c_size_t, ctypes.POINTER(ctypes.c_uint64),
+        ]
+        lib.g1_batch_scalar_mul.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_size_t, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_uint64),
+        ]
+        _LIB = lib
+    except Exception:
+        _LIB = None
+    return _LIB
+
+
+def available() -> bool:
+    return _lib() is not None
+
+
+def _to_limbs64(values, n_limbs):
+    arr = np.zeros((len(values), n_limbs), dtype=np.uint64)
+    for i, v in enumerate(values):
+        for j in range(n_limbs):
+            arr[i, j] = (v >> (64 * j)) & 0xFFFFFFFFFFFFFFFF
+    return arr
+
+
+def _from_limbs64(arr):
+    v = 0
+    for j in range(len(arr)):
+        v |= int(arr[j]) << (64 * j)
+    return v
+
+
+def msm_g1(points, scalars):
+    """points: list of (x, y) canonical int tuples or None; scalars ints.
+    Returns canonical Jacobian (X, Y, Z) int tuple, or None if the native
+    library is unavailable."""
+    lib = _lib()
+    if lib is None:
+        return None
+    n = len(points)
+    xs = _to_limbs64([p[0] if p else 0 for p in points], 6)
+    ys = _to_limbs64([p[1] if p else 0 for p in points], 6)
+    inf = np.array([1 if p is None else 0 for p in points], dtype=np.uint8)
+    sw = 4
+    sc = _to_limbs64([s % (1 << 256) for s in scalars], sw)
+    out = np.zeros(18, dtype=np.uint64)
+    lib.g1_msm(
+        xs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        inf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        sc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        n, sw,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+    )
+    X = _from_limbs64(out[0:6])
+    Y = _from_limbs64(out[6:12])
+    Z = _from_limbs64(out[12:18])
+    return (X, Y, Z)
+
+
+def batch_scalar_mul(base, scalars):
+    """base: (x, y) canonical ints; scalars: list of ints (< 2^256).
+    Returns list of canonical Jacobian tuples, or None if unavailable."""
+    lib = _lib()
+    if lib is None:
+        return None
+    n = len(scalars)
+    px = _to_limbs64([base[0]], 6)
+    py = _to_limbs64([base[1]], 6)
+    sw = 4
+    sc = _to_limbs64([s % (1 << 256) for s in scalars], sw)
+    out = np.zeros((n, 18), dtype=np.uint64)
+    lib.g1_batch_scalar_mul(
+        px.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        py.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        sc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        n, sw,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+    )
+    return [(_from_limbs64(row[0:6]), _from_limbs64(row[6:12]), _from_limbs64(row[12:18]))
+            for row in out]
