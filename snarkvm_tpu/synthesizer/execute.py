@@ -1,0 +1,144 @@
+"""Execution pipeline: Request -> dual execution -> Transition -> batched proof.
+
+Mirror of the reference's hot path (SURVEY.md §3.1): Process::execute
+runs the call via the circuit layer, accumulates (transition, assignment)
+pairs in a Trace, and proves them in ONE batched Varuna proof
+(process/src/trace/mod.rs:151 prove_execution -> varuna.rs:336).
+
+Round-1 transition circuit: the dual-executed function body with the
+request's tcm + input commitments + output commitments as public inputs
+(the full in-circuit Request::verify / Response::from_outputs gadgets —
+circuit/program/src/request/verify.rs — are the round-2 parity item).
+"""
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass
+
+from ..params import bls12_377 as P
+from ..console import network as N
+from ..console.request import Request
+from ..console.types import Plaintext, Literal
+from ..circuit.builder import CircuitBuilder, PUBLIC, PRIVATE
+from ..circuit.types import CField
+from ..snark import varuna
+from ..polycommit import kzg
+from ..ledger.block import Transition
+from .process import Stack, parse_plaintext_str, _as_literal
+from .circuit_exec import DualStack
+from .interpreter import HaltError
+
+R = P.R
+
+
+@dataclass
+class TracedTransition:
+    transition: Transition
+    builder: CircuitBuilder
+    public_inputs: list
+    function_key: tuple    # (program_id, function_name) — circuit cache key
+
+
+class Trace:
+    """Accumulates transitions + assignments; prove_execution batches them."""
+
+    def __init__(self):
+        self.traced = []
+
+    def insert(self, tt: TracedTransition):
+        self.traced.append(tt)
+
+    def prove_execution(self, srs: kzg.UniversalSRS, rng, mode=varuna.VarunaNonHidingMode):
+        """One batched Varuna proof across all transitions, grouped per
+        circuit (function) like prove_batch's keys_to_constraints."""
+        groups = {}
+        for tt in self.traced:
+            groups.setdefault(tt.function_key, []).append(tt)
+        keys = []
+        vks = []
+        for fkey, tts in sorted(groups.items()):
+            synth = tts[0].builder.to_synthesizer()
+            pk, vk = varuna.circuit_setup(srs, synth, mode)
+            keys.append((pk, [t.builder.to_synthesizer() for t in tts]))
+            vks.append((fkey, vk, [t.public_inputs for t in tts]))
+        keys.sort(key=lambda kv: kv[0].circuit.id)
+        proof = varuna.prove_batch(srs, keys, rng, mode)
+        # align vks with the sorted key order
+        id_order = [pk.circuit.id for pk, _ in keys]
+        vks_by_id = {pk.circuit.id: next(v for v in vks if v[1].id == pk.vk.id) for pk, _ in keys}
+        ordered_vks = [vks_by_id[cid] for cid in id_order]
+        return proof, ordered_vks
+
+
+def execute_function(stack: Stack, request: Request, input_types):
+    """Stack::execute_function analog: dual-execute with request context.
+    Returns a TracedTransition."""
+    if not request.verify(input_types):
+        raise HaltError("invalid request")
+    dual = DualStack(stack)
+    builder = CircuitBuilder()
+    # public request context: tcm + input id fields (stack/execute.rs:225-238)
+    tcm_pub = CField.new(builder, PUBLIC, request.tcm)
+    for iid in request.input_ids:
+        for f in iid.fields:
+            v = f[0] if isinstance(f, tuple) else f
+            CField.new(builder, PUBLIC, v % R)
+
+    # run the function body in both worlds on the request's inputs
+    fn = stack.program.functions.get(request.function_name)
+    if fn is None:
+        raise HaltError(f"no function {request.function_name}")
+    dual_outputs, fn_builder = dual.execute_function(
+        request.function_name,
+        [inp if isinstance(inp, (Plaintext, Literal)) else inp for inp in request.inputs],
+    )
+    # graft the function circuit into the transition builder
+    _merge_builders(builder, fn_builder)
+
+    # transition record
+    t_inputs = [(iid.kind, (iid.fields[0][0] if isinstance(iid.fields[0], tuple) else iid.fields[0]) % R)
+                for iid in request.input_ids]
+    t_outputs = []
+    for out in dual_outputs:
+        val = out.literal.value
+        x = val[0] if isinstance(val, tuple) else int(val) % R
+        t_outputs.append(("public", x % R))
+    transition = Transition(
+        program_id=request.program_id,
+        function_name=request.function_name,
+        inputs=t_inputs,
+        outputs=t_outputs,
+        tpk=None,
+        tcm=request.tcm,
+        scm=request.scm,
+    )
+    public = [1] + builder.public[1:]
+    return TracedTransition(transition, builder, public,
+                            (request.program_id, request.function_name))
+
+
+def _merge_builders(dst: CircuitBuilder, src: CircuitBuilder):
+    """Append src's variables/constraints into dst with index remapping."""
+    pub_off = dst.num_public
+    priv_off = dst.num_private
+    dst.public.extend(src.public[1:])
+    dst.private.extend(src.private)
+
+    def remap(lc):
+        from ..circuit.builder import LinearCombination
+        out = LinearCombination(lc.constant)
+        for (kind, idx), coeff in lc.terms.items():
+            if kind == "public":
+                # src index 0 is the shared ONE; others append after dst's
+                out.terms[("public", 0 if idx == 0 else pub_off + idx - 1)] = coeff
+            else:
+                out.terms[("private", priv_off + idx)] = coeff
+        return out
+
+    for a, b, c in src.constraints:
+        dst.enforce(remap(a), remap(b), remap(c))
+
+
+def verify_execution(srs, proof, ordered_vks, mode=varuna.VarunaNonHidingMode) -> bool:
+    keys_to_inputs = [(vk, inputs) for _, vk, inputs in ordered_vks]
+    return varuna.verify_batch(srs, keys_to_inputs, proof, mode)

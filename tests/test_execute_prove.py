@@ -1,0 +1,55 @@
+"""Full execution pipeline: Request -> dual execution -> Transition -> batched proof."""
+import random
+
+from snarkvm_tpu.console import account
+from snarkvm_tpu.console.request import Request
+from snarkvm_tpu.console.types import Plaintext
+from snarkvm_tpu.polycommit import kzg
+from snarkvm_tpu.synthesizer.program import parse_program
+from snarkvm_tpu.synthesizer.process import Stack
+from snarkvm_tpu.synthesizer import execute as E
+
+rng = random.Random(8080)
+
+PROGRAM = """
+program math.aleo;
+
+function combine:
+    input r0 as field.public;
+    input r1 as field.private;
+    mul r0 r1 into r2;
+    add r2 r1 into r3;
+    output r3 as field.private;
+
+function square_it:
+    input r0 as field.private;
+    square r0 into r1;
+    output r1 as field.private;
+"""
+
+
+def test_execute_and_prove_batch():
+    stack = Stack(parse_program(PROGRAM))
+    srs = kzg.test_srs(64)
+    sk = account.PrivateKey.new(rng)
+
+    trace = E.Trace()
+    # two instances of `combine`, one of `square_it` — multi-circuit batch
+    for a, b in [(3, 5), (7, 11)]:
+        req = Request.sign(sk, "math.aleo", "combine",
+                           [Plaintext.literal("field", a), Plaintext.literal("field", b)],
+                           [("public", "field"), ("private", "field")], rng)
+        trace.insert(E.execute_function(stack, req, [("public", "field"), ("private", "field")]))
+    req = Request.sign(sk, "math.aleo", "square_it",
+                       [Plaintext.literal("field", 9)], [("private", "field")], rng)
+    trace.insert(E.execute_function(stack, req, [("private", "field")]))
+
+    assert trace.traced[0].transition.outputs[0][1] == (3 * 5 + 5)
+    assert trace.traced[2].transition.outputs[0][1] == 81
+
+    proof, vks = trace.prove_execution(srs, rng)
+    assert E.verify_execution(srs, proof, vks)
+    # tampering with a public input breaks verification
+    bad_vks = [(k, vk, [list(i) for i in inputs]) for k, vk, inputs in vks]
+    bad_vks[0][2][0][1] = (bad_vks[0][2][0][1] + 1) % E.R
+    assert not E.verify_execution(srs, proof, bad_vks)
