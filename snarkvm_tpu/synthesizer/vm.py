@@ -1,0 +1,145 @@
+"""VM facade: Process (stacks) + FinalizeStore + speculate/finalize
+(synthesizer/src/vm/mod.rs:78 behavioral mirror, host-side).
+
+Deploys load programs into the process; execute builds transitions via
+the Trace pipeline; speculate orders unconfirmed transactions, runs
+their finalize futures atomically (rejecting halters), and finalize
+commits — the atomic pipeline block production relies on
+(vm/finalize.rs:35,157).
+"""
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+
+from ..console.request import Request
+from ..ledger.block import Transaction, Transition, Block, Header, Metadata, transactions_root
+from ..ledger import target as T
+from .program import parse_program, Program
+from .process import Stack
+from .interpreter import HaltError
+from . import finalize as F
+from . import execute as E
+
+
+CREDITS_PATH = __file__.rsplit("/", 1)[0] + "/resources/credits.aleo"
+
+
+class Process:
+    """Map of stacks, one per program (process/src/lib.rs:78)."""
+
+    def __init__(self):
+        self.stacks = {}
+        credits = parse_program(open(CREDITS_PATH).read())
+        self.stacks[credits.id] = Stack(credits)
+
+    def deploy(self, program_text: str) -> Program:
+        prog = parse_program(program_text)
+        if prog.id in self.stacks:
+            raise HaltError(f"program {prog.id} already exists")
+        self.stacks[prog.id] = Stack(prog, external=self.stacks)
+        return prog
+
+    def get_stack(self, program_id: str) -> Stack:
+        if program_id not in self.stacks:
+            raise HaltError(f"program {program_id} not found")
+        return self.stacks[program_id]
+
+
+@dataclass
+class PendingTransaction:
+    transaction: Transaction
+    futures: list      # [(program_id, finalize_name, args, transition_id)]
+
+
+class VM:
+    def __init__(self, rng=None):
+        self.process = Process()
+        self.store = F.FinalizeStore()
+        self.rng = rng or random.Random(0)
+        self.block_height = 0
+        self.blocks = []
+        self.previous_hash = 0
+
+    # ---- transaction construction ----
+    def execute(self, private_key, program_id: str, function_name: str,
+                inputs, input_types) -> PendingTransaction:
+        """Build an execute-transaction: sign request, run the function,
+        collect transitions + finalize futures (vm/execute.rs shape; the
+        Varuna proof attaches via Trace.prove_execution)."""
+        stack = self.process.get_stack(program_id)
+        req = Request.sign(private_key, program_id, function_name, inputs, input_types, self.rng)
+        signer = req.signer
+        outs = stack.evaluate_function(function_name, list(inputs), signer=signer, caller=signer)
+        futures = []
+        for out in outs:
+            if getattr(out, "kind", None) == "future":
+                pid, fname, args = out.value
+                futures.append((pid, fname, args, 0))
+        transition = Transition(
+            program_id=program_id, function_name=function_name,
+            inputs=[(iid.kind, iid.fields[0][0] if isinstance(iid.fields[0], tuple) else iid.fields[0])
+                    for iid in req.input_ids],
+            outputs=[("future", 0)] if futures else [],
+            tcm=req.tcm, scm=req.scm,
+        )
+        tx = Transaction("execute", [transition])
+        futures = [(pid, fname, args, transition.id()) for pid, fname, args, _ in futures]
+        return PendingTransaction(tx, futures)
+
+    # ---- speculate / finalize (vm/finalize.rs) ----
+    def speculate(self, pending, state: F.FinalizeGlobalState | None = None):
+        state = state or F.FinalizeGlobalState(block_height=self.block_height + 1)
+        flat = []
+        spans = []
+        for p in pending:
+            spans.append((len(flat), len(flat) + len(p.futures)))
+            flat.extend(p.futures)
+        # run ALL futures of one tx under one checkpoint
+        self.store.maps.start_atomic()
+        accepted, rejected = [], []
+        stacks = self.process.stacks
+        for i, p in enumerate(pending):
+            self.store.maps.atomic_checkpoint()
+            try:
+                for pid, fname, args, tid in p.futures:
+                    F.execute_finalize(stacks[pid], fname, args, self.store, state, tid)
+                accepted.append(i)
+                self.store.maps.clear_latest_checkpoint()
+            except HaltError:
+                self.store.maps.atomic_rewind()
+                rejected.append(i)
+        return accepted, rejected
+
+    def finalize(self):
+        self.store.maps.finish_atomic()
+
+    def abort_speculation(self):
+        self.store.maps.abort_atomic()
+
+    # ---- block production (ledger/src/advance.rs shape) ----
+    def advance_to_next_block(self, pending, timestamp: int | None = None) -> Block:
+        accepted, rejected = self.speculate(pending)
+        self.finalize()
+        txs = [pending[i].transaction for i in accepted]
+        self.block_height += 1
+        prev = self.blocks[-1] if self.blocks else None
+        md = Metadata(
+            height=self.block_height,
+            round=self.block_height,
+            timestamp=timestamp or (prev.header.metadata.timestamp + T.BLOCK_TIME if prev else 1),
+        )
+        header = Header(
+            previous_state_root=self.previous_hash or 1,
+            transactions_root=transactions_root(txs),
+            finalize_root=1, ratifications_root=1, solutions_root=0, subdag_root=0,
+            metadata=md,
+        )
+        block = Block(previous_hash=self.previous_hash, header=header, transactions=txs,
+                      aborted_transaction_ids=[pending[i].transaction.id() for i in rejected])
+        self.previous_hash = block.hash()
+        self.blocks.append(block)
+        return block
+
+    def check_next_block(self, block: Block) -> bool:
+        return block.verify_structure()
