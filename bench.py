@@ -28,24 +28,30 @@ def main():
     from snarkvm_tpu.params import bls12_377 as P
 
     d = Domain(n)
+    d._jitted  # materialize host twiddle planes
+    from snarkvm_tpu.ops import pallas_field as pf
+
     # random-ish coefficients without host bigint loops: use numpy uint32 limbs
     import numpy as np
 
     rng = np.random.default_rng(42)
-    limbs = rng.integers(0, 1 << 16, size=(n, limb.FR.L), dtype=np.uint32)
-    limbs[:, -1] &= 0x1FFF  # < 2^253 => < r
-    x = limb.to_mont(jax.numpy.asarray(limbs), limb.FR)
+    limbs = rng.integers(0, 1 << 16, size=(limb.FR.L, n), dtype=np.uint32)
+    limbs[-1, :] &= 0x1FFF  # < 2^253 => < r
+    x = jax.numpy.asarray(limbs)  # limb-major [L, n] (already a valid residue)
+
+    use_pallas = jax.default_backend() != "cpu"
+    run = (lambda v: pf.ntt_limb_major(v, d)) if use_pallas else (lambda v: d.fft(v.T).T)
 
     # compile + warm up (np.asarray forces a real device->host sync;
     # block_until_ready alone may not drain the axon tunnel)
-    y = d.fft(x)
-    np.asarray(y[0])
+    y = run(x)
+    np.asarray(y[0, :1])
 
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
-        y = d.fft(y)
-    np.asarray(y[0])
+        y = run(y)
+    np.asarray(y[0, :1])
     dt = (time.perf_counter() - t0) / iters
 
     # butterfly rate: (n/2) log2(n) field muls per transform

@@ -964,3 +964,74 @@ class _VkCircuitView:
 
     def non_zero_domain(self, m: str):
         return domain_size(getattr(self.info, f"num_non_zero_{m}"))
+
+
+# ---------------------------------------------------------------------------
+# Certificates (prove_vk / verify_vk — varuna.rs:236,280)
+# ---------------------------------------------------------------------------
+
+def _init_sponge_for_certificate(vk: CircuitVerifyingKey) -> FiatShamir:
+    sponge = FiatShamir()
+    sponge.absorb_bytes(PROTOCOL_NAME)
+    sponge.absorb_bytes(vk.circuit_info.serialize())
+    _absorb_commitments(sponge, vk.circuit_commitments)
+    sponge.absorb_bytes(bytes.fromhex(vk.id))
+    return sponge
+
+
+def _sorted_index_labels(circuit_id: str):
+    return sorted(
+        f"circuit_{circuit_id}_{name}_{m}"
+        for m in "abc" for name in ("row", "col", "row_col", "row_col_val")
+    )
+
+
+def prove_vk(srs: kzg.UniversalSRS, pk: CircuitProvingKey) -> list:
+    """Certificate: one batched opening of the 12 index polys at a sponge
+    point, combined with sponge challenges (the deployment certificate)."""
+    vk = pk.vk
+    sponge = _init_sponge_for_certificate(vk)
+    challenges = sponge.squeeze_nonnative_field_elements(len(vk.circuit_commitments))
+    point = challenges.pop()
+    combiners = [1] + challenges
+
+    labels = _sorted_index_labels(vk.id)
+    polys = {lp.label: lp for lp in pk.circuit.index_polys()}
+    lc = kzg.LinearCombination("circuit_check")
+    for label, c in zip(labels, combiners):
+        lc.add(c, label)
+    query_set = {("circuit_check", ("challenge", point))}
+    labeled = [polys[l] for l in labels]
+    rands = [kzg.Randomness.empty() for _ in labeled]
+    return kzg.open_combinations(srs, [lc], labeled, rands, query_set, sponge)
+
+
+def verify_vk(srs: kzg.UniversalSRS, cs_builder, vk: CircuitVerifyingKey,
+              certificate, mode=VarunaNonHidingMode) -> bool:
+    """Re-index the circuit, evaluate the combined index polynomial at the
+    certificate point, and check the opening (varuna.rs:280)."""
+    circuit = index(cs_builder, mode)
+    if circuit.info != vk.circuit_info or circuit.id != vk.id:
+        return False
+    sponge = _init_sponge_for_certificate(vk)
+    challenges = sponge.squeeze_nonnative_field_elements(len(vk.circuit_commitments))
+    point = challenges.pop()
+    combiners = [1] + challenges
+
+    labels = _sorted_index_labels(vk.id)
+    polys = {lp.label: lp for lp in circuit.index_polys()}
+    evaluation = 0
+    lc = kzg.LinearCombination("circuit_check")
+    for label, c in zip(labels, combiners):
+        lc.add(c, label)
+        evaluation = (evaluation + c * polys[label].poly.evaluate(point)) % R
+
+    labeled_comms = [kzg.LabeledCommitment(l, comm)
+                     for l, comm in zip(labels, vk.circuit_commitments)]
+    query_set = {("circuit_check", ("challenge", point))}
+    evaluations = {("circuit_check", point): evaluation}
+    try:
+        return kzg.check_combinations(srs, [lc], labeled_comms, query_set,
+                                      evaluations, certificate, sponge)
+    except (AssertionError, KeyError):
+        return False

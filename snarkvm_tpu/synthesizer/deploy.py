@@ -1,0 +1,88 @@
+"""Deployments: per-function circuit synthesis + verifying keys + certificates.
+
+Mirror of Process::deploy (process/src/deploy.rs:21): for EACH function,
+execute with sampled dummy inputs (CallStack::CheckDeployment), enforce
+the deployment constraint/variable limits, synthesize (pk, vk), and
+certify the vk (Certificate::certify). verify_deployment re-synthesizes
+every circuit and checks the certificates (verify_deployment.rs:21).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..params import bls12_377 as P
+from ..console import network as N
+from ..console.types import Literal, INT_WIDTHS
+from ..snark import varuna
+from ..polycommit import kzg
+from .process import Stack
+from .circuit_exec import DualStack
+from .interpreter import HaltError
+
+R = P.R
+
+
+def sample_input(rng, value_type: str):
+    base = value_type.split(".")[0]
+    if base == "field":
+        return Literal("field", rng.randrange(R))
+    if base == "boolean":
+        return Literal("boolean", bool(rng.randrange(2)))
+    if base == "scalar":
+        return Literal("scalar", rng.randrange(P.S))
+    if base in INT_WIDTHS:
+        w = INT_WIDTHS[base]
+        if base[0] == "i":
+            return Literal(base, rng.randrange(-(1 << (w - 1)), 1 << (w - 1)))
+        return Literal(base, rng.randrange(1 << w))
+    raise HaltError(f"cannot sample deployment input of type {value_type}")
+
+
+@dataclass
+class Deployment:
+    program_id: str
+    program_text: str
+    verifying_keys: list     # [(function_name, vk, certificate)]
+
+
+def deploy(srs: kzg.UniversalSRS, stack: Stack, rng,
+           max_constraints: int = N.MAX_DEPLOYMENT_CONSTRAINTS,
+           max_variables: int = N.MAX_DEPLOYMENT_VARIABLES,
+           program_text: str = "") -> Deployment:
+    dual = DualStack(stack)
+    vks = []
+    for fname, fn in sorted(stack.program.functions.items()):
+        inputs = [sample_input(rng, fi.value_type) for fi in fn.inputs]
+        _, builder = dual.execute_function(fname, inputs)
+        if builder.num_constraints > max_constraints:
+            raise HaltError(f"function {fname} exceeds deployment constraint limit")
+        if builder.num_public + builder.num_private > max_variables:
+            raise HaltError(f"function {fname} exceeds deployment variable limit")
+        synth = builder.to_synthesizer()
+        pk, vk = varuna.circuit_setup(srs, synth)
+        cert = varuna.prove_vk(srs, pk)
+        vks.append((fname, vk, cert))
+    return Deployment(stack.program.id, program_text, vks)
+
+
+def verify_deployment(srs: kzg.UniversalSRS, stack: Stack, deployment: Deployment, rng) -> bool:
+    """Re-synthesize every function circuit and check each certificate.
+    NOTE: re-synthesis must be input-independent for the circuit SHAPE —
+    sampled inputs only affect the witness values."""
+    if deployment.program_id != stack.program.id:
+        return False
+    if len(deployment.verifying_keys) != len(stack.program.functions):
+        return False
+    dual = DualStack(stack)
+    for fname, vk, cert in deployment.verifying_keys:
+        fn = stack.program.functions.get(fname)
+        if fn is None:
+            return False
+        inputs = [sample_input(rng, fi.value_type) for fi in fn.inputs]
+        try:
+            _, builder = dual.execute_function(fname, inputs)
+        except HaltError:
+            return False
+        if not varuna.verify_vk(srs, builder.to_synthesizer(), vk, cert):
+            return False
+    return True

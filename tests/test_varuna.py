@@ -102,3 +102,13 @@ def test_prove_verify_multi_circuit(srs):
     proof = varuna.prove_batch(srs, keys, rng)
     inputs = [(pk.vk, [c.public_inputs() for c in cs_]) for pk, cs_ in keys]
     assert varuna.verify_batch(srs, [(vk, i) for (vk, i) in inputs], proof)
+
+
+def test_certificate_prove_verify_vk(srs):
+    circ = MulCircuit(5, 5)
+    pk, vk = varuna.circuit_setup(srs, circ)
+    cert = varuna.prove_vk(srs, pk)
+    assert varuna.verify_vk(srs, circ, vk, cert)
+    # a different circuit cannot pass this vk's certificate
+    other = MulCircuit(5, 5, num_extra=7)
+    assert not varuna.verify_vk(srs, other, vk, cert)
