@@ -158,3 +158,50 @@ class Request:
             elif vis == "external_record":
                 message.append(iid.fields[0])
         return N.hash_to_scalar_psd(8, message) == challenge
+
+
+# ---------------------------------------------------------------------------
+# Response: output IDs (console/program/src/response/mod.rs:32)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class OutputID:
+    kind: str       # constant | public | private | record | external_record | future
+    fields: tuple
+
+
+@dataclass
+class Response:
+    output_ids: list
+    outputs: list
+
+    @classmethod
+    def new(cls, network_id: int, program_id: str, function_name: str,
+            num_inputs: int, tvk: int, tcm: int, outputs, output_types):
+        """outputs: list of Plaintext/Record/future tuples; output_types:
+        [(visibility, type_name)]."""
+        function_id = compute_function_id(network_id, program_id, function_name)
+        output_ids = []
+        for index, (output, (vis, _name)) in enumerate(zip(outputs, output_types)):
+            idx = num_inputs + index
+            if vis in ("constant", "public"):
+                preimage = [function_id] + output.to_fields() + [tcm, idx]
+                output_ids.append(OutputID(vis, (N.hash_psd(8, preimage),)))
+            elif vis == "private":
+                ovk = N.hash_psd(4, [function_id, tvk, idx])
+                ct = encrypt_plaintext_symmetric(output, ovk)
+                output_ids.append(OutputID(vis, (N.hash_psd(8, ct),)))
+            elif vis == "record":
+                assert isinstance(output, Record)
+                commitment = output.to_commitment(program_id, _name)
+                # checksum = hash of the encrypted record fields
+                output_ids.append(OutputID(vis, (commitment, 0)))
+            elif vis == "external_record":
+                preimage = [function_id] + output.to_fields() + [tvk, idx]
+                output_ids.append(OutputID(vis, (N.hash_psd(8, preimage),)))
+            elif vis == "future":
+                preimage = [function_id] + [tcm, idx]
+                output_ids.append(OutputID(vis, (N.hash_psd(8, preimage),)))
+            else:
+                raise ValueError(f"invalid output type {vis}")
+        return cls(output_ids, list(outputs))

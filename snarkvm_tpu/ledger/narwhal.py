@@ -1,0 +1,126 @@
+"""Narwhal DAG-BFT data structures (ledger/narwhal/): BatchHeader,
+BatchCertificate, Subdag, Transmission — consumed by the consensus layer
+(snarkOS-side in the reference; structural + validation logic here).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..console import network as N
+from ..console.types import int_to_bits_le, bytes_to_bits_le
+from .committee import Committee
+
+MAX_CERTIFICATES = 16          # batch-header/src/lib.rs:60 (100 under test)
+MAX_GC_ROUNDS = 100
+MAX_TRANSMISSIONS_PER_BATCH = 50
+
+
+@dataclass(frozen=True)
+class TransmissionID:
+    kind: str                  # "ratification" | "solution" | "transaction"
+    id: int
+    checksum: int = 0
+
+
+@dataclass
+class Transmission:
+    kind: str
+    payload: object
+
+
+@dataclass
+class BatchHeader:
+    author: int                # address x-coordinate
+    round: int
+    timestamp: int
+    committee_id: int
+    transmission_ids: list
+    previous_certificate_ids: list
+    signature: object = None
+
+    def batch_id(self) -> int:
+        bits = int_to_bits_le(self.author, 253)
+        bits += int_to_bits_le(self.round, 64)
+        bits += int_to_bits_le(self.timestamp % (1 << 64), 64)
+        bits += int_to_bits_le(self.committee_id, 253)
+        bits += int_to_bits_le(len(self.transmission_ids), 32)
+        for tid in self.transmission_ids:
+            bits += int_to_bits_le(tid.id % (1 << 64), 64)
+        bits += int_to_bits_le(len(self.previous_certificate_ids), 32)
+        for cid in self.previous_certificate_ids:
+            bits += int_to_bits_le(cid, 253)
+        return N.hash_bhp(1024, bits)
+
+    def validate(self) -> bool:
+        return (len(self.transmission_ids) <= MAX_TRANSMISSIONS_PER_BATCH
+                and self.round >= 0)
+
+
+@dataclass
+class BatchCertificate:
+    header: BatchHeader
+    signatures: list           # [(address_x, signature)]
+
+    def certificate_id(self) -> int:
+        bits = int_to_bits_le(self.header.batch_id(), 253)
+        for addr, _ in self.signatures:
+            bits += int_to_bits_le(addr, 253)
+        return N.hash_bhp(1024, bits)
+
+    def is_quorum_signed(self, committee: Committee) -> bool:
+        signers = {addr for addr, _ in self.signatures} | {self.header.author}
+        return committee.is_quorum_threshold_reached(signers)
+
+
+@dataclass
+class Subdag:
+    """round -> [BatchCertificate], the Quorum authority payload
+    (subdag/src/lib.rs:114)."""
+    rounds: dict = field(default_factory=dict)
+
+    def anchor_round(self) -> int:
+        return max(self.rounds) if self.rounds else 0
+
+    def leader_certificate(self) -> BatchCertificate | None:
+        certs = self.rounds.get(self.anchor_round())
+        return certs[0] if certs else None
+
+    def validate(self, committee: Committee) -> bool:
+        if not self.rounds:
+            return False
+        for rnd, certs in self.rounds.items():
+            if len(certs) > MAX_CERTIFICATES:
+                return False
+            for cert in certs:
+                if cert.header.round != rnd:
+                    return False
+                if not cert.is_quorum_signed(committee):
+                    return False
+        # even anchor round with a leader certificate
+        leader = self.leader_certificate()
+        return leader is not None
+
+    def transmission_ids(self):
+        """Deduplicated transmission ids in commit order (oldest round first)."""
+        seen = []
+        for rnd in sorted(self.rounds):
+            for cert in self.rounds[rnd]:
+                for tid in cert.header.transmission_ids:
+                    if tid not in seen:
+                        seen.append(tid)
+        return seen
+
+
+@dataclass
+class Authority:
+    """Beacon(signature) | Quorum(subdag) (ledger/authority/src/lib.rs:58)."""
+    kind: str
+    payload: object
+
+    @classmethod
+    def new_beacon(cls, signature):
+        return cls("beacon", signature)
+
+    @classmethod
+    def new_quorum(cls, subdag: Subdag):
+        return cls("quorum", subdag)

@@ -142,3 +142,21 @@ class TestPuzzle:
         # different counters give different targets (w.h.p.)
         targets = {p.prove(epoch_hash, addr, c).target for c in range(4)}
         assert len(targets) > 1
+
+
+class TestNarwhal:
+    def test_subdag_quorum(self):
+        from snarkvm_tpu.ledger.narwhal import BatchHeader, BatchCertificate, Subdag, TransmissionID
+        from snarkvm_tpu.ledger.committee import Committee, MIN_VALIDATOR_STAKE
+        members = {100 + i: (MIN_VALIDATOR_STAKE, True, 0) for i in range(4)}
+        committee = Committee.new_genesis(members)
+        tid = TransmissionID("transaction", 77)
+        hdr = BatchHeader(author=100, round=2, timestamp=10, committee_id=1,
+                          transmission_ids=[tid], previous_certificate_ids=[])
+        cert = BatchCertificate(hdr, signatures=[(101, None), (102, None)])
+        assert cert.is_quorum_signed(committee)
+        sd = Subdag({2: [cert]})
+        assert sd.validate(committee)
+        assert sd.transmission_ids() == [tid]
+        weak = BatchCertificate(hdr, signatures=[(101, None)])
+        assert not Subdag({2: [weak]}).validate(committee)
