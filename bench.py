@@ -40,7 +40,7 @@ def main():
     x = jax.numpy.asarray(limbs)  # limb-major [L, n] (already a valid residue)
 
     use_pallas = jax.default_backend() != "cpu"
-    run = (lambda v: pf.ntt_limb_major(v, d)) if use_pallas else (lambda v: d.fft(v.T).T)
+    run = jax.jit(lambda v: pf.ntt_limb_major(v, d)) if use_pallas else (lambda v: d.fft(v.T).T)
 
     # compile + warm up (np.asarray forces a real device->host sync;
     # block_until_ready alone may not drain the axon tunnel)

@@ -84,3 +84,18 @@ def test_multi_poly_multi_point():
     lps = [kzg.LabeledPoly(lab, p) for lab, p in zip(labels, polys)]
     proofs = kzg.batch_open(srs, lps, qs, rands, FiatShamir())
     assert kzg.batch_check(srs, comms, qs, values, proofs, FiatShamir())
+
+
+def test_srs_file_roundtrip(tmp_path):
+    from snarkvm_tpu.params import srs_io
+    srs = kzg.test_srs(32)
+    pts = srs.powers_of_beta_g[:8] + [None]
+    path = str(tmp_path / "powers.usrs")
+    srs_io.write_powers_file(path, pts)
+    assert srs_io.read_powers_file(path) == pts
+    negmap = {14: srs.neg_power_of_beta_h(14), 30: srs.neg_power_of_beta_h(30)}
+    npath = str(tmp_path / "neg.usrs")
+    srs_io.write_neg_powers_file(npath, negmap)
+    back = srs_io.read_neg_powers_file(npath)
+    for k, pt in negmap.items():
+        assert back[k] == (pt[0].c, pt[1].c)
