@@ -81,3 +81,14 @@ def test_prove_circuit_poseidon():
     assert varuna.verify_batch(srs, [(vk, [[1, expected]])], proof)
     bad = (expected + 1) % R
     assert not varuna.verify_batch(srs, [(vk, [[1, bad]])], proof)
+
+
+def test_bhp_gadget_matches_console():
+    import random as _r
+    from snarkvm_tpu.circuit.bhp_gadget import bhp_hash_gadget_check
+    rr = _r.Random(4)
+    b = CircuitBuilder()
+    bits = [bool(rr.randrange(2)) for _ in range(96)]
+    out, console = bhp_hash_gadget_check(b, 256, "AleoBHP256", bits)
+    assert out.value == console
+    assert b.is_satisfied()
