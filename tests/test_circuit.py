@@ -92,3 +92,32 @@ def test_bhp_gadget_matches_console():
     out, console = bhp_hash_gadget_check(b, 256, "AleoBHP256", bits)
     assert out.value == console
     assert b.is_satisfied()
+
+
+def test_merkle_path_gadget():
+    import random as _r
+    from snarkvm_tpu.console.merkle import MerkleTree, BHPHasher
+    from snarkvm_tpu.console.types import int_to_bits_le
+    from snarkvm_tpu.circuit.merkle_gadget import (
+        verify_merkle_path_gadget, hash_leaf_gadget)
+    rr = _r.Random(6)
+    leaves = [int_to_bits_le(rr.randrange(1 << 64), 64) for _ in range(4)]
+    tree = MerkleTree(3, BHPHasher(), leaves)
+    idx, sibs = tree.prove(2)
+    b = CircuitBuilder()
+    leaf_bits = [CBool.new(b, PRIVATE, bit) for bit in leaves[2]]
+    leaf_hash = hash_leaf_gadget(b, leaf_bits)
+    index_bits = [CBool.new(b, PRIVATE, (idx >> i) & 1 == 1) for i in range(3)]
+    sib_fields = [CField.new(b, PRIVATE, s) for s in sibs]
+    root = CField.new(b, PUBLIC, tree.root)
+    verify_merkle_path_gadget(b, leaf_hash, index_bits, sib_fields, root)
+    assert b.is_satisfied()
+    # wrong root -> unsatisfied
+    b2 = CircuitBuilder()
+    leaf_bits2 = [CBool.new(b2, PRIVATE, bit) for bit in leaves[2]]
+    lh2 = hash_leaf_gadget(b2, leaf_bits2)
+    ib2 = [CBool.new(b2, PRIVATE, (idx >> i) & 1 == 1) for i in range(3)]
+    sf2 = [CField.new(b2, PRIVATE, s) for s in sibs]
+    bad_root = CField.new(b2, PUBLIC, (tree.root + 1) % varuna.R)
+    verify_merkle_path_gadget(b2, lh2, ib2, sf2, bad_root)
+    assert not b2.is_satisfied()
