@@ -1,0 +1,145 @@
+"""snarkvm-tpu CLI: new / build / run / execute / clean (vm/cli mirror).
+
+Package workflow (vm/package/mod.rs:50): a directory with program.json +
+main.aleo + build/ artifacts (keys per function).
+
+  python -m snarkvm_tpu.cli new <name>
+  python -m snarkvm_tpu.cli build [--path DIR]
+  python -m snarkvm_tpu.cli run <function> [inputs...] [--path DIR]
+  python -m snarkvm_tpu.cli execute <function> [inputs...] [--path DIR]
+  python -m snarkvm_tpu.cli clean [--path DIR]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+import random
+import shutil
+import sys
+
+
+TEMPLATE = """program {name}.aleo;
+
+function hello:
+    input r0 as u32.public;
+    input r1 as u32.private;
+    add r0 r1 into r2;
+    output r2 as u32.private;
+"""
+
+MANIFEST = {
+    "program": None,
+    "version": "0.0.0",
+    "description": "",
+    "license": "MIT",
+}
+
+
+def _package_dir(args):
+    return os.path.abspath(getattr(args, "path", ".") or ".")
+
+
+def cmd_new(args):
+    path = os.path.abspath(args.name)
+    os.makedirs(path, exist_ok=False)
+    manifest = dict(MANIFEST)
+    manifest["program"] = f"{args.name}.aleo"
+    with open(os.path.join(path, "program.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    with open(os.path.join(path, "main.aleo"), "w") as f:
+        f.write(TEMPLATE.format(name=args.name))
+    print(f"✅ Created package '{args.name}' at {path}")
+
+
+def _load_package(args):
+    from .synthesizer.program import parse_program
+    from .synthesizer.process import Stack
+
+    path = _package_dir(args)
+    text = open(os.path.join(path, "main.aleo")).read()
+    prog = parse_program(text)
+    return path, text, Stack(prog)
+
+
+def cmd_build(args):
+    from .polycommit import kzg
+    from .synthesizer import deploy as D
+
+    path, text, stack = _load_package(args)
+    build = os.path.join(path, "build")
+    os.makedirs(build, exist_ok=True)
+    rng = random.Random(0)
+    srs = kzg.test_srs(1 << 12)
+    deployment = D.deploy(srs, stack, rng, program_text=text)
+    for fname, vk, cert in deployment.verifying_keys:
+        with open(os.path.join(build, f"{fname}.verifier"), "wb") as f:
+            pickle.dump((vk, cert), f)
+    with open(os.path.join(build, "main.avm"), "w") as f:
+        f.write(text)
+    print(f"✅ Built '{stack.program.id}' ({len(deployment.verifying_keys)} functions)")
+
+
+def cmd_run(args):
+    path, text, stack = _load_package(args)
+    from .synthesizer.process import value_to_str
+
+    outs = stack.evaluate_function(args.function, list(args.inputs))
+    print(f"🚀 Executed '{stack.program.id}/{args.function}':")
+    for i, out in enumerate(outs):
+        print(f"  • output #{i}: {value_to_str(out)}")
+
+
+def cmd_execute(args):
+    from .polycommit import kzg
+    from .synthesizer.circuit_exec import prove_run
+    from .snark import varuna
+    from .synthesizer.process import value_to_str
+
+    path, text, stack = _load_package(args)
+    rng = random.Random()
+    srs = kzg.test_srs(1 << 12)
+    outs, proof, vk, public = prove_run(srs, stack, args.function, list(args.inputs), rng)
+    ok = varuna.verify_batch(srs, [(vk, [public])], proof)
+    print(f"✅ Executed '{stack.program.id}/{args.function}' with a Varuna proof "
+          f"(verified: {ok}):")
+    for i, out in enumerate(outs):
+        from .console.types import literal_to_str
+        print(f"  • output #{i}: {literal_to_str(out.literal)}")
+
+
+def cmd_clean(args):
+    path = _package_dir(args)
+    build = os.path.join(path, "build")
+    if os.path.isdir(build):
+        shutil.rmtree(build)
+    print("🧹 Cleaned the build directory")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="snarkvm-tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("new")
+    p.add_argument("name")
+    p.set_defaults(fn=cmd_new)
+
+    for name, fn in (("build", cmd_build), ("clean", cmd_clean)):
+        p = sub.add_parser(name)
+        p.add_argument("--path", default=".")
+        p.set_defaults(fn=fn)
+
+    for name, fn in (("run", cmd_run), ("execute", cmd_execute)):
+        p = sub.add_parser(name)
+        p.add_argument("function")
+        p.add_argument("inputs", nargs="*")
+        p.add_argument("--path", default=".")
+        p.set_defaults(fn=fn)
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
