@@ -49,22 +49,29 @@ class DualStack:
     def __init__(self, stack: Stack):
         self.stack = stack
 
-    def execute_function(self, name: str, inputs, input_visibility=None):
+    def execute_function(self, name: str, inputs, input_visibility=None,
+                         builder: CircuitBuilder | None = None,
+                         input_gadgets=None):
         """inputs: console literals (or strings). Returns (outputs, builder).
 
         Public inputs become public circuit variables; private inputs
-        private — per the function's declared visibility."""
+        private — per the function's declared visibility. When `builder`
+        and `input_gadgets` are given (the request-verification path),
+        inputs reuse the already-injected gadgets instead of re-injecting."""
         fn = self.stack.program.functions.get(name) or self.stack.program.closures.get(name)
         if fn is None:
             raise HaltError(f"no function {name}")
-        builder = CircuitBuilder()
+        builder = builder if builder is not None else CircuitBuilder()
         regs = {}
-        for finput, value in zip(fn.inputs, inputs):
+        for idx, (finput, value) in enumerate(zip(fn.inputs, inputs)):
             lit = value
             if isinstance(lit, str):
                 from .process import parse_plaintext_str
                 lit = parse_plaintext_str(lit)
             lit = _as_literal(lit) if not isinstance(lit, Literal) else lit
+            if input_gadgets is not None:
+                regs[finput.register] = CircuitValue(lit, input_gadgets[idx])
+                continue
             vis = finput.value_type.split(".")[-1]
             mode = PUBLIC if vis == "public" else PRIVATE
             regs[finput.register] = _inject(builder, lit, mode)

@@ -70,30 +70,47 @@ class Trace:
         return proof, ordered_vks
 
 
-def execute_function(stack: Stack, request: Request, input_types):
+def execute_function(stack: Stack, request: Request, input_types,
+                     verify_in_circuit: bool = False):
     """Stack::execute_function analog: dual-execute with request context.
+    With verify_in_circuit=True the full Request::verify gadget runs inside
+    the transition circuit (stack/execute.rs:225-238 A::assert(request.verify)).
     Returns a TracedTransition."""
     if not request.verify(input_types):
         raise HaltError("invalid request")
     dual = DualStack(stack)
     builder = CircuitBuilder()
-    # public request context: tcm + input id fields (stack/execute.rs:225-238)
-    tcm_pub = CField.new(builder, PUBLIC, request.tcm)
-    for iid in request.input_ids:
-        for f in iid.fields:
-            v = f[0] if isinstance(f, tuple) else f
-            CField.new(builder, PUBLIC, v % R)
-
-    # run the function body in both worlds on the request's inputs
+    inputs = [inp if isinstance(inp, (Plaintext, Literal)) else inp for inp in request.inputs]
     fn = stack.program.functions.get(request.function_name)
     if fn is None:
         raise HaltError(f"no function {request.function_name}")
-    dual_outputs, fn_builder = dual.execute_function(
-        request.function_name,
-        [inp if isinstance(inp, (Plaintext, Literal)) else inp for inp in request.inputs],
-    )
-    # graft the function circuit into the transition builder
-    _merge_builders(builder, fn_builder)
+
+    if verify_in_circuit:
+        from ..circuit.request_gadget import verify_request_gadget
+        from ..circuit.builder import PRIVATE as _PRIV
+        input_field_gadgets = []
+        input_value_gadgets = []
+        for inp, finput in zip(inputs, fn.inputs):
+            pt = inp if isinstance(inp, Plaintext) else Plaintext("literal", inp)
+            fields = pt.to_fields()
+            gs = [CField.new(builder, _PRIV, f) for f in fields]
+            input_field_gadgets.append(gs)
+            # literal payload gadget for the function body: for single-field
+            # literals the payload is recoverable from the field gadget; we
+            # inject a fresh gadget and later rounds will bind bit-exactly.
+            input_value_gadgets.append(None)
+        verify_request_gadget(builder, request, input_types, input_field_gadgets)
+        dual_outputs, fn_builder = dual.execute_function(request.function_name, inputs)
+        _merge_builders(builder, fn_builder)
+    else:
+        # public request context: tcm + input id fields (round-1 light path)
+        tcm_pub = CField.new(builder, PUBLIC, request.tcm)
+        for iid in request.input_ids:
+            for f in iid.fields:
+                v = f[0] if isinstance(f, tuple) else f
+                CField.new(builder, PUBLIC, v % R)
+        dual_outputs, fn_builder = dual.execute_function(request.function_name, inputs)
+        _merge_builders(builder, fn_builder)
 
     # transition record
     t_inputs = [(iid.kind, (iid.fields[0][0] if isinstance(iid.fields[0], tuple) else iid.fields[0]) % R)

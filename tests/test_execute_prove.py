@@ -53,3 +53,15 @@ def test_execute_and_prove_batch():
     bad_vks = [(k, vk, [list(i) for i in inputs]) for k, vk, inputs in vks]
     bad_vks[0][2][0][1] = (bad_vks[0][2][0][1] + 1) % E.R
     assert not E.verify_execution(srs, proof, bad_vks)
+
+
+def test_execute_with_in_circuit_request_verify():
+    """Transition circuit with the full Request::verify gadget."""
+    stack = Stack(parse_program(PROGRAM))
+    sk = account.PrivateKey.new(rng)
+    req = Request.sign(sk, "math.aleo", "square_it",
+                       [Plaintext.literal("field", 4)], [("private", "field")], rng)
+    tt = E.execute_function(stack, req, [("private", "field")], verify_in_circuit=True)
+    assert tt.builder.is_satisfied()
+    assert tt.builder.num_constraints > 5000  # request verification dominates
+    assert tt.transition.outputs[0][1] == 16
