@@ -17,7 +17,71 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def bench_poseidon():
+    """Batched Poseidon permutations on the chip (rate 2 over Fr)."""
+    import jax
+    import numpy as np
+    from snarkvm_tpu.fields import limb
+    from snarkvm_tpu.hashes import poseidon
+
+    b = 1 << int(os.environ.get("POSEIDON_BATCH_LOG2", "14"))
+    rng = np.random.default_rng(1)
+    limbs = rng.integers(0, 1 << 16, size=(b, 3, limb.FR.L), dtype=np.uint32)
+    limbs[..., -1] &= 0x1FFF
+    state = jax.numpy.asarray(limbs)
+    fn = jax.jit(lambda s: poseidon.permute_batched(s, "fr", 2))
+    out = fn(state)
+    np.asarray(out[0, 0, :1])
+    import time as _t
+    t0 = _t.perf_counter()
+    iters = 3
+    for _ in range(iters):
+        out = fn(out)
+    np.asarray(out[0, 0, :1])
+    dt = (_t.perf_counter() - t0) / iters
+    rate = b / dt / 1e6
+    print(json.dumps({
+        "metric": f"poseidon2_permutations_per_s_batch_2^{b.bit_length()-1}",
+        "value": round(rate, 3), "unit": "Mperm/s",
+        "vs_baseline": round(rate / 1.0, 3),
+    }))
+
+
+def bench_msm_host():
+    """Native host Pippenger (the blst-analog C path) at 2^16."""
+    import time as _t
+    import random as _rand
+    from snarkvm_tpu.utils import native
+    from snarkvm_tpu.curves import sw_fast as g1f
+    from snarkvm_tpu.params import bls12_377 as P
+
+    n = 1 << int(os.environ.get("MSM_LOG2", "14"))
+    rng = _rand.Random(9)
+    base = g1f.from_affine((P.G1_GENERATOR_X, P.G1_GENERATOR_Y))
+    pts = []
+    cur = base
+    for _ in range(min(n, 1024)):
+        pts.append(g1f.to_affine(cur))
+        cur = g1f.jac_add(cur, base)
+    pts = (pts * ((n + len(pts) - 1) // len(pts)))[:n]
+    scalars = [rng.randrange(P.R) for _ in range(n)]
+    t0 = _t.perf_counter()
+    out = native.msm_g1(pts, scalars)
+    dt = _t.perf_counter() - t0
+    rate = n / dt / 1e6
+    print(json.dumps({
+        "metric": f"msm_g1_host_native_2^{n.bit_length()-1}_points_per_s",
+        "value": round(rate, 3), "unit": "Mpoint/s",
+        "vs_baseline": round(rate / 1.0, 3),
+    }))
+
+
 def main():
+    metric = os.environ.get("METRIC", "ntt")
+    if metric == "poseidon":
+        return bench_poseidon()
+    if metric == "msm":
+        return bench_msm_host()
     import jax
 
     log_n = int(os.environ.get("NTT_SIZE", "18"))
