@@ -1,0 +1,348 @@
+"""The Ledger: genesis -> block template -> validation -> advance.
+
+Behavioral mirror of ledger/src/ (advance.rs construct_block_template,
+check_next_block.rs, ledger/block/src/verify.rs core checks) over the
+VM + FinalizeStore + Puzzle + Committee pieces:
+
+  * genesis block (round 0, height 0, genesis targets, Genesis ratification
+    seeding committee stakes + public balances into credits.aleo mappings);
+  * prepare_advance_to_next_beacon_block: validate candidate solutions
+    against the previous epoch hash/proof target (MAX_SOLUTIONS split,
+    advance.rs:141), compute next targets (to_next_targets), coinbase and
+    block/puzzle reward ratifications, dry-run speculate transactions;
+  * check_next_block: previous-hash/height/round/timestamp linkage, exact
+    target recomputation, solutions accumulator + ratification amounts,
+    transactions root, dry-run speculation match;
+  * advance_to_next_block: validate, re-speculate for real, commit, apply
+    reward ratifications (staking to committee stakes, proving to
+    credits.aleo account balances), update the block tree state root.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..params import bls12_377 as P
+from ..console import network as N
+from ..console.types import Plaintext, Literal, int_to_bits_le, literal_from_str
+from ..console.merkle import MerkleTree, BHPHasher
+from ..synthesizer import finalize as F
+from ..synthesizer.vm import VM
+from .block import Block, Header, Metadata, transactions_root
+from .committee import Committee, MIN_VALIDATOR_STAKE
+from .puzzle import Puzzle, Solution
+from . import target as T
+from . import rewards as RW
+
+R = P.R
+GENESIS_TIMESTAMP = 1725462000  # MainnetV0 (console/network/src/mainnet_v0.rs)
+MAX_SOLUTIONS = 1 << T.MAX_SOLUTIONS_AS_POWER_OF_TWO
+BLOCK_TREE_DEPTH = 32
+
+
+@dataclass(frozen=True)
+class Ratify:
+    """ledger/block/src/ratify: Genesis / BlockReward / PuzzleReward."""
+    kind: str      # "genesis" | "block_reward" | "puzzle_reward"
+    amount: int = 0
+
+
+def solutions_accumulator(solutions) -> int:
+    """PuzzleSolutions::to_accumulator_point (solutions/mod.rs:69):
+    hash_psd8 over solution ids as fields, zero-padded to MAX_SOLUTIONS."""
+    if not solutions:
+        return 0
+    preimage = [s.partial.id for s in solutions]
+    preimage += [0] * (MAX_SOLUTIONS - len(preimage))
+    return N.hash_psd(8, preimage)
+
+
+def ratifications_root(ratifies) -> int:
+    """Merkle-style digest over the ratification list (BHP over the
+    serialized kinds/amounts; structural analog of to_ratifications_root)."""
+    bits = []
+    for r in ratifies:
+        kind_id = {"genesis": 0, "block_reward": 1, "puzzle_reward": 2}[r.kind]
+        bits += int_to_bits_le(kind_id, 8) + int_to_bits_le(r.amount, 64)
+    return N.hash_bhp(1024, bits) if bits else 0
+
+
+class Ledger:
+    def __init__(self, validator_keys, rng, public_balances=None):
+        """validator_keys: >=3 console PrivateKeys forming the genesis
+        committee (each bonded at MIN_VALIDATOR_STAKE)."""
+        self.vm = VM(rng)
+        self.rng = rng
+        self.puzzle = Puzzle()
+        members = {}
+        self.validator_addresses = []
+        for key in validator_keys:
+            addr = key.to_address()
+            members[addr[0]] = (MIN_VALIDATOR_STAKE, True, 0)
+            self.validator_addresses.append(addr)
+        self.committee = Committee.new_genesis(members)
+        # stakers: validator self-bonds only at genesis (bonded map analog)
+        self.stakers = {ax: (ax, stake) for ax, (stake, _, _) in members.items()}
+
+        # Genesis ratification: seed public balances into credits.aleo
+        for addr, amount in (public_balances or {}).items():
+            self._credit_account(addr, amount)
+
+        md = Metadata(
+            network=0, round=0, height=0,
+            cumulative_weight=0, cumulative_proof_target=0,
+            coinbase_target=T.GENESIS_COINBASE_TARGET,
+            proof_target=T.GENESIS_PROOF_TARGET,
+            last_coinbase_target=T.GENESIS_COINBASE_TARGET,
+            last_coinbase_timestamp=GENESIS_TIMESTAMP,
+            timestamp=GENESIS_TIMESTAMP,
+        )
+        ratifies = [Ratify("genesis")]
+        header = Header(
+            previous_state_root=0,
+            transactions_root=transactions_root([]),
+            finalize_root=0,
+            ratifications_root=ratifications_root(ratifies),
+            solutions_root=0, subdag_root=0, metadata=md,
+        )
+        genesis = Block(previous_hash=0, header=header, transactions=[],
+                        aborted_transaction_ids=[])
+        genesis.ratifications = ratifies
+        genesis.solutions = []
+        self.blocks = [genesis]
+        self._state_roots = [self._compute_state_root()]
+
+    # ---- accessors (ledger/src/get.rs / latest.rs) ----
+    @property
+    def latest_block(self) -> Block:
+        return self.blocks[-1]
+
+    @property
+    def latest_height(self) -> int:
+        return self.latest_block.header.metadata.height
+
+    @property
+    def latest_round(self) -> int:
+        return self.latest_block.header.metadata.round
+
+    @property
+    def latest_state_root(self) -> int:
+        return self._state_roots[-1]
+
+    def latest_epoch_hash(self) -> int:
+        """Block hash at the epoch starting height (ledger/src/lib.rs:
+        latest_epoch_hash -> height - height % NUM_BLOCKS_PER_EPOCH)."""
+        h = self.latest_height
+        return self.blocks[h - h % T.NUM_BLOCKS_PER_EPOCH].hash()
+
+    @property
+    def latest_proof_target(self) -> int:
+        return self.latest_block.header.metadata.proof_target
+
+    def get_block(self, height: int) -> Block:
+        return self.blocks[height]
+
+    # ---- block production ----
+    def prepare_advance_to_next_beacon_block(self, candidate_transactions,
+                                             candidate_solutions=(),
+                                             timestamp=None) -> Block:
+        """advance.rs:261 construct_block_template (beacon mode: no subdag).
+        candidate_transactions: list of PendingTransaction."""
+        prev = self.latest_block
+        pm = prev.header.metadata
+        next_height = pm.height + 1
+        next_round = pm.round + 1
+        next_timestamp = timestamp if timestamp is not None else pm.timestamp + T.BLOCK_TIME
+
+        # solutions: validate against the PREVIOUS epoch hash + proof target
+        epoch_hash = self.latest_epoch_hash()
+        valid, aborted = [], []
+        for sol in candidate_solutions:
+            ok = (len(valid) < MAX_SOLUTIONS
+                  and self.puzzle.check_solution(sol, epoch_hash, pm.proof_target))
+            (valid if ok else aborted).append(sol)
+        combined = sum(s.target for s in valid)
+        solutions_root = solutions_accumulator(valid)
+
+        (next_coinbase_target, next_proof_target, next_cumulative_proof_target,
+         next_cumulative_weight, next_last_coinbase_target,
+         next_last_coinbase_timestamp) = T.to_next_targets(
+            pm.cumulative_proof_target, combined, pm.coinbase_target,
+            pm.cumulative_weight, pm.last_coinbase_target,
+            pm.last_coinbase_timestamp, next_timestamp)
+
+        coinbase_reward = T.coinbase_reward(
+            next_height, T.STARTING_SUPPLY, T.ANCHOR_HEIGHT, T.BLOCK_TIME,
+            combined, pm.cumulative_proof_target, pm.coinbase_target)
+        block_reward = T.block_reward(T.STARTING_SUPPLY, T.BLOCK_TIME,
+                                      coinbase_reward, 0)
+        puzzle_reward = T.puzzle_reward(coinbase_reward)
+        ratifies = [Ratify("block_reward", block_reward),
+                    Ratify("puzzle_reward", puzzle_reward)]
+
+        state = F.FinalizeGlobalState.new(
+            next_round, next_height, next_cumulative_weight,
+            next_cumulative_proof_target, prev.hash())
+        accepted, rejected = self.vm.speculate(candidate_transactions, state)
+        self.vm.abort_speculation()  # dry run — advance commits for real
+
+        md = Metadata(
+            network=0, round=next_round, height=next_height,
+            cumulative_weight=next_cumulative_weight,
+            cumulative_proof_target=next_cumulative_proof_target,
+            coinbase_target=next_coinbase_target,
+            proof_target=next_proof_target,
+            last_coinbase_target=next_last_coinbase_target,
+            last_coinbase_timestamp=next_last_coinbase_timestamp,
+            timestamp=next_timestamp,
+        )
+        txs = [candidate_transactions[i].transaction for i in accepted]
+        header = Header(
+            previous_state_root=self.latest_state_root,
+            transactions_root=transactions_root(txs),
+            finalize_root=0,
+            ratifications_root=ratifications_root(ratifies),
+            solutions_root=solutions_root, subdag_root=0, metadata=md,
+        )
+        block = Block(previous_hash=prev.hash(), header=header,
+                      transactions=txs,
+                      aborted_transaction_ids=[
+                          candidate_transactions[i].transaction.id()
+                          for i in rejected])
+        block.ratifications = ratifies
+        block.solutions = list(valid)
+        block._pending = list(candidate_transactions)
+        return block
+
+    # ---- validation (check_next_block.rs + block/verify.rs) ----
+    def check_next_block(self, block: Block, pending=None) -> None:
+        """Raises ValueError on the first failed check."""
+        prev = self.latest_block
+        pm = prev.header.metadata
+        md = block.header.metadata
+        if block.previous_hash != prev.hash():
+            raise ValueError("previous block hash mismatch")
+        if any(b.hash() == block.hash() for b in self.blocks):
+            raise ValueError("block hash already exists")
+        if md.height != pm.height + 1:
+            raise ValueError("invalid next height")
+        if md.round != pm.round + 1:
+            raise ValueError("invalid next round")
+        if md.network != pm.network:
+            raise ValueError("network mismatch")
+        if md.timestamp <= pm.timestamp:
+            raise ValueError("timestamp must advance")
+        if block.header.previous_state_root != self.latest_state_root:
+            raise ValueError("previous state root mismatch")
+
+        # solutions
+        solutions = getattr(block, "solutions", [])
+        if len(solutions) > MAX_SOLUTIONS:
+            raise ValueError("too many solutions")
+        epoch_hash = self.latest_epoch_hash()
+        for sol in solutions:
+            if not self.puzzle.check_solution(sol, epoch_hash, pm.proof_target):
+                raise ValueError("invalid puzzle solution")
+        if block.header.solutions_root != solutions_accumulator(solutions):
+            raise ValueError("solutions root mismatch")
+        combined = sum(s.target for s in solutions)
+
+        # exact target recomputation
+        expect = T.to_next_targets(
+            pm.cumulative_proof_target, combined, pm.coinbase_target,
+            pm.cumulative_weight, pm.last_coinbase_target,
+            pm.last_coinbase_timestamp, md.timestamp)
+        got = (md.coinbase_target, md.proof_target, md.cumulative_proof_target,
+               md.cumulative_weight, md.last_coinbase_target,
+               md.last_coinbase_timestamp)
+        if got != expect:
+            raise ValueError(f"target mismatch: {got} != {expect}")
+
+        # reward ratifications
+        coinbase_reward = T.coinbase_reward(
+            md.height, T.STARTING_SUPPLY, T.ANCHOR_HEIGHT, T.BLOCK_TIME,
+            combined, pm.cumulative_proof_target, pm.coinbase_target)
+        expect_ratifies = [
+            Ratify("block_reward", T.block_reward(T.STARTING_SUPPLY,
+                                                  T.BLOCK_TIME,
+                                                  coinbase_reward, 0)),
+            Ratify("puzzle_reward", T.puzzle_reward(coinbase_reward)),
+        ]
+        ratifies = getattr(block, "ratifications", [])
+        if ratifies != expect_ratifies:
+            raise ValueError("ratifications mismatch")
+        if block.header.ratifications_root != ratifications_root(ratifies):
+            raise ValueError("ratifications root mismatch")
+
+        # transactions
+        if block.header.transactions_root != transactions_root(block.transactions):
+            raise ValueError("transactions root mismatch")
+        pending = pending if pending is not None else getattr(block, "_pending", None)
+        if pending is not None:
+            state = F.FinalizeGlobalState.new(
+                md.round, md.height, md.cumulative_weight,
+                md.cumulative_proof_target, prev.hash())
+            accepted, _ = self.vm.speculate(pending, state)
+            self.vm.abort_speculation()
+            accepted_ids = [pending[i].transaction.id() for i in accepted]
+            if accepted_ids != [t.id() for t in block.transactions]:
+                raise ValueError("speculation result mismatch")
+
+    # ---- advance (advance.rs:96) ----
+    def advance_to_next_block(self, block: Block, pending=None) -> None:
+        self.check_next_block(block, pending)
+        md = block.header.metadata
+        pending = pending if pending is not None else getattr(block, "_pending", [])
+        accepted_map = {p.transaction.id(): p for p in pending}
+        to_run = [accepted_map[t.id()] for t in block.transactions
+                  if t.id() in accepted_map]
+        if to_run:
+            state = F.FinalizeGlobalState.new(
+                md.round, md.height, md.cumulative_weight,
+                md.cumulative_proof_target, block.previous_hash)
+            self.vm.speculate(to_run, state)
+            self.vm.finalize()
+
+        # apply reward ratifications
+        for r in getattr(block, "ratifications", []):
+            if r.kind == "block_reward":
+                self.stakers = RW.staking_rewards(self.stakers, self.committee,
+                                                  r.amount)
+                members = {ax: (self.stakers[ax][1], o, c)
+                           for ax, (_, o, c) in self.committee.members.items()}
+                self.committee = Committee(self.committee.starting_round, members)
+            elif r.kind == "puzzle_reward":
+                targets = [(s.partial.address_x, s.target)
+                           for s in getattr(block, "solutions", [])]
+                for addr_x, amount in RW.proving_rewards(targets, r.amount).items():
+                    self._credit_account_x(addr_x, amount)
+
+        self.blocks.append(block)
+        self.vm.block_height = md.height
+        self.vm.blocks = self.blocks
+        self.vm.previous_hash = block.hash()
+        self._state_roots.append(self._compute_state_root())
+
+    # ---- state root (BlockTree: BHP1024 Merkle over block hashes) ----
+    def _compute_state_root(self) -> int:
+        leaves = [int_to_bits_le(b.hash() % R, 253) for b in self.blocks]
+        return MerkleTree(BLOCK_TREE_DEPTH, BHPHasher(1024), leaves).root
+
+    # ---- credits.aleo account helpers ----
+    def _credit_account(self, addr_str: str, amount: int):
+        from ..synthesizer.finalize import _key_of
+        acct = self.vm.store.mapping("credits.aleo", "account")
+        key = _key_of(literal_from_str(addr_str))
+        cur = acct.get_confirmed(key)
+        bal = cur.value.value if cur is not None else 0
+        acct.insert(key, Plaintext.literal("u64", min(bal + amount, RW.U64_MAX)))
+
+    def _credit_account_x(self, addr_x: int, amount: int):
+        from ..utils.encoding import bech32m_encode
+        self._credit_account(
+            bech32m_encode("aleo", addr_x.to_bytes(32, "little")), amount)
+
+    def get_balance(self, addr_str: str):
+        from ..synthesizer.finalize import _key_of
+        acct = self.vm.store.mapping("credits.aleo", "account")
+        v = acct.get_confirmed(_key_of(literal_from_str(addr_str)))
+        return v.value.value if v is not None else None

@@ -26,10 +26,26 @@ R = P.R
 
 @dataclass
 class FinalizeGlobalState:
-    """vm finalize global state: block height/round + random seed."""
+    """vm finalize global state: block height/round + 32-byte random seed
+    (finalize_global_state/mod.rs:50)."""
     block_height: int = 1
     block_round: int = 1
-    random_seed: int = 0
+    random_seed: int = 0  # 32-byte seed as a little-endian int
+
+    @classmethod
+    def new(cls, block_round: int, block_height: int, cumulative_weight: int,
+            cumulative_proof_target: int, previous_block_hash: int):
+        """Seed = BHP768 over [round u64, height u32, weight u128,
+        cumulative_proof_target u128, prev hash field] (605 bits), taken as
+        32 LE bytes (finalize_global_state/mod.rs:57-73)."""
+        bits = (int_to_bits_le(block_round, 64)
+                + int_to_bits_le(block_height, 32)
+                + int_to_bits_le(cumulative_weight, 128)
+                + int_to_bits_le(cumulative_proof_target, 128)
+                + int_to_bits_le(previous_block_hash % R, 253))
+        seed = N.hash_bhp(768, bits)
+        return cls(block_height=block_height, block_round=block_round,
+                   random_seed=seed)
 
 
 class FinalizeStore:
@@ -175,12 +191,18 @@ def _execute_finalize_command(stack: Stack, regs: FinalizeRegisters, cmd):
     if op == "rand.chacha":
         dest_type = (cmd.as_type or "field").split(".")[0]
         seeds = [regs.load(o) for o in cmd.operands]
-        preimage = int_to_bits_le(regs.state.random_seed, 64)
+        # rand_chacha.rs:90 preimage: [seed 256b, transition id field,
+        # program id (name+network identifier bits, no dot), function name,
+        # destination locator u64, destination type id u8, seeds]
+        from ..console.types import VARIANTS
+        preimage = int_to_bits_le(regs.state.random_seed, 256)
         preimage += int_to_bits_le(regs.transition_id % R, 253)
-        preimage += bytes_to_bits_le(prog_id.encode())
+        name, _, network = prog_id.partition(".")
+        preimage += bytes_to_bits_le(name.encode())
+        preimage += bytes_to_bits_le(network.encode())
         preimage += bytes_to_bits_le(regs.function_name.encode())
-        preimage += int_to_bits_le(int(cmd.destinations[0][1:]), 8)
-        preimage += int_to_bits_le(0, 8)
+        preimage += int_to_bits_le(int(cmd.destinations[0][1:]), 64)
+        preimage += int_to_bits_le(VARIANTS[dest_type], 8)
         for s in seeds:
             preimage += _as_plaintext(s).to_bits_le()
         digest = N.hash_bhp(1024, preimage)

@@ -68,6 +68,10 @@ class VM:
         collect transitions + finalize futures (vm/execute.rs shape; the
         Varuna proof attaches via Trace.prove_execution)."""
         stack = self.process.get_stack(program_id)
+        from .process import parse_plaintext_str
+        from ..console.types import Plaintext, Literal
+        inputs = [parse_plaintext_str(i) if isinstance(i, str) else i for i in inputs]
+        inputs = [Plaintext("literal", i) if isinstance(i, Literal) else i for i in inputs]
         req = Request.sign(private_key, program_id, function_name, inputs, input_types, self.rng)
         signer = req.signer
         outs = stack.evaluate_function(function_name, list(inputs), signer=signer, caller=signer)
