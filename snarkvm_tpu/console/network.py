@@ -138,6 +138,15 @@ def hash_to_scalar_psd(rate: int, inputs) -> int:
     return from_field_lossy_scalar(hash_psd(rate, inputs))
 
 
+def program_address(program_id: str):
+    """ProgramID::to_address (console/program/src/id/to_address.rs:20):
+    HashToGroup_psd4([name_field, network_field])."""
+    from .types import Identifier
+    name, _, network = program_id.partition(".")
+    return hash_to_group_psd(4, [Identifier(name).to_field(),
+                                 Identifier(network).to_field()])
+
+
 def hash_to_group_psd(rate: int, inputs):
     """hash_many(2) -> Elligator2 each -> sum (poseidon/hash_to_group.rs)."""
     assert inputs, "input to hash to group cannot be empty"

@@ -222,7 +222,17 @@ def _execute_finalize_command(stack: Stack, regs: FinalizeRegisters, cmd):
         regs.store_reg(cmd.destinations[0], out)
         return
     if op == "await":
-        return  # child futures run inline in this engine (round-2: future queue)
+        # await rX: execute the awaited child future's finalize against the
+        # same speculative store view (command/await.rs semantics)
+        v = regs.load(cmd.operands[0])
+        if getattr(v, "kind", None) == "future":
+            pid, fname, args = v.value
+            sub = stack if pid == stack.program.id else stack.external.get(pid)
+            if sub is None:
+                raise HaltError(f"awaited program {pid} not found")
+            execute_finalize(sub, fname, args, regs.store, regs.state,
+                             regs.transition_id)
+        return
     # plain instructions allowed inside finalize
     if op in _BINARY:
         a = _as_literal(regs.load(cmd.operands[0]))

@@ -203,11 +203,24 @@ class Stack:
             regs.store(inst.destinations[0], Literal("boolean", ok))
             return
         if op == "call":
+            # stack/call/mod.rs:49 — closures inherit the current caller;
+            # external functions run with caller = calling program's address
+            # (ProgramID::to_address), signer preserved.
             callee = inst.operands[0]
             args = [regs.load(o) for o in inst.operands[1:]]
-            if "/" in callee or "." in callee and callee.endswith(".aleo"):
-                raise HaltError("external calls not yet wired")
-            results = self.evaluate_function(callee, args, regs.signer, regs.caller)
+            if "/" in callee:
+                pid, fname = callee.split("/", 1)
+                sub = self.external.get(pid)
+                if sub is None:
+                    raise HaltError(f"external program {pid} not found")
+                if fname in sub.program.closures:
+                    results = sub.evaluate_function(fname, args, regs.signer, regs.caller)
+                else:
+                    from ..console import network as _N
+                    results = sub.evaluate_function(
+                        fname, args, regs.signer, _N.program_address(self.program.id))
+            else:
+                results = self.evaluate_function(callee, args, regs.signer, regs.caller)
             for dest, res in zip(inst.destinations, results):
                 regs.store(dest, res)
             return
