@@ -91,6 +91,16 @@ class VM:
         futures = [(pid, fname, args, transition.id()) for pid, fname, args, _ in futures]
         return PendingTransaction(tx, futures)
 
+    def execution_cost(self, pending: "PendingTransaction"):
+        """(total, (storage, finalize)) for an execute transaction
+        (process/src/cost.rs:29 execution_cost)."""
+        from . import cost as C
+        return C.execution_cost(self.process, pending.transaction.transitions)
+
+    def deployment_cost(self, deployment):
+        from . import cost as C
+        return C.deployment_cost(deployment)
+
     # ---- speculate / finalize (vm/finalize.rs) ----
     def speculate(self, pending, state: F.FinalizeGlobalState | None = None):
         state = state or F.FinalizeGlobalState(block_height=self.block_height + 1)
