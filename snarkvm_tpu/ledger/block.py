@@ -121,6 +121,7 @@ class Transaction:
     kind: str                    # "deploy" | "execute" | "fee"
     transitions: list
     payload: object = None       # Deployment / Execution extra data
+    fee_amount: int | None = None  # base fee paid by the fee transition
 
     def id(self) -> int:
         leaves = [int_to_bits_le(t.id(), 253) for t in self.transitions]

@@ -46,6 +46,19 @@ class Process:
         return self.stacks[program_id]
 
 
+def execution_id(transitions) -> int:
+    """Execution::to_execution_id analog: digest over the transition ids
+    (ledger/block/src/transaction/execution/mod.rs to_execution_id — the
+    reference roots a Merkle tree; we BHP-hash the id chain)."""
+    from ..console.types import int_to_bits_le
+    from ..console import network as N
+    from ..params import bls12_377 as P
+    bits = []
+    for t in transitions:
+        bits += int_to_bits_le(t.id() % P.R, 253)
+    return N.hash_bhp(1024, bits)
+
+
 @dataclass
 class PendingTransaction:
     transaction: Transaction
@@ -63,10 +76,14 @@ class VM:
 
     # ---- transaction construction ----
     def execute(self, private_key, program_id: str, function_name: str,
-                inputs, input_types) -> PendingTransaction:
+                inputs, input_types, priority_fee: int | None = None) -> PendingTransaction:
         """Build an execute-transaction: sign request, run the function,
         collect transitions + finalize futures (vm/execute.rs shape; the
-        Varuna proof attaches via Trace.prove_execution)."""
+        Varuna proof attaches via Trace.prove_execution).
+
+        priority_fee=None builds a feeless transaction (dev mode); any int
+        (0 included) attaches a credits.aleo/fee_public transition paying
+        execution_cost + priority_fee from the signer's public balance."""
         stack = self.process.get_stack(program_id)
         from .process import parse_plaintext_str
         from ..console.types import Plaintext, Literal
@@ -89,13 +106,55 @@ class VM:
         )
         tx = Transaction("execute", [transition])
         futures = [(pid, fname, args, transition.id()) for pid, fname, args, _ in futures]
-        return PendingTransaction(tx, futures)
+        pending = PendingTransaction(tx, futures)
+
+        if priority_fee is not None:
+            # attach a credits.aleo/fee_public transition covering the
+            # execution cost (vm/execute.rs:execute_fee_raw shape)
+            from . import cost as C
+            base_fee, _ = C.execution_cost(self.process, tx.transitions)
+            fee_pending = self._fee_public(private_key, base_fee, priority_fee,
+                                           execution_id(tx.transitions))
+            tx.transitions.append(fee_pending.transaction.transitions[0])
+            tx.fee_amount = base_fee
+            pending.futures.extend(fee_pending.futures)
+        return pending
+
+    def _fee_public(self, private_key, base_fee: int, priority_fee: int,
+                    deployment_or_execution_id: int) -> PendingTransaction:
+        """Build the fee transition (credits.aleo/fee_public)."""
+        return self.execute(
+            private_key, "credits.aleo", "fee_public",
+            [f"{base_fee}u64", f"{priority_fee}u64",
+             f"{deployment_or_execution_id}field"],
+            [("public", "u64"), ("public", "u64"), ("public", "field")])
+
+    def check_transaction(self, pending: "PendingTransaction") -> None:
+        """Fee sufficiency check (vm/verify.rs check_fee shape): the fee
+        transition's base amount must cover the execution cost of the
+        non-fee transitions. Raises ValueError."""
+        from . import cost as C
+        body = [t for t in pending.transaction.transitions
+                if not (t.program_id == "credits.aleo"
+                        and t.function_name.startswith("fee_"))]
+        fee_ts = [t for t in pending.transaction.transitions if t not in body]
+        required, _ = C.execution_cost(self.process, body) if body else (0, (0, 0))
+        if not fee_ts:
+            if required > 0:
+                raise ValueError(f"transaction is missing a fee (requires {required})")
+            return
+        amount = pending.transaction.fee_amount or 0
+        if amount < required:
+            raise ValueError(f"fee {amount} below required {required}")
 
     def execution_cost(self, pending: "PendingTransaction"):
         """(total, (storage, finalize)) for an execute transaction
         (process/src/cost.rs:29 execution_cost)."""
         from . import cost as C
-        return C.execution_cost(self.process, pending.transaction.transitions)
+        body = [t for t in pending.transaction.transitions
+                if not (t.program_id == "credits.aleo"
+                        and t.function_name.startswith("fee_"))]
+        return C.execution_cost(self.process, body)
 
     def deployment_cost(self, deployment):
         from . import cost as C
