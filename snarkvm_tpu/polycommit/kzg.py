@@ -94,6 +94,79 @@ def test_srs(max_degree: int) -> UniversalSRS:
     return UniversalSRS(max_degree)
 
 
+class LoadedSRS:
+    """UniversalSRS backed by on-disk .usrs artifacts — no beta/gamma known,
+    only the group elements (the trusted-setup consumption path,
+    parameters/src/mainnet/powers.rs:60). Drop-in for the prover/verifier:
+    exposes the same surface as UniversalSRS minus the trapdoor scalars.
+
+    Artifact dialect: dense G1 powers + dense gamma powers (the mainnet
+    artifacts ship the gamma powers as a sparse BTreeMap keyed by shift;
+    we generate our own files via UniversalSRS.save, so dense is used)."""
+
+    def __init__(self, max_degree, g_powers, gamma_powers, h, beta_h, neg_powers):
+        self.max_degree = max_degree
+        self._powers_g = g_powers
+        self._gamma_powers_g = gamma_powers
+        self.g = g_powers[0]
+        self.h = h
+        self.beta_h = beta_h
+        self._neg_powers = dict(neg_powers)
+
+    @property
+    def powers_of_beta_g(self):
+        return self._powers_g
+
+    @property
+    def powers_of_beta_times_gamma_g(self):
+        return self._gamma_powers_g
+
+    def neg_power_of_beta_h(self, degree_bound: int):
+        pt = self._neg_powers.get(degree_bound)
+        if pt is None:
+            raise KeyError(f"SRS artifact has no neg power for degree bound {degree_bound}")
+        return pt
+
+    @classmethod
+    def load(cls, directory: str) -> "LoadedSRS":
+        import os
+        from ..params import srs_io
+        from ..fields.scalar import Fq2
+        g_powers = srs_io.read_powers_file(os.path.join(directory, "powers-of-beta.usrs"))
+        gamma = srs_io.read_powers_file(os.path.join(directory, "powers-of-beta-gamma.usrs"))
+        neg = srs_io.read_neg_powers_file(os.path.join(directory, "neg-powers-of-beta.usrs"))
+        with open(os.path.join(directory, "beta-h.usrs"), "rb") as f:
+            data = f.read()
+
+        def g2(b):
+            (x0, x1), (y0, y1) = srs_io.read_g2(b)
+            return (Fq2(x0, x1), Fq2(y0, y1))
+
+        h = g2(data[:192])
+        beta_h = g2(data[192:384])
+        neg = {k: (Fq2(v[0][0], v[0][1]), Fq2(v[1][0], v[1][1]))
+               for k, v in neg.items()}
+        return cls(len(g_powers) - 1, g_powers, gamma, h, beta_h, neg)
+
+
+def save_srs(srs: UniversalSRS, directory: str, degree_bounds=()) -> None:
+    """Write a UniversalSRS as .usrs artifacts consumable by LoadedSRS
+    (beta-h.usrs holds h || beta_h)."""
+    import os
+    from ..params import srs_io
+    os.makedirs(directory, exist_ok=True)
+    srs_io.write_powers_file(os.path.join(directory, "powers-of-beta.usrs"),
+                             srs.powers_of_beta_g)
+    srs_io.write_powers_file(os.path.join(directory, "powers-of-beta-gamma.usrs"),
+                             srs.powers_of_beta_times_gamma_g)
+    srs_io.write_neg_powers_file(
+        os.path.join(directory, "neg-powers-of-beta.usrs"),
+        {db: srs.neg_power_of_beta_h(db) for db in degree_bounds})
+    with open(os.path.join(directory, "beta-h.usrs"), "wb") as f:
+        f.write(srs_io.write_g2(srs.h))
+        f.write(srs_io.write_g2(srs.beta_h))
+
+
 class Randomness:
     """Commitment randomness: a blinding polynomial (empty = non-hiding)."""
 
