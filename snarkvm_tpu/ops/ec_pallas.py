@@ -1,0 +1,468 @@
+"""Pallas TPU kernels for BLS12-377 G1 (Jacobian, limb-major) + MSM.
+
+Why this exists: the XLA limb-plane EC path (ops/ec.py) costs ~5s of XLA
+compile PER g1_add instance on CPU (each rolled Montgomery REDC becomes a
+separate fori subcomputation), so a Pippenger graph with dozens of adds
+times dozens of windows is untenable to compile. Here each EC op is ONE
+Mosaic kernel — compiled once, invoked everywhere — so the surrounding
+XLA graph is just gathers/sorts plus custom-calls.
+
+Layout: limb-major [L=24, B] uint32 per coordinate (limbs on sublanes,
+batch on lanes), Montgomery form — the same layout as the Pallas NTT
+(pallas_field.py). Infinity is encoded as Z == 0.
+
+MSM (replaces algorithms/src/msm/variable_base/batched.rs:366 for the
+device path): per window, sort-by-digit -> Hillis-Steele inclusive scan
+of complete adds (log2(n) kernel calls over the full lane width) ->
+bucket sums via boundary differences -> suffix-sum window total.
+Window combination happens on host ints (22 tiny EC ops).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..fields.limb import FQ, FR, MASK, BASE_BITS
+from ..params import bls12_377 as P
+from . import pallas_field as pf
+
+L = FQ.L          # 24 limbs of 16 bits
+LANE = 128        # min/natural lane tile
+
+
+# ---------------------------------------------------------------------------
+# In-kernel helpers — TENSORIZED [L, B] 2D form.
+#
+# The row-list helpers in pallas_field unroll the full L x L schoolbook
+# (≈5k ops per mul): right for the single-mul butterfly kernel, fatal for
+# a 27-mul EC kernel (the traced graph hits ~130k ops and interpret-mode
+# compiles take minutes). Here the product is ONE [L, L, B] multiply and
+# column accumulation is L static-slice adds, ~370 ops per mul.
+# ---------------------------------------------------------------------------
+
+
+def _mm2(a, b, pp, spec=FQ):
+    """Montgomery mul. a/b: [L, B] uint32; pp: [L, B] modulus plane
+    (p limbs broadcast across lanes — kernels cannot capture constant
+    arrays, so the modulus rides in as an input)."""
+    l = spec.L
+    B = a.shape[1]
+    rows = 2 * l + 1
+
+    def off(x, i):
+        """Place [l, B] (or [1, B]) block at row offset i of [rows, B]."""
+        return jnp.pad(x, ((i, rows - i - x.shape[0]), (0, 0)))
+
+    prod = a[:, None, :] * b[None, :, :]                # [L, L, B]
+    lo = prod & MASK
+    hi = prod >> BASE_BITS
+    # scatter-free column accumulation (Mosaic has no scatter-add):
+    # each partial product block is zero-padded to full height and added
+    cols = jnp.zeros((rows, B), jnp.uint32)
+    for i in range(l):
+        cols = cols + off(lo[i], i) + off(hi[i], i + 1)
+    n0 = jnp.uint32(spec.n0)
+    for i in range(l):
+        m = (cols[i] * n0) & MASK                       # [B]
+        mp = m[None, :] * pp                            # [L, B]
+        cols = cols + off(mp & MASK, i) + off(mp >> BASE_BITS, i + 1)
+        cols = cols + off((cols[i] >> BASE_BITS)[None, :], i + 1)
+    return _condsub2(_carries2(cols[l : 2 * l + 1], l), pp, spec)
+
+
+def _carries2(cols, l):
+    outs = []
+    carry = jnp.zeros_like(cols[0])
+    for i in range(l):
+        t = cols[i] + carry
+        outs.append(t & MASK)
+        carry = t >> BASE_BITS
+    return jnp.stack(outs)
+
+
+def _condsub2(x, pp, spec=FQ):
+    borrow = jnp.zeros_like(x[0])
+    diff = []
+    for i in range(spec.L):
+        t = x[i] + (1 << BASE_BITS) - pp[i] - borrow
+        diff.append(t & MASK)
+        borrow = 1 - (t >> BASE_BITS)
+    diff = jnp.stack(diff)
+    return jnp.where((borrow != 0)[None, :], x, diff)
+
+
+def _add2(a, b, pp, spec=FQ):
+    carry = jnp.zeros_like(a[0])
+    out = []
+    for i in range(spec.L):
+        t = a[i] + b[i] + carry
+        out.append(t & MASK)
+        carry = t >> BASE_BITS
+    return _condsub2(jnp.stack(out), pp, spec)
+
+
+def _sub2(a, b, pp, spec=FQ):
+    borrow = jnp.zeros_like(a[0])
+    diff = []
+    for i in range(spec.L):
+        t = a[i] + (1 << BASE_BITS) - b[i] - borrow
+        diff.append(t & MASK)
+        borrow = 1 - (t >> BASE_BITS)
+    diff = jnp.stack(diff)
+    carry = jnp.zeros_like(a[0])
+    fixed = []
+    for i in range(spec.L):
+        t = diff[i] + pp[i] + carry
+        fixed.append(t & MASK)
+        carry = t >> BASE_BITS
+    fixed = jnp.stack(fixed)
+    return jnp.where((borrow != 0)[None, :], fixed, diff)
+
+
+def _is_zero_rows(x):
+    return jnp.all(x == 0, axis=0)       # [B] bool
+
+
+def _select_rows(mask, a, b):
+    """mask: [B] bool -> where(mask, a, b) over [L, B]."""
+    return jnp.where(mask[None, :], a, b)
+
+
+def _zero_rows_like(x):
+    return jnp.zeros_like(x)
+
+
+def _double_rows(x1, y1, z1, pp):
+    """dbl-2009-l: complete for nonzero points (a=0 curve)."""
+    mm = lambda a, b: _mm2(a, b, pp)
+    add = lambda a, b: _add2(a, b, pp)
+    sub = lambda a, b: _sub2(a, b, pp)
+    A = mm(x1, x1)
+    B = mm(y1, y1)
+    C = mm(B, B)
+    t = add(x1, B)
+    t = mm(t, t)
+    t = sub(sub(t, A), C)
+    D = add(t, t)
+    E = add(add(A, A), A)
+    F = mm(E, E)
+    X3 = sub(F, add(D, D))
+    C2 = add(C, C)
+    C4 = add(C2, C2)
+    C8 = add(C4, C4)
+    Y3 = sub(mm(E, sub(D, X3)), C8)
+    YZ = mm(y1, z1)
+    Z3 = add(YZ, YZ)
+    return X3, Y3, Z3
+
+
+def _add_rows(x1, y1, z1, x2, y2, z2, pp):
+    """Complete Jacobian add (inf / doubling / inverse handled by selects)."""
+    mm = lambda a, b: _mm2(a, b, pp)
+    add = lambda a, b: _add2(a, b, pp)
+    sub = lambda a, b: _sub2(a, b, pp)
+    inf1 = _is_zero_rows(z1)
+    inf2 = _is_zero_rows(z2)
+
+    Z1Z1 = mm(z1, z1)
+    Z2Z2 = mm(z2, z2)
+    U1 = mm(x1, Z2Z2)
+    U2 = mm(x2, Z1Z1)
+    S1 = mm(mm(y1, z2), Z2Z2)
+    S2 = mm(mm(y2, z1), Z1Z1)
+    H = sub(U2, U1)
+    r = sub(S2, S1)
+    h_zero = _is_zero_rows(H)
+    r_zero = _is_zero_rows(r)
+    same = h_zero & r_zero
+    opp = h_zero & (~r_zero)
+
+    H2 = add(H, H)
+    I = mm(H2, H2)
+    J = mm(H, I)
+    r2 = add(r, r)
+    V = mm(U1, I)
+    X3 = sub(sub(mm(r2, r2), J), add(V, V))
+    S1J = mm(S1, J)
+    Y3 = sub(mm(r2, sub(V, X3)), add(S1J, S1J))
+    ZZ = add(z1, z2)
+    ZZ = mm(ZZ, ZZ)
+    Z3 = mm(sub(sub(ZZ, Z1Z1), Z2Z2), H)
+
+    dx, dy, dz = _double_rows(x1, y1, z1, pp)
+    X = _select_rows(same, dx, X3)
+    Y = _select_rows(same, dy, Y3)
+    Z = _select_rows(same, dz, Z3)
+    Z = _select_rows(opp, _zero_rows_like(Z), Z)
+    X = _select_rows(inf1, x2, _select_rows(inf2, x1, X))
+    Y = _select_rows(inf1, y2, _select_rows(inf2, y1, Y))
+    Z = _select_rows(inf1, z2, _select_rows(inf2, z1, Z))
+    return X, Y, Z
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+def _add_kernel(x1, y1, z1, x2, y2, z2, pp, xo, yo, zo):
+    X, Y, Z = _add_rows(x1[:, :], y1[:, :], z1[:, :],
+                        x2[:, :], y2[:, :], z2[:, :], pp[:, :])
+    xo[:, :] = X
+    yo[:, :] = Y
+    zo[:, :] = Z
+
+
+def _double_kernel(x1, y1, z1, pp, xo, yo, zo):
+    # complete: doubling infinity stays infinity (Z3 = 2*Y*Z = 0 when Z=0)
+    X, Y, Z = _double_rows(x1[:, :], y1[:, :], z1[:, :], pp[:, :])
+    xo[:, :] = X
+    yo[:, :] = Y
+    zo[:, :] = Z
+
+
+@functools.lru_cache(maxsize=None)
+def _g1_op(n_in: int, kernel_name: str, block: int):
+    if jax.default_backend() == "cpu":
+        return _g1_op_cpu(kernel_name)
+    kernel = {"add": _add_kernel, "double": _double_kernel}[kernel_name]
+
+    def run(*coords):
+        B = coords[0].shape[1]
+        grid = (B // block,)
+        bs = lambda: pl.BlockSpec((L, block), lambda i: (0, i),
+                                  memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[bs() for _ in range(n_in)],
+            out_specs=(bs(), bs(), bs()),
+            out_shape=tuple(jax.ShapeDtypeStruct((L, B), jnp.uint32)
+                            for _ in range(3)),
+        )(*coords)
+        return out
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=None)
+def _g1_op_cpu(kernel_name: str):
+    """CPU path: same formulas via the rolled row-major ops in ops/ec.py
+    (one ~5s XLA compile per width, cached). Interpret-mode Pallas would
+    re-lower the 37k-eqn fused kernel, which takes minutes on CPU."""
+    from . import ec
+
+    def run(*coords):
+        t = [c.T for c in coords[:-1]]       # drop the modulus plane
+        if kernel_name == "add":
+            p = {"X": t[0], "Y": t[1], "Z": t[2]}
+            q = {"X": t[3], "Y": t[4], "Z": t[5]}
+            r = ec._g1_add_impl(p, q)
+        else:
+            r = ec._g1_double_impl({"X": t[0], "Y": t[1], "Z": t[2]})
+        return r["X"].T, r["Y"].T, r["Z"].T
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=None)
+def _p_plane_np(B: int):
+    col = np.array([int(x) for x in FQ.p_limbs], dtype=np.uint32)
+    return np.tile(col[:, None], (1, B))
+
+
+def _p_plane(B: int):
+    return jnp.asarray(_p_plane_np(B))
+
+
+def g1_add_lm(p, q, block: int = LANE):
+    """p, q: dicts {"X","Y","Z"} of [L, B] (B % block == 0). Complete add."""
+    B = p["X"].shape[1]
+    x, y, z = _g1_op(7, "add", block)(p["X"], p["Y"], p["Z"],
+                                      q["X"], q["Y"], q["Z"], _p_plane(B))
+    return {"X": x, "Y": y, "Z": z}
+
+
+def g1_double_lm(p, block: int = LANE):
+    B = p["X"].shape[1]
+    x, y, z = _g1_op(4, "double", block)(p["X"], p["Y"], p["Z"], _p_plane(B))
+    return {"X": x, "Y": y, "Z": z}
+
+
+# ---------------------------------------------------------------------------
+# Host <-> limb-major conversion
+# ---------------------------------------------------------------------------
+
+def _int_to_col(v: int) -> np.ndarray:
+    return np.array([(v >> (BASE_BITS * i)) & int(MASK) for i in range(L)],
+                    dtype=np.uint32)
+
+
+def g1_from_affine_lm(points):
+    """points: list of (x, y) canonical ints or None -> limb-major dict,
+    lanes padded to a multiple of LANE with infinity."""
+    n = len(points)
+    B = max(LANE, ((n + LANE - 1) // LANE) * LANE)
+    X = np.zeros((L, B), dtype=np.uint32)
+    Y = np.zeros((L, B), dtype=np.uint32)
+    Z = np.zeros((L, B), dtype=np.uint32)
+    one_m = _int_to_col(FQ.R % P.Q)
+    for i, pt in enumerate(points):
+        if pt is None:
+            continue
+        X[:, i] = _int_to_col(pt[0] * FQ.R % P.Q)
+        Y[:, i] = _int_to_col(pt[1] * FQ.R % P.Q)
+        Z[:, i] = one_m
+    return {"X": jnp.asarray(X), "Y": jnp.asarray(Y), "Z": jnp.asarray(Z)}
+
+
+def _col_to_int(col) -> int:
+    v = 0
+    for i in range(L):
+        v |= int(col[i]) << (BASE_BITS * i)
+    return v
+
+
+def g1_lm_to_jac_ints(p):
+    """[L, B] dict -> list of (X, Y, Z) canonical int Jacobian tuples."""
+    Rinv = pow(FQ.R, -1, P.Q)
+    X = np.asarray(p["X"])
+    Y = np.asarray(p["Y"])
+    Z = np.asarray(p["Z"])
+    out = []
+    for i in range(X.shape[1]):
+        out.append((_col_to_int(X[:, i]) * Rinv % P.Q,
+                    _col_to_int(Y[:, i]) * Rinv % P.Q,
+                    _col_to_int(Z[:, i]) * Rinv % P.Q))
+    return out
+
+
+def _identity_lm(B: int):
+    return {"X": jnp.zeros((L, B), jnp.uint32),
+            "Y": jnp.zeros((L, B), jnp.uint32),
+            "Z": jnp.zeros((L, B), jnp.uint32)}
+
+
+# ---------------------------------------------------------------------------
+# MSM
+# ---------------------------------------------------------------------------
+
+def _gather_lanes(p, idx):
+    return {k: jnp.take(v, idx, axis=1) for k, v in p.items()}
+
+
+def _neg_lm(p):
+    """-P: Y -> p - Y (maps 0 -> 0, so infinity stays canonical)."""
+    B = p["Y"].shape[1]
+    return {"X": p["X"],
+            "Y": _sub2(jnp.zeros_like(p["Y"]), p["Y"], _p_plane(B)),
+            "Z": p["Z"]}
+
+
+def _prefix_scan_lm(p, n):
+    """Hillis-Steele inclusive scan of EC adds over the first n lanes
+    (lanes >= n must be identity; they stay harmless)."""
+    B = p["X"].shape[1]
+    d = 1
+    while d < n:
+        shifted = {k: jnp.pad(v, ((0, 0), (d, 0)))[:, :B] for k, v in p.items()}
+        p = g1_add_lm(p, shifted)
+        d <<= 1
+    return p
+
+
+def _extract_digits_lm(scalar_limbs, window, c):
+    from .msm import _extract_digits
+    return _extract_digits(scalar_limbs, window, c)
+
+
+def msm_g1_lm(points_lm, scalar_limbs, n: int, c: int | None = None,
+              num_bits: int = 253):
+    """Pippenger over Pallas kernels. points_lm: limb-major dict (lanes
+    padded past n with infinity); scalar_limbs: canonical Fr limbs [n, 16]
+    uint32 (row-major). Returns the host Jacobian int tuple."""
+    from .msm import default_window
+    from ..curves import sw_fast as g1f
+
+    B = points_lm["X"].shape[1]
+    if c is None:
+        c = default_window(n)
+    windows = (num_bits + c - 1) // c
+    nb = 1 << c
+    nb_pad = max(LANE, ((nb + LANE - 1) // LANE) * LANE)
+
+    def window_sums_fn(points, slimbs):
+        # eager driver: every EC op below is a fixed-width jitted kernel
+        # (widths B and nb_pad only), so everything hits the op cache and
+        # no monolithic MSM graph is ever compiled
+        outs = []
+        for w in range(windows):
+            digits = _extract_digits_lm(slimbs, w, c)          # [n]
+            # pad-lane digits sort to the end (nb), never collide with real
+            digits_full = jnp.concatenate(
+                [digits, jnp.full((B - n,), nb, jnp.int32)])
+            order = jnp.argsort(digits_full)
+            sorted_digits = jnp.take(digits_full, order)
+            sp = _gather_lanes(points, order)
+            prefix = _prefix_scan_lm(sp, B)
+            boundary = jnp.searchsorted(
+                sorted_digits, jnp.arange(nb, dtype=jnp.int32), side="right") - 1
+            has_any = boundary >= 0
+            safe = jnp.maximum(boundary, 0)
+            S = _gather_lanes(prefix, safe)                     # [nb]
+            keep = has_any[None, :]
+            S = {k: jnp.where(keep, v, 0) for k, v in S.items()}  # identity
+            # S_prev: shift right one lane; lane 0 becomes identity
+            Sp = {k: jnp.pad(v, ((0, 0), (1, 0)))[:, :nb] for k, v in S.items()}
+            buckets = g1_add_lm(_pad_lanes(S, nb_pad),
+                                _neg_lm(_pad_lanes(Sp, nb_pad)))
+            # drop bucket 0; reverse the remaining nb-1 buckets; a prefix
+            # scan of the reversed buckets yields the suffix sums T_k, and
+            # sum_k T_k = sum_b b * bucket_b (the window total)
+            rev = {k: v[:, 1:nb][:, ::-1] for k, v in buckets.items()}
+            rev = _pad_lanes(rev, nb_pad)
+            suffix = _prefix_scan_lm(rev, nb - 1)
+            # zero out lanes >= nb-1 (scan smeared values into the padding)
+            lanes = jnp.arange(nb_pad) < nb - 1
+            suffix = {k: jnp.where(lanes[None, :], v, 0)
+                      for k, v in suffix.items()}
+            total = _reduce_lanes(suffix, nb_pad)               # lane 0
+            outs.append({k: v[:, :1] for k, v in total.items()})
+        return {k: jnp.concatenate([o[k] for o in outs], axis=1)
+                for k in ("X", "Y", "Z")}
+
+    sums = _pad_lanes(window_sums_fn(points_lm, scalar_limbs), LANE)
+    jacs = g1_lm_to_jac_ints(sums)[:windows]
+    total = None
+    for w in range(windows - 1, -1, -1):
+        if total is not None:
+            for _ in range(c):
+                total = g1f.jac_double(total)
+        wsum = jacs[w]
+        if wsum[2] != 0:
+            total = wsum if total is None else g1f.jac_add(total, wsum)
+    return total if total is not None else (0, 1, 0)
+
+
+def _pad_lanes(p, B):
+    cur = p["X"].shape[1]
+    if cur >= B:
+        return p
+    return {k: jnp.pad(v, ((0, 0), (0, B - cur))) for k, v in p.items()}
+
+
+def _reduce_lanes(p, B):
+    """Tree-sum all lanes into lane 0 (lanes past the data must be
+    identity). log2(B) pallas adds at fixed width B."""
+    size = B
+    while size > 1:
+        half = size // 2
+        right = {k: jnp.pad(v[:, half:size], ((0, 0), (0, B - (size - half))))
+                 for k, v in p.items()}
+        p = g1_add_lm(p, right)
+        size = half
+    return p

@@ -1,0 +1,78 @@
+"""Pallas limb-major G1 engine (ops/ec_pallas.py): kernel semantics vs the
+host-int golden model, and the Pallas-kernel MSM vs host Pippenger.
+
+On CPU the ops route through the rolled row-major implementation (same
+formulas, one compile per width); on TPU the fused Mosaic kernel runs.
+Small sizes + few windows keep runtimes CI-friendly.
+"""
+import random
+
+import jax.numpy as jnp
+import pytest
+
+from snarkvm_tpu.ops import ec_pallas as ep
+from snarkvm_tpu.fields import limb
+from snarkvm_tpu.curves import sw_fast as g1f
+from snarkvm_tpu.params import bls12_377 as P
+
+rng = random.Random(0xEC)
+
+
+def _points(n):
+    base = g1f.from_affine((P.G1_GENERATOR_X, P.G1_GENERATOR_Y))
+    out, cur = [], base
+    for _ in range(n):
+        out.append(g1f.to_affine(cur))
+        cur = g1f.jac_add(cur, base)
+    return out
+
+
+def _aff(j):
+    return None if j[2] == 0 else g1f.to_affine(j)
+
+
+class TestKernels:
+    def test_add_cases(self):
+        pts = _points(6)
+        # doubling, generic add, add, infinity operand
+        a = ep.g1_from_affine_lm(pts[:3] + [None])
+        b = ep.g1_from_affine_lm([pts[0], pts[3], pts[0], pts[1]])
+        got = [_aff(j) for j in ep.g1_lm_to_jac_ints(ep.g1_add_lm(a, b))[:4]]
+        want = [g1f.to_affine(g1f.jac_add(g1f.from_affine(x), g1f.from_affine(y)))
+                for x, y in [(pts[0], pts[0]), (pts[1], pts[3]), (pts[2], pts[0])]]
+        want.append(pts[1])  # inf + P = P
+        assert got == want
+
+    def test_add_inverse_gives_infinity(self):
+        pts = _points(1)
+        neg = [(pts[0][0], P.Q - pts[0][1])]
+        a = ep.g1_from_affine_lm(pts)
+        b = ep.g1_from_affine_lm(neg)
+        got = ep.g1_lm_to_jac_ints(ep.g1_add_lm(a, b))[0]
+        assert got[2] == 0  # infinity
+
+    def test_double(self):
+        pts = _points(2)
+        a = ep.g1_from_affine_lm(pts + [None])
+        got = [_aff(j) for j in ep.g1_lm_to_jac_ints(ep.g1_double_lm(a))[:3]]
+        want = [g1f.to_affine(g1f.jac_double(g1f.from_affine(p))) for p in pts]
+        assert got == want + [None]  # 2 * inf = inf
+
+    def test_roundtrip(self):
+        pts = _points(5) + [None]
+        lm = ep.g1_from_affine_lm(pts)
+        back = [_aff(j) for j in ep.g1_lm_to_jac_ints(lm)[: len(pts)]]
+        assert back == pts
+
+
+class TestMSM:
+    @pytest.mark.parametrize("n,c,bits", [(8, 4, 12), (40, 5, 20)])
+    def test_msm_matches_host(self, n, c, bits):
+        pts = _points(n)
+        scalars = [rng.randrange(1 << bits) for _ in range(n)]
+        scalars[0] = 0
+        plm = ep.g1_from_affine_lm(pts)
+        sc = jnp.asarray(limb.FR.to_limbs(scalars))
+        out = ep.msm_g1_lm(plm, sc, n, c=c, num_bits=bits)
+        want = _aff(g1f.msm(pts, scalars))
+        assert _aff(out) == want
