@@ -16,7 +16,7 @@ program sampler:
     zero leaves.
 
 The weighted table itself is extracted to JSON by
-scratch/extract_puzzle_table.py (resources/puzzle_instruction_set.json).
+tools/extract_puzzle_table.py (resources/puzzle_instruction_set.json).
 """
 from __future__ import annotations
 
