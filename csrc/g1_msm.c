@@ -212,7 +212,57 @@ static void g1_add(g1 *out, const g1 *p, const g1 *q) {
     out->X = X3; out->Y = Y3; out->Z = Z3;
 }
 
-/* ---- Pippenger MSM ---- */
+/* ---- Pippenger MSM (window-parallel over pthreads) ---- */
+#include <pthread.h>
+#include <unistd.h>
+
+typedef struct {
+    const g1 *pts;
+    const u64 *scalars;
+    size_t n, scalar_words, windows;
+    int c;
+    g1 *window_sums;        /* one per window */
+    size_t next_window;     /* work-stealing counter */
+    pthread_mutex_t lock;
+} msm_job;
+
+static void msm_window(const msm_job *job, size_t w, g1 *buckets, g1 *wsum_out) {
+    int c = job->c;
+    size_t nbuckets = ((size_t)1 << c) - 1;
+    for (size_t b = 0; b < nbuckets; b++) g1_set_inf(&buckets[b]);
+    size_t bit = w * c;
+    for (size_t i = 0; i < job->n; i++) {
+        size_t word = bit / 64, ofs = bit % 64;
+        u64 d = job->scalars[i * job->scalar_words + word] >> ofs;
+        if (ofs + c > 64 && word + 1 < job->scalar_words)
+            d |= job->scalars[i * job->scalar_words + word + 1] << (64 - ofs);
+        d &= (((u64)1 << c) - 1);
+        if (d) g1_add(&buckets[d - 1], &buckets[d - 1], &job->pts[i]);
+    }
+    g1 running, wsum; g1_set_inf(&running); g1_set_inf(&wsum);
+    for (size_t b = nbuckets; b-- > 0;) {
+        g1_add(&running, &running, &buckets[b]);
+        g1_add(&wsum, &wsum, &running);
+    }
+    *wsum_out = wsum;
+}
+
+static void *msm_worker(void *arg) {
+    msm_job *job = (msm_job *)arg;
+    size_t nbuckets = ((size_t)1 << job->c) - 1;
+    g1 *buckets = (g1 *)malloc(nbuckets * sizeof(g1));
+    for (;;) {
+        pthread_mutex_lock(&job->lock);
+        size_t w = job->next_window;
+        if (w >= job->windows) { pthread_mutex_unlock(&job->lock); break; }
+        job->next_window = w + 1;
+        pthread_mutex_unlock(&job->lock);
+        msm_window(job, w, buckets, &job->window_sums[w]);
+    }
+    free(buckets);
+    return NULL;
+}
+
 void g1_msm(const u64 *xs, const u64 *ys, const uint8_t *inf,
             const u64 *scalars, size_t n, size_t scalar_words, u64 *out) {
     int c = 4;
@@ -221,7 +271,6 @@ void g1_msm(const u64 *xs, const u64 *ys, const uint8_t *inf,
     if (n >= (1 << 18)) c = 16;
     size_t nbits = scalar_words * 64;
     size_t windows = (nbits + c - 1) / c;
-    size_t nbuckets = ((size_t)1 << c) - 1;
 
     g1 *pts = (g1 *)malloc(n * sizeof(g1));
     for (size_t i = 0; i < n; i++) {
@@ -234,30 +283,33 @@ void g1_msm(const u64 *xs, const u64 *ys, const uint8_t *inf,
         memcpy(pts[i].Z.v, R1, sizeof(R1));
     }
 
-    g1 *buckets = (g1 *)malloc(nbuckets * sizeof(g1));
+    msm_job job = {pts, scalars, n, scalar_words, windows, c, NULL, 0,
+                   PTHREAD_MUTEX_INITIALIZER};
+    job.window_sums = (g1 *)malloc(windows * sizeof(g1));
+
+    long ncpu = sysconf(_SC_NPROCESSORS_ONLN);
+    size_t nthreads = ncpu > 1 ? (size_t)ncpu : 1;
+    if (nthreads > windows) nthreads = windows;
+    if (n < 256) nthreads = 1;   /* tiny MSMs: thread spawn not worth it */
+    if (nthreads <= 1) {
+        msm_worker(&job);
+    } else {
+        pthread_t *tids = (pthread_t *)malloc(nthreads * sizeof(pthread_t));
+        for (size_t t = 0; t < nthreads; t++)
+            pthread_create(&tids[t], NULL, msm_worker, &job);
+        for (size_t t = 0; t < nthreads; t++)
+            pthread_join(tids[t], NULL);
+        free(tids);
+    }
+
+    /* Horner combine of window sums */
     g1 total; g1_set_inf(&total);
     for (size_t w = windows; w-- > 0;) {
-        if (w != windows - 1) {
+        if (w != windows - 1)
             for (int k = 0; k < c; k++) g1_double(&total, &total);
-        }
-        for (size_t b = 0; b < nbuckets; b++) g1_set_inf(&buckets[b]);
-        size_t bit = w * c;
-        for (size_t i = 0; i < n; i++) {
-            size_t word = bit / 64, ofs = bit % 64;
-            u64 d = scalars[i * scalar_words + word] >> ofs;
-            if (ofs + c > 64 && word + 1 < scalar_words)
-                d |= scalars[i * scalar_words + word + 1] << (64 - ofs);
-            d &= (((u64)1 << c) - 1);
-            if (d) g1_add(&buckets[d - 1], &buckets[d - 1], &pts[i]);
-        }
-        g1 running, wsum; g1_set_inf(&running); g1_set_inf(&wsum);
-        for (size_t b = nbuckets; b-- > 0;) {
-            g1_add(&running, &running, &buckets[b]);
-            g1_add(&wsum, &wsum, &running);
-        }
-        g1_add(&total, &total, &wsum);
+        g1_add(&total, &total, &job.window_sums[w]);
     }
-    free(buckets);
+    free(job.window_sums);
     free(pts);
 
     fq X, Y, Z;

@@ -61,12 +61,22 @@ def _bitrev(n: int):
     return rev
 
 
+NATIVE_NTT_THRESHOLD = 32
+
+
 def ntt_host(vals, inverse: bool = False, mod: int = MOD):
-    """In-natural-order radix-2 NTT over a size-len(vals) subgroup."""
+    """In-natural-order radix-2 NTT over a size-len(vals) subgroup.
+    Dispatches to the native C engine (csrc/fr_ntt.c) for Fr when built."""
     n = len(vals)
     assert n & (n - 1) == 0
     if n == 1:
         return list(vals)
+    if mod == P.R and n >= NATIVE_NTT_THRESHOLD:
+        from ..utils import native
+        if native.fr_available():
+            g, g_inv, n_inv = domain_params(n, mod)
+            return native.fr_ntt(list(vals), g_inv if inverse else g,
+                                 inverse, n_inv)
     x = [vals[r] for r in _bitrev(n)]
     tables = _twiddle_tables(n, inverse, mod)
     for s in range(1, n.bit_length()):
@@ -99,11 +109,18 @@ def _ntt_device(vals, inverse: bool, mod: int):
 
 
 def ntt(vals, inverse: bool = False, mod: int = MOD):
+    # dispatch order mirrors the reference's CUDA hooks (domain.rs:374):
+    # native host engine (fast C path, no transfer cost) -> device ->
+    # pure Python. The device path wins only when the data already lives
+    # on-device; host ints pay conversion, so the C path is preferred.
+    from ..utils import native
+    if mod == P.R and native.fr_available():
+        return ntt_host(vals, inverse, mod)
     if len(vals) >= DEVICE_NTT_THRESHOLD:
         try:
             return _ntt_device(list(vals), inverse, mod)
         except Exception:
-            pass  # device unavailable -> host fallback (cf. domain.rs CPU fallback)
+            pass  # device unavailable -> host fallback
     return ntt_host(vals, inverse, mod)
 
 
@@ -266,6 +283,10 @@ def lagrange_coefficients(n: int, tau: int, mod: int = MOD):
 
 def batch_inverse(vals, mod: int = MOD):
     """Montgomery batch inversion; zeros map to zero."""
+    if mod == P.R and len(vals) >= 64:
+        from ..utils import native
+        if native.fr_available():
+            return native.fr_batch_inv(list(vals))
     prefix = []
     acc = 1
     for v in vals:

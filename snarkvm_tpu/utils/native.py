@@ -54,11 +54,77 @@ def available() -> bool:
     return _lib() is not None
 
 
+_FRLIB = None
+_FR_TRIED = False
+
+
+def _frlib():
+    """csrc/fr_ntt.c — the host Fr polynomial engine (NTT, pointwise ops,
+    batch inversion), the snarkvm-algorithms fft CPU-path analog."""
+    global _FRLIB, _FR_TRIED
+    if _FRLIB is not None or _FR_TRIED:
+        return _FRLIB
+    _FR_TRIED = True
+    so_path = os.path.join(_CSRC, "libfrntt.so")
+    src = os.path.join(_CSRC, "fr_ntt.c")
+    try:
+        if (not os.path.exists(so_path)
+                or os.path.getmtime(so_path) < os.path.getmtime(src)):
+            subprocess.run(
+                ["gcc", "-O3", "-march=native", "-shared", "-fPIC", src, "-o", so_path],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(so_path)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        lib.fr_ntt.argtypes = [u64p, ctypes.c_size_t, u64p, ctypes.c_int, u64p]
+        lib.fr_batch_mul.argtypes = [u64p, u64p, ctypes.c_size_t]
+        lib.fr_batch_inv.argtypes = [u64p, ctypes.c_size_t]
+        _FRLIB = lib
+    except Exception:
+        _FRLIB = None
+    return _FRLIB
+
+
+def fr_available() -> bool:
+    return _frlib() is not None
+
+
+def _words4(values):
+    data = b"".join(v.to_bytes(32, "little") for v in values)
+    return np.frombuffer(data, dtype=np.uint64).reshape(-1, 4).copy()
+
+
+def _unwords4(arr):
+    data = arr.tobytes()
+    return [int.from_bytes(data[i : i + 32], "little")
+            for i in range(0, len(data), 32)]
+
+
+def fr_ntt(vals, omega: int, inverse: bool = False, n_inv: int = 0):
+    """In-place radix-2 NTT over Fr via the C engine; returns a new list."""
+    lib = _frlib()
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    a = _words4(vals)
+    om = _words4([omega])
+    ni = _words4([n_inv])
+    lib.fr_ntt(a.ctypes.data_as(u64p), len(vals), om.ctypes.data_as(u64p),
+               1 if inverse else 0, ni.ctypes.data_as(u64p))
+    return _unwords4(a)
+
+
+def fr_batch_inv(vals):
+    lib = _frlib()
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    a = _words4(vals)
+    lib.fr_batch_inv(a.ctypes.data_as(u64p), len(vals))
+    return _unwords4(a)
+
+
 def _to_limbs64(values, n_limbs):
     arr = np.zeros((len(values), n_limbs), dtype=np.uint64)
-    for i, v in enumerate(values):
-        for j in range(n_limbs):
-            arr[i, j] = (v >> (64 * j)) & 0xFFFFFFFFFFFFFFFF
+    nbytes = n_limbs * 8
+    data = b"".join(v.to_bytes(nbytes, "little") for v in values)
+    arr[:] = np.frombuffer(data, dtype=np.uint64).reshape(-1, n_limbs)
     return arr
 
 
