@@ -34,9 +34,16 @@ def _chunk_tables(bhp: BHP):
 
 
 def bhp_hash_gadget(builder: CircuitBuilder, variant: int, domain: str, bits):
-    """bits: list of CBool. Returns the digest CField (x-coordinate).
-    Single-iteration inputs only (<= max_bits - data bits), like the
-    first block of BHP::hash_uncompressed."""
+    """bits: list of CBool. Returns the digest CField (x-coordinate)."""
+    return bhp_hash_point_gadget(builder, variant, domain, bits).x
+
+
+def bhp_hash_point_gadget(builder: CircuitBuilder, variant: int, domain: str,
+                          bits) -> CGroup:
+    """Point-valued BHP hash (hash_uncompressed): the commit gadget adds
+    the randomizer term onto this. Single-iteration inputs only
+    (<= max_bits - data bits), like the first block of
+    BHP::hash_uncompressed."""
     bhp = N._bhp(variant)
     tables = _chunk_tables(bhp)
     # preimage = domain bits ++ u64 length ++ input bits (as constants + vars)
@@ -75,7 +82,7 @@ def bhp_hash_gadget(builder: CircuitBuilder, variant: int, domain: str, bits):
             x_fin = x_sel * sign
             pt = CGroup(builder, x_fin, y_sel)
             acc = pt if acc is None else acc + pt
-    return acc.x
+    return acc
 
 
 def bhp_hash_gadget_check(builder, variant, domain, bit_values):
