@@ -145,12 +145,32 @@ class Ledger:
     def prepare_advance_to_next_beacon_block(self, candidate_transactions,
                                              candidate_solutions=(),
                                              timestamp=None) -> Block:
-        """advance.rs:261 construct_block_template (beacon mode: no subdag).
+        """advance.rs:64 (beacon mode: no subdag)."""
+        return self._construct_block_template(None, candidate_transactions,
+                                              candidate_solutions, timestamp)
+
+    def prepare_advance_to_next_quorum_block(self, subdag,
+                                             candidate_transactions,
+                                             candidate_solutions=()) -> Block:
+        """advance.rs:32 — block from a committed Narwhal subdag: round =
+        anchor round, timestamp = stake-weighted median of the previous
+        round's certificates, subdag root in the header."""
+        if not subdag.validate(self.committee):
+            raise ValueError("invalid subdag for the current committee")
+        block = self._construct_block_template(
+            subdag, candidate_transactions, candidate_solutions,
+            subdag.timestamp(self.committee))
+        return block
+
+    def _construct_block_template(self, subdag, candidate_transactions,
+                                  candidate_solutions=(),
+                                  timestamp=None) -> Block:
+        """advance.rs:261 construct_block_template.
         candidate_transactions: list of PendingTransaction."""
         prev = self.latest_block
         pm = prev.header.metadata
         next_height = pm.height + 1
-        next_round = pm.round + 1
+        next_round = subdag.anchor_round() if subdag is not None else pm.round + 1
         next_timestamp = timestamp if timestamp is not None else pm.timestamp + T.BLOCK_TIME
 
         # solutions: validate against the PREVIOUS epoch hash + proof target
@@ -201,7 +221,9 @@ class Ledger:
             transactions_root=transactions_root(txs),
             finalize_root=0,
             ratifications_root=ratifications_root(ratifies),
-            solutions_root=solutions_root, subdag_root=0, metadata=md,
+            solutions_root=solutions_root,
+            subdag_root=subdag.to_subdag_root() if subdag is not None else 0,
+            metadata=md,
         )
         block = Block(previous_hash=prev.hash(), header=header,
                       transactions=txs,
@@ -210,6 +232,7 @@ class Ledger:
                           for i in rejected])
         block.ratifications = ratifies
         block.solutions = list(valid)
+        block.subdag = subdag
         block._pending = list(candidate_transactions)
         return block
 
@@ -225,7 +248,15 @@ class Ledger:
             raise ValueError("block hash already exists")
         if md.height != pm.height + 1:
             raise ValueError("invalid next height")
-        if md.round != pm.round + 1:
+        subdag = getattr(block, "subdag", None)
+        if subdag is not None:
+            if not subdag.validate(self.committee):
+                raise ValueError("invalid subdag")
+            if md.round != subdag.anchor_round() or md.round < pm.round + 1:
+                raise ValueError("invalid quorum round")
+            if block.header.subdag_root != subdag.to_subdag_root():
+                raise ValueError("subdag root mismatch")
+        elif md.round != pm.round + 1:
             raise ValueError("invalid next round")
         if md.network != pm.network:
             raise ValueError("network mismatch")

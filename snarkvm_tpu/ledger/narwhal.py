@@ -110,6 +110,42 @@ class Subdag:
                         seen.append(tid)
         return seen
 
+    def timestamp(self, committee: Committee) -> int:
+        """Stake-weighted median of the (anchor_round - 1) certificate
+        timestamps (subdag/src/lib.rs:190)."""
+        anchor = self.anchor_round()
+        pairs = [(cert.header.timestamp, committee.get_stake(cert.header.author))
+                 for rnd, certs in self.rounds.items() if rnd == anchor - 1
+                 for cert in certs]
+        return weighted_median(pairs)
+
+    def to_subdag_root(self) -> int:
+        """BHP Merkle tree (depth SUBDAG_CERTIFICATES_DEPTH=16) over
+        per-round concatenated certificate-id bits (subdag/src/lib.rs:206)."""
+        from ..console.merkle import MerkleTree, BHPHasher
+        from ..console.types import int_to_bits_le
+        leaves = []
+        for rnd in sorted(self.rounds):
+            bits = []
+            for cert in self.rounds[rnd]:
+                bits += int_to_bits_le(cert.certificate_id(), 253)
+            leaves.append(bits)
+        return MerkleTree(16, BHPHasher(1024, 512), leaves).root
+
+
+def weighted_median(timestamps_and_stake) -> int:
+    """subdag/src/lib.rs:84 — smallest timestamp whose accumulated stake
+    reaches half the total."""
+    pairs = sorted(timestamps_and_stake, key=lambda p: p[0])
+    total = sum(s for _, s in pairs)
+    current, acc = 0, 0
+    for ts, stake in pairs:
+        acc += stake
+        current = ts
+        if acc * 2 >= total:
+            break
+    return current
+
 
 @dataclass
 class Authority:
