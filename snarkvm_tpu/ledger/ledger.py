@@ -67,10 +67,12 @@ def ratifications_root(ratifies) -> int:
 
 
 class Ledger:
-    def __init__(self, validator_keys, rng, public_balances=None):
+    def __init__(self, validator_keys, rng, public_balances=None,
+                 store_path: str | None = None):
         """validator_keys: >=3 console PrivateKeys forming the genesis
-        committee (each bonded at MIN_VALIDATOR_STAKE)."""
-        self.vm = VM(rng)
+        committee (each bonded at MIN_VALIDATOR_STAKE). store_path: SQLite
+        file for the persistent finalize store."""
+        self.vm = VM(rng, store_path=store_path)
         self.rng = rng
         self.puzzle = Puzzle()
         members = {}

@@ -1,0 +1,172 @@
+"""Persistent storage backend (ledger/store/src/helpers/rocksdb analog).
+
+SQLite-backed NestedMap with the same trait surface as the in-memory
+backend (store.py): confirmed state lives in one `kv` table keyed by
+(map_id, key); atomic batches and checkpoints stay in memory exactly like
+the reference's RocksDB WriteBatch — finish_atomic flushes the batch in
+ONE SQL transaction, so a crash mid-finalize leaves the confirmed state
+at the previous block (the property speculation relies on).
+
+Values are pickled (internal storage format; the consensus-visible
+serialization is the bit-level one in console/types.py).
+"""
+from __future__ import annotations
+
+import os
+import pickle
+import sqlite3
+
+from .store import AtomicMap
+
+
+class _SqlDict:
+    """dict-like confirmed view over (map_id, key) rows."""
+
+    def __init__(self, conn: sqlite3.Connection, map_id: bytes):
+        self.conn = conn
+        self.map_id = map_id
+
+    def get(self, key, default=None):
+        row = self.conn.execute(
+            "SELECT value FROM kv WHERE map_id=? AND key=?",
+            (self.map_id, key)).fetchone()
+        return pickle.loads(row[0]) if row else default
+
+    def __setitem__(self, key, value):
+        self.conn.execute(
+            "INSERT OR REPLACE INTO kv (map_id, key, value) VALUES (?,?,?)",
+            (self.map_id, key, pickle.dumps(value)))
+
+    def pop(self, key, default=None):
+        v = self.get(key, default)
+        self.conn.execute("DELETE FROM kv WHERE map_id=? AND key=?",
+                          (self.map_id, key))
+        return v
+
+    def __contains__(self, key):
+        return self.conn.execute(
+            "SELECT 1 FROM kv WHERE map_id=? AND key=?",
+            (self.map_id, key)).fetchone() is not None
+
+    def keys(self):
+        return [r[0] for r in self.conn.execute(
+            "SELECT key FROM kv WHERE map_id=?", (self.map_id,))]
+
+    def __len__(self):
+        return self.conn.execute(
+            "SELECT COUNT(*) FROM kv WHERE map_id=?",
+            (self.map_id,)).fetchone()[0]
+
+
+class DbAtomicMap(AtomicMap):
+    """AtomicMap whose confirmed state is a SQLite table slice; batch and
+    checkpoint machinery is inherited unchanged."""
+
+    def __init__(self, conn: sqlite3.Connection, map_id: bytes, parent):
+        super().__init__()
+        self.confirmed = _SqlDict(conn, map_id)
+        self._parent = parent
+
+    def finish_atomic(self):
+        assert self.batch is not None
+        conn = self._parent.conn
+        conn.execute("BEGIN")
+        try:
+            for key, value in self.batch:
+                if value is self._TOMBSTONE:
+                    self.confirmed.pop(key, None)
+                else:
+                    self.confirmed[key] = value
+            conn.execute("COMMIT")
+        except BaseException:
+            conn.execute("ROLLBACK")
+            raise
+        self.batch = None
+        self.checkpoints = []
+
+
+class DbNestedMap:
+    """NestedMap over SQLite (same interface as store.NestedMap)."""
+
+    def __init__(self, path: str):
+        first = not os.path.exists(path) or os.path.getsize(path) == 0
+        # autocommit for direct (non-atomic) writes; finish_atomic uses an
+        # explicit BEGIN/COMMIT so the batch lands as one transaction
+        self.conn = sqlite3.connect(path, isolation_level=None)
+        self.conn.execute("PRAGMA journal_mode=WAL")
+        if first:
+            self.conn.execute(
+                "CREATE TABLE IF NOT EXISTS kv ("
+                "map_id BLOB, key BLOB, value BLOB, "
+                "PRIMARY KEY (map_id, key))")
+            self.conn.commit()
+        self.maps = {}
+        self._atomic = False
+        self._depth = 0
+        self._in_txn = False
+
+    @staticmethod
+    def _map_id(outer_key) -> bytes:
+        if isinstance(outer_key, bytes):
+            return outer_key
+        if isinstance(outer_key, tuple):
+            return "\x1f".join(str(p) for p in outer_key).encode()
+        return str(outer_key).encode()
+
+    def map(self, outer_key) -> DbAtomicMap:
+        mid = self._map_id(outer_key)
+        if mid not in self.maps:
+            m = DbAtomicMap(self.conn, mid, self)
+            if self._atomic:
+                m.start_atomic()
+                for _ in range(self._depth):
+                    m.atomic_checkpoint()
+            self.maps[mid] = m
+        return self.maps[mid]
+
+    def start_atomic(self):
+        self._atomic, self._depth = True, 0
+        for m in self.maps.values():
+            m.start_atomic()
+
+    def atomic_checkpoint(self):
+        self._depth += 1
+        for m in self.maps.values():
+            m.atomic_checkpoint()
+
+    def atomic_rewind(self):
+        self._depth = max(0, self._depth - 1)
+        for m in self.maps.values():
+            m.atomic_rewind()
+
+    def clear_latest_checkpoint(self):
+        self._depth = max(0, self._depth - 1)
+        for m in self.maps.values():
+            m.clear_latest_checkpoint()
+
+    def abort_atomic(self):
+        self._atomic, self._depth = False, 0
+        for m in self.maps.values():
+            m.abort_atomic()
+
+    def finish_atomic(self):
+        self._atomic, self._depth = False, 0
+        self.conn.execute("BEGIN")
+        try:
+            for m in self.maps.values():
+                # inline flush inside the shared transaction
+                assert m.batch is not None
+                for key, value in m.batch:
+                    if value is AtomicMap._TOMBSTONE:
+                        m.confirmed.pop(key, None)
+                    else:
+                        m.confirmed[key] = value
+                m.batch = None
+                m.checkpoints = []
+            self.conn.execute("COMMIT")
+        except BaseException:
+            self.conn.execute("ROLLBACK")
+            raise
+
+    def close(self):
+        self.conn.close()

@@ -49,10 +49,12 @@ class FinalizeGlobalState:
 
 
 class FinalizeStore:
-    """program id -> mapping name -> key bits -> value (FinalizeStore:529)."""
+    """program id -> mapping name -> key bits -> value (FinalizeStore:529).
+    `maps` may be any NestedMap-interface backend (in-memory default, or
+    ledger/store_db.DbNestedMap for the persistent SQLite backend)."""
 
-    def __init__(self):
-        self.maps = NestedMap()
+    def __init__(self, maps=None):
+        self.maps = maps if maps is not None else NestedMap()
 
     def mapping(self, program_id: str, name: str):
         return self.maps.map((program_id, name))

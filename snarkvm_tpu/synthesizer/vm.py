@@ -66,9 +66,15 @@ class PendingTransaction:
 
 
 class VM:
-    def __init__(self, rng=None):
+    def __init__(self, rng=None, store_path: str | None = None):
+        """store_path: SQLite file for a persistent finalize store
+        (ledger/store/src/helpers/rocksdb analog); default in-memory."""
         self.process = Process()
-        self.store = F.FinalizeStore()
+        if store_path is not None:
+            from ..ledger.store_db import DbNestedMap
+            self.store = F.FinalizeStore(DbNestedMap(store_path))
+        else:
+            self.store = F.FinalizeStore()
         self.rng = rng or random.Random(0)
         self.block_height = 0
         self.blocks = []
