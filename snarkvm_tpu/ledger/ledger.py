@@ -112,6 +112,9 @@ class Ledger:
         genesis.solutions = []
         self.blocks = [genesis]
         self._state_roots = [self._compute_state_root()]
+        # record bookkeeping (check_next_block.rs:COMMITMENT/SERIAL checks)
+        self.spent_serial_numbers = set()
+        self.commitments = {}    # commitment -> (height, tx_index, transition_index)
 
     # ---- accessors (ledger/src/get.rs / latest.rs) ----
     @property
@@ -309,6 +312,18 @@ class Ledger:
         # transactions
         if block.header.transactions_root != transactions_root(block.transactions):
             raise ValueError("transactions root mismatch")
+        # record double-spend / commitment uniqueness
+        seen_sns = set()
+        for tx in block.transactions:
+            for t in tx.transitions:
+                for kind, val in t.inputs:
+                    if kind == "record":
+                        if val in self.spent_serial_numbers or val in seen_sns:
+                            raise ValueError("serial number already spent")
+                        seen_sns.add(val)
+                for kind, val in t.outputs:
+                    if kind == "record" and val in self.commitments:
+                        raise ValueError("commitment already exists")
         pending = pending if pending is not None else getattr(block, "_pending", None)
         if pending is not None:
             state = F.FinalizeGlobalState.new(
@@ -348,6 +363,15 @@ class Ledger:
                            for s in getattr(block, "solutions", [])]
                 for addr_x, amount in RW.proving_rewards(targets, r.amount).items():
                     self._credit_account_x(addr_x, amount)
+
+        for ti, tx in enumerate(block.transactions):
+            for tri, t in enumerate(tx.transitions):
+                for kind, val in t.inputs:
+                    if kind == "record":
+                        self.spent_serial_numbers.add(val)
+                for kind, val in t.outputs:
+                    if kind == "record":
+                        self.commitments[val] = (md.height, ti, tri)
 
         self.blocks.append(block)
         self.vm.block_height = md.height

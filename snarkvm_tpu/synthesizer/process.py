@@ -20,10 +20,11 @@ LITERAL_TYPES = set(INT_WIDTHS) | {"field", "group", "scalar", "boolean", "addre
 
 
 class Registers:
-    def __init__(self, signer=None, caller=None):
+    def __init__(self, signer=None, caller=None, tvk=None):
         self.regs = {}
         self.signer = signer
         self.caller = caller
+        self.tvk = tvk
 
     def store(self, dest: str, value):
         assert dest.startswith("r")
@@ -61,6 +62,13 @@ def _access_member(v, member):
         for ident, val in v.value:
             if ident.name == member:
                 return val.value if isinstance(val, Plaintext) and val.kind == "literal" and False else val
+    from ..console.record import Record
+    if isinstance(v, Record):
+        if member == "owner":
+            return Literal("address", v.owner)
+        for ident, entry in v.data:
+            if ident.name == member:
+                return entry.value
     if isinstance(v, dict):  # record entries
         if member in v:
             return v[member]
@@ -87,14 +95,17 @@ class Stack:
         self.program = program
         self.external = external or {}
 
-    def evaluate_function(self, name: str, inputs, signer=None, caller=None):
-        """Run a function (or closure) on console values; returns output list."""
+    def evaluate_function(self, name: str, inputs, signer=None, caller=None,
+                          tvk=None):
+        """Run a function (or closure) on console values; returns output list.
+        tvk: the request's transition view key — record casts derive output
+        nonces from it (cast.rs:317)."""
         fn = self.program.functions.get(name) or self.program.closures.get(name)
         if fn is None:
             raise HaltError(f"no function {name}")
         if len(inputs) != len(fn.inputs):
             raise HaltError("input arity mismatch")
-        regs = Registers(signer=signer, caller=caller)
+        regs = Registers(signer=signer, caller=caller, tvk=tvk)
         for finput, value in zip(fn.inputs, inputs):
             value = self._check_input_type(finput.value_type, value)
             regs.store(finput.register, value)
@@ -175,6 +186,33 @@ class Stack:
         if op in ("cast", "cast.lossy"):
             dest_type = inst.as_type
             lossy = op.endswith("lossy")
+            rec_base = (dest_type or "").split(".")[0]
+            if rec_base in self.program.records and dest_type.endswith(".record"):
+                # record cast (cast.rs:269): operands = [owner, entries...];
+                # nonce = g * HashToScalar_psd2([tvk, destination locator])
+                from ..console.record import Record, Entry
+                from ..console.types import Identifier, _group_from_x
+                rt = self.program.records[rec_base]
+                assert len(inst.operands) == 1 + len(rt.entries), \
+                    "cast: operand count must match the record entries"
+                owner_lit = _as_literal(regs.load(inst.operands[0]))
+                if owner_lit.type_name != "address":
+                    raise HaltError("record owner must be an address")
+                owner = owner_lit.value if isinstance(owner_lit.value, tuple) \
+                    else _group_from_x(owner_lit.value)
+                data = []
+                for (ename, etype), operand in zip(rt.entries, inst.operands[1:]):
+                    vis = etype.split(".")[-1]
+                    data.append((Identifier(ename),
+                                 Entry(vis, _as_plaintext(regs.load(operand)))))
+                if regs.tvk is None:
+                    raise HaltError("record cast requires a transition view key")
+                index = int(inst.destinations[0][1:])
+                randomizer = N.hash_to_scalar_psd(2, [regs.tvk, index])
+                nonce = N.g_scalar_multiply(randomizer)
+                regs.store(inst.destinations[0],
+                           Record(owner, rt.owner_visibility, data, nonce))
+                return
             if dest_type in self.program.structs:
                 st = self.program.structs[dest_type]
                 assert len(inst.operands) == len(st.members)

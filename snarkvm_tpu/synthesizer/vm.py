@@ -63,6 +63,7 @@ def execution_id(transitions) -> int:
 class PendingTransaction:
     transaction: Transaction
     futures: list      # [(program_id, finalize_name, args, transition_id)]
+    outputs: list = field(default_factory=list)   # console output values
 
 
 class VM:
@@ -93,26 +94,43 @@ class VM:
         stack = self.process.get_stack(program_id)
         from .process import parse_plaintext_str
         from ..console.types import Plaintext, Literal
+        from ..console.record import Record
         inputs = [parse_plaintext_str(i) if isinstance(i, str) else i for i in inputs]
         inputs = [Plaintext("literal", i) if isinstance(i, Literal) else i for i in inputs]
         req = Request.sign(private_key, program_id, function_name, inputs, input_types, self.rng)
         signer = req.signer
-        outs = stack.evaluate_function(function_name, list(inputs), signer=signer, caller=signer)
+        outs = stack.evaluate_function(function_name, list(inputs),
+                                       signer=signer, caller=signer, tvk=req.tvk)
         futures = []
-        for out in outs:
+        t_outputs = []
+        fn = stack.program.functions[function_name]
+        for i, out in enumerate(outs):
             if getattr(out, "kind", None) == "future":
                 pid, fname, args = out.value
                 futures.append((pid, fname, args, 0))
+                t_outputs.append(("future", 0))
+            elif isinstance(out, Record):
+                # output record -> commitment (transition/merkle.rs output id)
+                rtype = fn.outputs[i].value_type.split(".")[0]
+                commitment = out.to_commitment(program_id, rtype)
+                t_outputs.append(("record", commitment))
+        # transition inputs: records expose (serial_number); others the id hash
+        t_inputs = []
+        for iid in req.input_ids:
+            if iid.kind == "record":
+                t_inputs.append(("record", iid.fields[2]))   # serial number
+            else:
+                f0 = iid.fields[0]
+                t_inputs.append((iid.kind, f0[0] if isinstance(f0, tuple) else f0))
         transition = Transition(
             program_id=program_id, function_name=function_name,
-            inputs=[(iid.kind, iid.fields[0][0] if isinstance(iid.fields[0], tuple) else iid.fields[0])
-                    for iid in req.input_ids],
-            outputs=[("future", 0)] if futures else [],
+            inputs=t_inputs,
+            outputs=t_outputs,
             tcm=req.tcm, scm=req.scm,
         )
         tx = Transaction("execute", [transition])
         futures = [(pid, fname, args, transition.id()) for pid, fname, args, _ in futures]
-        pending = PendingTransaction(tx, futures)
+        pending = PendingTransaction(tx, futures, outputs=list(outs))
 
         if priority_fee is not None:
             # attach a credits.aleo/fee_public transition covering the
