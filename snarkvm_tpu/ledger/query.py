@@ -1,0 +1,159 @@
+"""Query: state paths for record commitments from the live ledger
+(ledger/src/get.rs get_state_path_for_commitment + ledger/query/).
+
+A LedgerStatePath proves a transition output commitment against the
+ledger's state root through the REAL block trees (block.py / ledger.py
+encodings):
+
+  commitment (leaf) -> transition tree  (field leaves, depth 5)
+                    -> transaction tree (field leaves, depth 5)
+                    -> transactions tree (field leaves, depth 20)
+                    -> header tree      (u8-prefixed leaves, depth 3,
+                                         transactions_root at index 1)
+  block_hash == BHP1024(previous_hash bits || header_root bits)
+  block_hash (leaf)  -> block tree      (field leaves, depth 32)
+                    -> global state root
+
+This is the console-side inclusion witness; the in-circuit version is
+circuit/inclusion_gadget.py (unification of both shapes is tracked in
+ROADMAP.md).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..params import bls12_377 as P
+from ..console import network as N
+from ..console.merkle import MerkleTree, BHPHasher
+from ..console.types import int_to_bits_le
+from .block import (Transition, _u8_field_leaf, HEADER_DEPTH,
+                    TRANSACTIONS_DEPTH, TRANSACTION_DEPTH, TRANSITION_DEPTH)
+from .ledger import BLOCK_TREE_DEPTH
+
+_BHP = BHPHasher(1024, 512)
+R = P.R
+
+
+@dataclass
+class PathLevel:
+    leaf_bits: list
+    index: int
+    siblings: list
+    root: int
+
+    def verify(self) -> bool:
+        h = _BHP.hash_leaf(self.leaf_bits)
+        i = self.index
+        for sib in self.siblings:
+            h = (_BHP.hash_children(h, sib) if i % 2 == 0
+                 else _BHP.hash_children(sib, h))
+            i >>= 1
+        return h == self.root
+
+
+@dataclass
+class LedgerStatePath:
+    global_state_root: int
+    commitment: int
+    transition_level: PathLevel      # -> transition id
+    transaction_level: PathLevel     # -> transaction id
+    transactions_level: PathLevel    # -> transactions root
+    header_level: PathLevel          # -> header root
+    previous_block_hash: int
+    block_hash: int
+    block_level: PathLevel           # -> global state root
+
+    def verify(self) -> bool:
+        if self.transition_level.leaf_bits != int_to_bits_le(self.commitment, 253):
+            return False
+        for lvl in (self.transition_level, self.transaction_level,
+                    self.transactions_level, self.header_level,
+                    self.block_level):
+            if not lvl.verify():
+                return False
+        # chain the roots
+        if self.transaction_level.leaf_bits != int_to_bits_le(self.transition_level.root, 253):
+            return False
+        if self.transactions_level.leaf_bits != int_to_bits_le(self.transaction_level.root, 253):
+            return False
+        if self.header_level.leaf_bits != _u8_field_leaf(1, self.transactions_level.root):
+            return False
+        # block hash = BHP1024(previous_hash || header_root) (block.py:150)
+        expect_hash = N.hash_bhp(
+            1024, int_to_bits_le(self.previous_block_hash, 253)
+            + int_to_bits_le(self.header_level.root, 253))
+        if expect_hash != self.block_hash:
+            return False
+        if self.block_level.leaf_bits != int_to_bits_le(self.block_hash % R, 253):
+            return False
+        return self.block_level.root == self.global_state_root
+
+
+class Query:
+    """ledger/query.rs analog over a Ledger instance."""
+
+    def __init__(self, ledger):
+        self.ledger = ledger
+
+    def current_state_root(self) -> int:
+        return self.ledger.latest_state_root
+
+    def get_state_path_for_commitment(self, commitment: int) -> LedgerStatePath:
+        led = self.ledger
+        loc = led.commitments.get(commitment)
+        if loc is None:
+            raise KeyError(f"commitment {commitment} not found in the ledger")
+        height, tx_index, tr_index = loc
+        block = led.get_block(height)
+        tx = block.transactions[tx_index]
+        transition = tx.transitions[tr_index]
+
+        def prove(depth, leaves_bits, index):
+            tree = MerkleTree(depth, _BHP, leaves_bits)
+            idx, sibs = tree.prove(index)
+            return PathLevel(leaves_bits[index], idx, sibs, tree.root)
+
+        # level 1: transition tree over input/output ids (block.py:110)
+        tvals = [v % R for _, v in list(transition.inputs) + list(transition.outputs)]
+        leaf_index = len(transition.inputs) + [v for _, v in transition.outputs].index(commitment)
+        lvl1 = prove(TRANSITION_DEPTH,
+                     [int_to_bits_le(v, 253) for v in tvals], leaf_index)
+
+        # level 2: transaction tree over transition ids
+        tids = [t.id() for t in tx.transitions]
+        lvl2 = prove(TRANSACTION_DEPTH,
+                     [int_to_bits_le(v, 253) for v in tids], tr_index)
+
+        # level 3: transactions tree over transaction ids
+        txids = [t.id() for t in block.transactions]
+        lvl3 = prove(TRANSACTIONS_DEPTH,
+                     [int_to_bits_le(v, 253) for v in txids], tx_index)
+
+        # level 4: header tree (transactions root at leaf index 1)
+        h = block.header
+        header_leaves = [
+            _u8_field_leaf(0, h.previous_state_root),
+            _u8_field_leaf(1, h.transactions_root),
+            _u8_field_leaf(2, h.finalize_root),
+            _u8_field_leaf(3, h.ratifications_root),
+            _u8_field_leaf(4, h.solutions_root),
+            _u8_field_leaf(5, h.subdag_root),
+            _u8_field_leaf(6, 0),
+            _u8_field_leaf(7, h.metadata.to_hash()),
+        ]
+        lvl4 = prove(HEADER_DEPTH, header_leaves, 1)
+
+        # level 5: block tree over block hashes up to the LATEST block
+        hashes = [b.hash() % R for b in led.blocks]
+        lvl5 = prove(BLOCK_TREE_DEPTH,
+                     [int_to_bits_le(v, 253) for v in hashes], height)
+
+        return LedgerStatePath(
+            global_state_root=led.latest_state_root,
+            commitment=commitment,
+            transition_level=lvl1, transaction_level=lvl2,
+            transactions_level=lvl3, header_level=lvl4,
+            previous_block_hash=block.previous_hash,
+            block_hash=block.hash(),
+            block_level=lvl5,
+        )
