@@ -243,6 +243,181 @@ class CInteger:
     def is_equal(self, o: "CInteger") -> CBool:
         return self.to_field().is_equal(o.to_field())
 
+    # ---- decomposition helper ----
+    def _decompose(self, field: CField, nbits: int):
+        """Constrain `field`'s value into nbits private bits; returns them."""
+        total = field.value
+        bits = []
+        acc = LinearCombination(0)
+        coeff = 1
+        for i in range(nbits):
+            bit = CBool.new(self.b, PRIVATE, (total >> i) & 1)
+            bits.append(bit)
+            acc = acc.add(bit.lc, coeff)
+            coeff = coeff * 2 % R
+        self.b.assert_eq(acc, field.lc)
+        return bits
+
+    # ---- arithmetic (circuit/types/integers/src) ----
+    def sub_wrapped(self, o: "CInteger") -> "CInteger":
+        """a - b + 2^w, keep low w bits."""
+        s = self.to_field() + CField.constant(self.b, 1 << self.width) - o.to_field()
+        bits = self._decompose(s, self.width + 1)
+        return CInteger(self.b, bits[: self.width], self.width, self.signed)
+
+    def sub_checked(self, o: "CInteger") -> "CInteger":
+        """Unsigned checked sub: the borrow bit (top of a - b + 2^w) must be 1."""
+        assert not self.signed
+        s = self.to_field() + CField.constant(self.b, 1 << self.width) - o.to_field()
+        bits = self._decompose(s, self.width + 1)
+        self.b.assert_eq(bits[-1].lc, LinearCombination(1))
+        return CInteger(self.b, bits[: self.width], self.width, self.signed)
+
+    def mul_wrapped(self, o: "CInteger") -> "CInteger":
+        """Low-w-bits product. Single field mul when 2w fits the field;
+        64-bit-half split for w=128 (integers/src/mul_wrapped.rs shape)."""
+        w = self.width
+        if 2 * w <= 252:
+            prod = self.to_field() * o.to_field()
+            bits = self._decompose(prod, 2 * w)
+            return CInteger(self.b, bits[:w], w, self.signed)
+        # w == 128: a = a0 + 2^64 a1, b = b0 + 2^64 b1
+        half = w // 2
+
+        def part(x, lo):
+            acc = LinearCombination(0)
+            coeff = 1
+            for bt in (x.bits[:half] if lo else x.bits[half:]):
+                acc = acc.add(bt.lc, coeff)
+                coeff = coeff * 2 % R
+            return CField(self.b, acc)
+
+        a0, a1 = part(self, True), part(self, False)
+        b0, b1 = part(o, True), part(o, False)
+        low = a0 * b0                                     # <= 2^128
+        cross = a0 * b1 + a1 * b0                         # contributes 2^64..2^192
+        low_bits = self._decompose(low, w)
+        cross_bits = self._decompose(cross, w + 1)        # low half matters
+        out_val = (low.value + (cross.value << half)) & ((1 << w) - 1)
+        out = CInteger.new(self.b, PRIVATE, out_val, w, self.signed)
+        # out == low + 2^64 * cross (mod 2^128): check the field identity
+        # out + 2^128 * k = low + 2^64*cross, with k the discarded carry
+        carry_width = half + 2
+        k_val = ((low.value + (cross.value << half)) - out_val) >> w
+        k_bits = [CBool.new(self.b, PRIVATE, (k_val >> i) & 1)
+                  for i in range(carry_width)]
+        k_acc = LinearCombination(0)
+        coeff = (1 << w) % R
+        for bt in k_bits:
+            k_acc = k_acc.add(bt.lc, coeff)
+            coeff = coeff * 2 % R
+        lhs = LinearCombination(0)
+        lhs = lhs.add(out.to_field().lc, 1)
+        lhs = lhs.add(k_acc, 1)
+        rhs = LinearCombination(0)
+        rhs = rhs.add(low.lc, 1)
+        rhs = rhs.add(cross.lc, (1 << half) % R)
+        self.b.assert_eq(lhs, rhs)
+        return out
+
+    # ---- bitwise ----
+    def bitand(self, o):
+        return CInteger(self.b, [a & c for a, c in zip(self.bits, o.bits)],
+                        self.width, self.signed)
+
+    def bitor(self, o):
+        return CInteger(self.b, [a | c for a, c in zip(self.bits, o.bits)],
+                        self.width, self.signed)
+
+    def bitxor(self, o):
+        return CInteger(self.b, [a ^ c for a, c in zip(self.bits, o.bits)],
+                        self.width, self.signed)
+
+    def bitnot(self):
+        return CInteger(self.b, [~a for a in self.bits], self.width, self.signed)
+
+    def nand_int(self, o):
+        return CInteger(self.b, [~(a & c) for a, c in zip(self.bits, o.bits)],
+                        self.width, self.signed)
+
+    def nor_int(self, o):
+        return CInteger(self.b, [~(a | c) for a, c in zip(self.bits, o.bits)],
+                        self.width, self.signed)
+
+    # ---- shifts (wrapped: amount mod width; barrel shifter) ----
+    def _barrel(self, amount_bits, left: bool):
+        bits = list(self.bits)
+        logw = (self.width - 1).bit_length()
+        fill_top = None
+        if not left and self.signed:
+            fill_top = self.bits[-1]          # arithmetic shift-right fill
+        zero = CBool.constant(self.b, False)
+        for k, abit in enumerate(amount_bits[:logw]):
+            sh = 1 << k
+            shifted = []
+            for i in range(self.width):
+                j = i - sh if left else i + sh
+                if 0 <= j < self.width:
+                    src = bits[j]
+                elif fill_top is not None and j >= self.width:
+                    src = fill_top
+                else:
+                    src = zero
+                shifted.append(src)
+            bits = [_bool_select(self.b, abit, s, b0)
+                    for s, b0 in zip(shifted, bits)]
+        return CInteger(self.b, bits, self.width, self.signed)
+
+    def shl_wrapped(self, amount: "CInteger"):
+        return self._barrel(amount.bits, left=True)
+
+    def shr_wrapped(self, amount: "CInteger"):
+        return self._barrel(amount.bits, left=False)
+
+    # ---- comparisons ----
+    def _unsigned_lt(self, o) -> CBool:
+        """a < b  <=>  top bit of (a - b + 2^w) is 0."""
+        s = self.to_field() + CField.constant(self.b, 1 << self.width) - o.to_field()
+        bits = self._decompose(s, self.width + 1)
+        return ~bits[-1]
+
+    def _cmp_key(self):
+        """Signed values compare like unsigned with the sign bit flipped."""
+        if not self.signed:
+            return self
+        flipped = list(self.bits)
+        flipped[-1] = ~flipped[-1]
+        return CInteger(self.b, flipped, self.width, False)
+
+    def lt(self, o) -> CBool:
+        return self._cmp_key()._unsigned_lt(o._cmp_key())
+
+    def gt(self, o) -> CBool:
+        return o._cmp_key()._unsigned_lt(self._cmp_key())
+
+    def lte(self, o) -> CBool:
+        return ~self.gt(o)
+
+    def gte(self, o) -> CBool:
+        return ~self.lt(o)
+
+    def ternary(self, cond: CBool, other: "CInteger") -> "CInteger":
+        """cond ? self : other, bitwise."""
+        return CInteger(self.b,
+                        [_bool_select(self.b, cond, a, c)
+                         for a, c in zip(self.bits, other.bits)],
+                        self.width, self.signed)
+
+
+def _bool_select(builder, cond: CBool, a: CBool, b: CBool) -> CBool:
+    """cond ? a : b  with one constraint: out = b + cond*(a-b)."""
+    out_v = a.value if cond.value else b.value
+    out = CBool.new(builder, PRIVATE, bool(out_v))
+    diff = LinearCombination(0).add(a.lc, 1).add(b.lc, R - 1)
+    lhs = LinearCombination(0).add(out.lc, 1).add(b.lc, R - 1)
+    builder.enforce(cond.lc, diff, lhs)
+    return out
+
 
 class CGroup:
     """Edwards point gadget in affine coordinates (x, y as CField)."""

@@ -112,11 +112,64 @@ class DualStack:
             if t == "field":
                 gadget = {"add": lambda: a.gadget + b.gadget, "sub": lambda: a.gadget - b.gadget,
                           "mul": lambda: a.gadget * b.gadget}[op.split(".")[0]]()
-            elif t in INT_WIDTHS and op in ("add", "add.w") and t[0] == "u":
-                gadget = a.gadget.add_checked(b.gadget) if op == "add" else a.gadget.add_wrapped(b.gadget)
+            elif t in INT_WIDTHS and isinstance(a.gadget, CInteger):
+                ag, bg = a.gadget, b.gadget
+                if op == "add" and t[0] == "u":
+                    gadget = ag.add_checked(bg)
+                elif op == "add.w":
+                    gadget = ag.add_wrapped(bg)
+                elif op == "sub" and t[0] == "u":
+                    gadget = ag.sub_checked(bg)
+                elif op == "sub.w":
+                    gadget = ag.sub_wrapped(bg)
+                elif op == "mul.w":
+                    gadget = ag.mul_wrapped(bg)
+                else:
+                    gadget = _inject(builder, console, PRIVATE).gadget
             else:
                 # fall back: re-inject the console result as a private witness
                 gadget = _inject(builder, console, PRIVATE).gadget
+            regs[inst.destinations[0]] = CircuitValue(console, gadget)
+            return
+        if op in ("and", "or", "xor", "nand", "nor") and \
+                isinstance(ld(inst.operands[0]).gadget, (CInteger, CBool)):
+            a, b = ld(inst.operands[0]), ld(inst.operands[1])
+            from . import interpreter as I
+            console = {"and": I.op_and, "or": I.op_or, "xor": I.op_xor,
+                       "nand": I.op_nand, "nor": I.op_nor}[op](a.literal, b.literal)
+            if isinstance(a.gadget, CInteger):
+                gadget = {"and": a.gadget.bitand, "or": a.gadget.bitor,
+                          "xor": a.gadget.bitxor, "nand": a.gadget.nand_int,
+                          "nor": a.gadget.nor_int}[op](b.gadget)
+            else:
+                gadget = {"and": lambda: a.gadget & b.gadget,
+                          "or": lambda: a.gadget | b.gadget,
+                          "xor": lambda: a.gadget ^ b.gadget,
+                          "nand": lambda: ~(a.gadget & b.gadget),
+                          "nor": lambda: ~(a.gadget | b.gadget)}[op]()
+            regs[inst.destinations[0]] = CircuitValue(console, gadget)
+            return
+        if op == "not" and isinstance(ld(inst.operands[0]).gadget, (CInteger, CBool)):
+            a = ld(inst.operands[0])
+            from . import interpreter as I
+            console = I.op_not(a.literal)
+            gadget = a.gadget.bitnot() if isinstance(a.gadget, CInteger) else ~a.gadget
+            regs[inst.destinations[0]] = CircuitValue(console, gadget)
+            return
+        if op in ("shl.w", "shr.w") and isinstance(ld(inst.operands[0]).gadget, CInteger) \
+                and isinstance(ld(inst.operands[1]).gadget, CInteger):
+            a, b = ld(inst.operands[0]), ld(inst.operands[1])
+            from . import interpreter as I
+            console = (I.op_shl_wrapped if op == "shl.w" else I.op_shr_wrapped)(a.literal, b.literal)
+            gadget = (a.gadget.shl_wrapped if op == "shl.w" else a.gadget.shr_wrapped)(b.gadget)
+            regs[inst.destinations[0]] = CircuitValue(console, gadget)
+            return
+        if op in ("lt", "lte", "gt", "gte") and isinstance(ld(inst.operands[0]).gadget, CInteger):
+            a, b = ld(inst.operands[0]), ld(inst.operands[1])
+            from . import interpreter as I
+            console = {"lt": I.op_lt, "lte": I.op_lte, "gt": I.op_gt, "gte": I.op_gte}[op](a.literal, b.literal)
+            gadget = {"lt": a.gadget.lt, "lte": a.gadget.lte,
+                      "gt": a.gadget.gt, "gte": a.gadget.gte}[op](b.gadget)
             regs[inst.destinations[0]] = CircuitValue(console, gadget)
             return
         if op in ("double", "square", "inv"):
@@ -163,6 +216,8 @@ class DualStack:
             from . import interpreter as I
             console = I.op_ternary(c.literal, a.literal, b.literal)
             if isinstance(a.gadget, CField):
+                gadget = a.gadget.ternary(c.gadget, b.gadget)
+            elif isinstance(a.gadget, CInteger) and isinstance(c.gadget, CBool):
                 gadget = a.gadget.ternary(c.gadget, b.gadget)
             else:
                 gadget = _inject(builder, console, PRIVATE).gadget
