@@ -63,7 +63,8 @@ def hash_to_scalar_bits_gadget(builder, rate, inputs):
 
 
 def verify_request_gadget(builder: CircuitBuilder, request: Request, input_types,
-                          input_gadgets, is_root: bool = True):
+                          input_gadgets, is_root: bool = True,
+                          return_tvk: bool = False):
     """input_gadgets: per input, the list of CField gadgets of its fields
     (already injected; bound to the function body registers by the caller).
     Returns the public tcm CField. Raises on inconsistent witness."""
@@ -123,4 +124,4 @@ def verify_request_gadget(builder: CircuitBuilder, request: Request, input_types
         acc = acc.add(b.lc, coeff)
         coeff = coeff * 2 % R
     CField(builder, acc).assert_eq(chal_field)
-    return tcm
+    return (tcm, tvk) if return_tvk else tcm

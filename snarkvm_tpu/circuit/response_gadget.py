@@ -1,0 +1,100 @@
+"""In-circuit Response::from_outputs (circuit/program/src/response/mod.rs):
+recompute each transition output ID inside the circuit and expose it as a
+public input.
+
+Covered output kinds: constant/public (hash_psd8 over [fid, fields, tcm,
+index]), private (ovk = H4([fid, tvk, index]), field-stream encryption,
+H8 over the ciphertext), future (hash over [fid, tcm, index]). Record
+output commitments (in-circuit record serialization + BHP commit) are a
+follow-up tracked in ROADMAP.md.
+"""
+from __future__ import annotations
+
+from ..params import bls12_377 as P
+from ..console import network as N
+from ..console.request import compute_function_id
+from .builder import CircuitBuilder, PUBLIC, PRIVATE
+from .types import CField
+from . import poseidon_gadget
+
+R = P.R
+
+
+def plaintext_fields_gadget(builder: CircuitBuilder, gadget, type_name: str):
+    """Packed Plaintext::to_fields of a literal gadget, as CField LCs bound
+    to the gadget's bits (types.py:167 layout: [0,0] + variant u8 +
+    size u16 + payload bits, then a trailing true marker, 252-bit chunks)."""
+    from ..console.types import VARIANTS, INT_WIDTHS
+    from .types import CBool, CInteger
+    from .builder import LinearCombination
+
+    if type_name == "boolean":
+        payload = [gadget] if isinstance(gadget, CBool) else list(gadget.bits)
+        size = 1
+    elif type_name == "field":
+        payload = gadget.to_bits_le(253)
+        size = 253
+    elif type_name in INT_WIDTHS:
+        payload = list(gadget.bits)
+        size = INT_WIDTHS[type_name]
+    else:
+        raise NotImplementedError(f"plaintext packing for {type_name}")
+
+    header = [False, False]
+    v = VARIANTS[type_name]
+    header += [(v >> i) & 1 == 1 for i in range(8)]
+    header += [(size >> i) & 1 == 1 for i in range(16)]
+
+    # bit stream: constant header ++ payload gadget bits ++ marker
+    stream = [("c", b) for b in header] + [("g", bt) for bt in payload] + [("c", True)]
+    fields = []
+    for i in range(0, len(stream), 252):
+        chunk = stream[i : i + 252]
+        acc = LinearCombination(0)
+        coeff = 1
+        for kind, item in chunk:
+            if kind == "c":
+                if item:
+                    acc = acc.add(LinearCombination(1), coeff)
+            else:
+                acc = acc.add(item.lc, coeff)
+            coeff = coeff * 2 % R
+        fields.append(CField(builder, acc))
+    return fields
+
+
+def from_outputs_gadget(builder: CircuitBuilder, request, output_types,
+                        output_field_gadgets, num_inputs: int,
+                        tvk_gadget: CField, tcm_gadget: CField):
+    """output_field_gadgets: per output, the list of CField gadgets of its
+    plaintext fields (None for futures). Returns the list of public
+    output-ID CFields, asserted equal to the in-circuit recomputation."""
+    fid_const = compute_function_id(request.network_id, request.program_id,
+                                    request.function_name)
+    fid = CField.constant(builder, fid_const)
+    out_ids = []
+    for index, ((vis, _name), gadgets) in enumerate(
+            zip(output_types, output_field_gadgets)):
+        idx_const = CField.constant(builder, num_inputs + index)
+        if vis in ("constant", "public"):
+            preimage = [fid] + list(gadgets) + [tcm_gadget, idx_const]
+            h = poseidon_gadget.hash_psd(builder, 8, preimage)[0]
+        elif vis == "private":
+            ovk = poseidon_gadget.hash_psd(
+                builder, 4, [fid, tvk_gadget, idx_const])[0]
+            n = len(gadgets)
+            randomizers = poseidon_gadget.hash_psd(
+                builder, 8,
+                [CField.constant(builder, N.ENCRYPTION_DOMAIN), ovk],
+                num_outputs=n)
+            ct = [g + r for g, r in zip(gadgets, randomizers)]
+            h = poseidon_gadget.hash_psd(builder, 8, ct)[0]
+        elif vis == "future":
+            preimage = [fid, tcm_gadget, idx_const]
+            h = poseidon_gadget.hash_psd(builder, 8, preimage)[0]
+        else:
+            raise NotImplementedError(f"in-circuit output kind {vis}")
+        pub = CField.new(builder, PUBLIC, builder.value_of(h.lc))
+        h.assert_eq(pub)
+        out_ids.append(pub)
+    return out_ids

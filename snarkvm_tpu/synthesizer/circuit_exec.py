@@ -51,7 +51,7 @@ class DualStack:
 
     def execute_function(self, name: str, inputs, input_visibility=None,
                          builder: CircuitBuilder | None = None,
-                         input_gadgets=None):
+                         input_gadgets=None, expose_outputs: bool = True):
         """inputs: console literals (or strings). Returns (outputs, builder).
 
         Public inputs become public circuit variables; private inputs
@@ -81,6 +81,8 @@ class DualStack:
         for out in fn.outputs:
             cv = regs[out.operand.split(".")[0]]
             outputs.append(cv)
+            if not expose_outputs:
+                continue
             # outputs surface as public variables (response commitments in the
             # full protocol; direct exposure in the run-mode circuit)
             pub = builder.new_public(builder.value_of(cv.gadget.lc)

@@ -5,10 +5,13 @@ runs the call via the circuit layer, accumulates (transition, assignment)
 pairs in a Trace, and proves them in ONE batched Varuna proof
 (process/src/trace/mod.rs:151 prove_execution -> varuna.rs:336).
 
-Round-1 transition circuit: the dual-executed function body with the
-request's tcm + input commitments + output commitments as public inputs
-(the full in-circuit Request::verify / Response::from_outputs gadgets —
-circuit/program/src/request/verify.rs — are the round-2 parity item).
+Two transition-circuit modes:
+  * verify_in_circuit=True — the FULL protocol circuit: in-circuit
+    Request::verify + the function body + Response::from_outputs, all in
+    one builder with the typed input gadgets bit-bound to the packed
+    request-commitment fields (stack/execute.rs:225-238);
+  * default — the light run-mode circuit (tcm + input id fields public,
+    outputs exposed directly).
 """
 from __future__ import annotations
 
@@ -87,21 +90,49 @@ def execute_function(stack: Stack, request: Request, input_types,
 
     if verify_in_circuit:
         from ..circuit.request_gadget import verify_request_gadget
+        from ..circuit.response_gadget import (plaintext_fields_gadget,
+                                               from_outputs_gadget)
         from ..circuit.builder import PRIVATE as _PRIV
+        from ..circuit.types import CBool, CInteger
+        from ..console.types import INT_WIDTHS, Literal as _Lit
+        from ..console.request import Response
+
+        # typed input gadgets, with their packed plaintext fields BOUND to
+        # the same bits (request/verify + function body share witnesses)
+        typed_gadgets = []
         input_field_gadgets = []
-        input_value_gadgets = []
         for inp, finput in zip(inputs, fn.inputs):
-            pt = inp if isinstance(inp, Plaintext) else Plaintext("literal", inp)
-            fields = pt.to_fields()
-            gs = [CField.new(builder, _PRIV, f) for f in fields]
-            input_field_gadgets.append(gs)
-            # literal payload gadget for the function body: for single-field
-            # literals the payload is recoverable from the field gadget; we
-            # inject a fresh gadget and later rounds will bind bit-exactly.
-            input_value_gadgets.append(None)
-        verify_request_gadget(builder, request, input_types, input_field_gadgets)
-        dual_outputs, fn_builder = dual.execute_function(request.function_name, inputs)
-        _merge_builders(builder, fn_builder)
+            lit = inp.value if isinstance(inp, Plaintext) and inp.kind == "literal" else inp
+            t = lit.type_name if isinstance(lit, _Lit) else None
+            if t == "field":
+                g = CField.new(builder, _PRIV, lit.value)
+            elif t == "boolean":
+                g = CBool.new(builder, _PRIV, lit.value)
+            elif t in INT_WIDTHS:
+                g = CInteger.new(builder, _PRIV, lit.value, INT_WIDTHS[t], t[0] == "i")
+            else:
+                raise HaltError(f"in-circuit input type {t} (round-2)")
+            typed_gadgets.append(g)
+            input_field_gadgets.append(plaintext_fields_gadget(builder, g, t))
+        tvk_g = verify_request_gadget(builder, request, input_types,
+                                      input_field_gadgets, return_tvk=True)
+        tcm_g, tvk_g = tvk_g if isinstance(tvk_g, tuple) else (tvk_g, None)
+        dual_outputs, _ = dual.execute_function(
+            request.function_name, inputs, builder=builder,
+            input_gadgets=typed_gadgets, expose_outputs=False)
+        # Response::from_outputs over the output gadgets
+        output_types = [(o.value_type.split(".")[-1], o.value_type.split(".")[0])
+                        for o in fn.outputs]
+        out_field_gadgets = []
+        for cv, (vis, tname) in zip(dual_outputs, output_types):
+            if vis == "future":
+                out_field_gadgets.append(None)
+            else:
+                out_field_gadgets.append(
+                    plaintext_fields_gadget(builder, cv.gadget, cv.literal.type_name))
+        from_outputs_gadget(builder, request, output_types, out_field_gadgets,
+                            len(inputs), tvk_g, tcm_g)
+        assert builder.is_satisfied(), "protocol circuit unsatisfied"
     else:
         # public request context: tcm + input id fields (round-1 light path)
         tcm_pub = CField.new(builder, PUBLIC, request.tcm)
