@@ -20,13 +20,12 @@ from . import poseidon_gadget
 R = P.R
 
 
-def plaintext_fields_gadget(builder: CircuitBuilder, gadget, type_name: str):
-    """Packed Plaintext::to_fields of a literal gadget, as CField LCs bound
-    to the gadget's bits (types.py:167 layout: [0,0] + variant u8 +
-    size u16 + payload bits, then a trailing true marker, 252-bit chunks)."""
+def _plaintext_bit_stream(gadget, type_name: str, marker: bool):
+    """[("c", const_bit) | ("g", CBool)] stream of a literal Plaintext's
+    bits (types.py:167 layout: [0,0] + variant u8 + size u16 + payload),
+    optionally with the to_fields trailing true marker."""
     from ..console.types import VARIANTS, INT_WIDTHS
-    from .types import CBool, CInteger
-    from .builder import LinearCombination
+    from .types import CBool
 
     if type_name == "boolean":
         payload = [gadget] if isinstance(gadget, CBool) else list(gadget.bits)
@@ -44,9 +43,28 @@ def plaintext_fields_gadget(builder: CircuitBuilder, gadget, type_name: str):
     v = VARIANTS[type_name]
     header += [(v >> i) & 1 == 1 for i in range(8)]
     header += [(size >> i) & 1 == 1 for i in range(16)]
+    stream = [("c", b) for b in header] + [("g", bt) for bt in payload]
+    if marker:
+        stream.append(("c", True))
+    return stream
 
-    # bit stream: constant header ++ payload gadget bits ++ marker
-    stream = [("c", b) for b in header] + [("g", bt) for bt in payload] + [("c", True)]
+
+def plaintext_bits_gadget(builder: CircuitBuilder, gadget, type_name: str):
+    """Plaintext::to_bits_le of a literal gadget as CBool list (constants
+    materialized) — the preimage for hash.bhp/ped/keccak/sha3 gadgets."""
+    from .types import CBool
+    out = []
+    for kind, item in _plaintext_bit_stream(gadget, type_name, marker=False):
+        out.append(CBool.constant(builder, item) if kind == "c" else item)
+    return out
+
+
+def plaintext_fields_gadget(builder: CircuitBuilder, gadget, type_name: str):
+    """Packed Plaintext::to_fields of a literal gadget, as CField LCs bound
+    to the gadget's bits (252-bit chunks with the trailing marker)."""
+    from .builder import LinearCombination
+
+    stream = _plaintext_bit_stream(gadget, type_name, marker=True)
     fields = []
     for i in range(0, len(stream), 252):
         chunk = stream[i : i + 252]

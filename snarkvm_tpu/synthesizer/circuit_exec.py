@@ -43,6 +43,18 @@ def _inject(builder, lit: Literal, mode: str):
     raise HaltError(f"circuit injection unsupported for {t}")
 
 
+def _hash_dest_cast(builder, field_gadget, dest_type: str, console):
+    """Lossy destination cast of a hash output field/x-coordinate
+    (cast_lossy semantics: integers take the low bits)."""
+    if dest_type == "field":
+        return field_gadget
+    if dest_type in INT_WIDTHS:
+        w = INT_WIDTHS[dest_type]
+        bits = field_gadget.to_bits_le(253)
+        return CInteger(builder, bits[:w], w, dest_type[0] == "i")
+    return _inject(builder, console, PRIVATE).gadget
+
+
 class DualStack:
     """Executes a function in both worlds; mirrors Stack::execute_function."""
 
@@ -231,15 +243,48 @@ class DualStack:
             dest_type = (inst.as_type or "field").split(".")[0]
             from . import interpreter as I
             console = I.hash_instruction(op, a.literal, dest_type)
-            if a.literal.type_name == "field" and dest_type == "field":
-                # circuit: domain-separated sponge over the plaintext fields
-                pt = Plaintext("literal", a.literal)
-                fields = pt.to_fields()
-                cfields = [CField.constant(builder, f) for f in fields]
-                # first field carries the literal payload — bind it to the operand:
-                # (round-1 simplification: bind payload low bits via a fresh witness)
+            t = a.literal.type_name
+            if t in ("field", "boolean") or t in INT_WIDTHS:
+                from ..circuit.response_gadget import plaintext_fields_gadget
+                cfields = plaintext_fields_gadget(builder, a.gadget, t)
                 out = poseidon_gadget.hash_psd(builder, rate, cfields)[0]
-                gadget = out
+                gadget = _hash_dest_cast(builder, out, dest_type, console)
+            else:
+                gadget = _inject(builder, console, PRIVATE).gadget
+            regs[inst.destinations[0]] = CircuitValue(console, gadget)
+            return
+        if op.startswith(("hash.bhp", "hash.ped", "hash.keccak", "hash.sha3")):
+            a = ld(inst.operands[0])
+            dest_type = (inst.as_type or "field").split(".")[0]
+            from . import interpreter as I
+            console = I.hash_instruction(op, a.literal, dest_type)
+            t = a.literal.type_name
+            if (t in ("field", "boolean") or t in INT_WIDTHS) and \
+                    dest_type not in ("group", "address"):
+                from ..circuit.response_gadget import plaintext_bits_gadget
+                from ..circuit.bhp_gadget import bhp_hash_gadget
+                from ..circuit.keccak_gadget import (keccak_hash_gadget,
+                                                     pedersen_hash_gadget)
+                try:
+                    bits = plaintext_bits_gadget(builder, a.gadget, t)
+                    kind = op.split(".", 1)[1]
+                    if kind.startswith("bhp"):
+                        x = bhp_hash_gadget(builder, int(kind[3:]),
+                                            f"AleoBHP{kind[3:]}", bits)
+                    elif kind.startswith("ped"):
+                        x = pedersen_hash_gadget(builder, int(kind[3:]), bits)
+                    else:
+                        hk = "keccak" if kind.startswith("keccak") else "sha3"
+                        variant = int(kind.replace("keccak", "").replace("sha3_", ""))
+                        digest = keccak_hash_gadget(builder, hk, variant, bits)
+                        bhp_variant = 256 if variant == 256 else 512
+                        x = bhp_hash_gadget(builder, bhp_variant,
+                                            f"AleoBHP{bhp_variant}", digest)
+                    gadget = _hash_dest_cast(builder, x, dest_type, console)
+                except (AssertionError, NotImplementedError):
+                    # input shape outside the single-block gadget (multi-
+                    # block BHP chaining is a follow-up) -> witness fallback
+                    gadget = _inject(builder, console, PRIVATE).gadget
             else:
                 gadget = _inject(builder, console, PRIVATE).gadget
             regs[inst.destinations[0]] = CircuitValue(console, gadget)

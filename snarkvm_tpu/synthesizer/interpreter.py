@@ -386,6 +386,9 @@ def cast_literal(lit: Literal, target: str, lossy: bool) -> Literal:
     if target == t:
         return lit
     # source value as bits/integer
+    if t in ("group", "address") and target not in ("group", "address"):
+        # group -> X via the x-coordinate field (cast_lossy/group.rs)
+        return cast_literal(Literal("field", _group(lit)[0]), target, lossy)
     if t == "group" and target == "field":
         return Literal("field", _group(lit)[0])
     if t == "address" and target == "field":
