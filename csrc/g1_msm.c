@@ -323,6 +323,48 @@ void g1_msm(const u64 *xs, const u64 *ys, const uint8_t *inf,
 
 /* Fixed-base powers: out[i] = base * scalar^i ... not needed; instead
  * batch scalar-mul for SRS setup: out[i] = k_i * P (shared base). */
+/* Fixed-base batch scalar-mul: full 8-bit window table (table[w][d] =
+ * d * 2^(8w) * G), then 32 adds per scalar — ~10x fewer EC ops than
+ * double-and-add per scalar; scalars split across pthreads. */
+typedef struct {
+    const g1 *table;          /* [windows][255] */
+    const u64 *scalars;
+    size_t n, scalar_words, windows;
+    u64 *out;
+    size_t next;
+    pthread_mutex_t lock;
+} fb_job;
+
+static void *fb_worker(void *arg) {
+    fb_job *job = (fb_job *)arg;
+    const size_t CHUNK = 64;
+    for (;;) {
+        pthread_mutex_lock(&job->lock);
+        size_t start = job->next;
+        if (start >= job->n) { pthread_mutex_unlock(&job->lock); break; }
+        job->next = start + CHUNK;
+        pthread_mutex_unlock(&job->lock);
+        size_t end = start + CHUNK < job->n ? start + CHUNK : job->n;
+        for (size_t i = start; i < end; i++) {
+            g1 acc; g1_set_inf(&acc);
+            for (size_t w = 0; w < job->windows; w++) {
+                size_t bit = w * 8;
+                u64 limb = job->scalars[i * job->scalar_words + bit / 64];
+                int d = (int)((limb >> (bit % 64)) & 0xFF);
+                if (d) g1_add(&acc, &acc, &job->table[w * 255 + (d - 1)]);
+            }
+            fq X, Y, Z;
+            fq_from_mont(&X, &acc.X);
+            fq_from_mont(&Y, &acc.Y);
+            fq_from_mont(&Z, &acc.Z);
+            memcpy(job->out + i * 3 * NL, X.v, sizeof(X.v));
+            memcpy(job->out + i * 3 * NL + NL, Y.v, sizeof(Y.v));
+            memcpy(job->out + i * 3 * NL + 2 * NL, Z.v, sizeof(Z.v));
+        }
+    }
+    return NULL;
+}
+
 void g1_batch_scalar_mul(const u64 *px, const u64 *py,
                          const u64 *scalars, size_t n, size_t scalar_words,
                          u64 *out /* n * 18 words canonical Jacobian */) {
@@ -334,26 +376,33 @@ void g1_batch_scalar_mul(const u64 *px, const u64 *py,
     fq_to_mont(&base.Y, &y);
     memcpy(base.Z.v, R1, sizeof(R1));
 
-    /* windowed table of base multiples (4-bit) */
-    g1 table[16];
-    g1_set_inf(&table[0]);
-    table[1] = base;
-    for (int i = 2; i < 16; i++) g1_add(&table[i], &table[i - 1], &base);
-
-    for (size_t i = 0; i < n; i++) {
-        g1 acc; g1_set_inf(&acc);
-        for (size_t w = scalar_words * 16; w-- > 0;) {
-            for (int k = 0; k < 4; k++) g1_double(&acc, &acc);
-            u64 limb = scalars[i * scalar_words + (w / 16)];
-            int d = (int)((limb >> ((w % 16) * 4)) & 0xF);
-            if (d) g1_add(&acc, &acc, &table[d]);
-        }
-        fq X, Y, Z;
-        fq_from_mont(&X, &acc.X);
-        fq_from_mont(&Y, &acc.Y);
-        fq_from_mont(&Z, &acc.Z);
-        memcpy(out + i * 3 * NL, X.v, sizeof(X.v));
-        memcpy(out + i * 3 * NL + NL, Y.v, sizeof(Y.v));
-        memcpy(out + i * 3 * NL + 2 * NL, Z.v, sizeof(Z.v));
+    size_t windows = scalar_words * 8;
+    g1 *table = (g1 *)malloc(windows * 255 * sizeof(g1));
+    g1 cur = base;
+    for (size_t w = 0; w < windows; w++) {
+        table[w * 255] = cur;
+        for (int d = 1; d < 255; d++)
+            g1_add(&table[w * 255 + d], &table[w * 255 + d - 1], &cur);
+        /* next window base: 2^8 * cur = table entry 255*cur + cur */
+        g1 t;
+        g1_add(&t, &table[w * 255 + 254], &cur);
+        cur = t;
     }
+
+    fb_job job = {table, scalars, n, scalar_words, windows, out, 0,
+                  PTHREAD_MUTEX_INITIALIZER};
+    long ncpu = sysconf(_SC_NPROCESSORS_ONLN);
+    size_t nthreads = ncpu > 1 ? (size_t)ncpu : 1;
+    if (n < 128) nthreads = 1;
+    if (nthreads <= 1) {
+        fb_worker(&job);
+    } else {
+        pthread_t *tids = (pthread_t *)malloc(nthreads * sizeof(pthread_t));
+        for (size_t t = 0; t < nthreads; t++)
+            pthread_create(&tids[t], NULL, fb_worker, &job);
+        for (size_t t = 0; t < nthreads; t++)
+            pthread_join(tids[t], NULL);
+        free(tids);
+    }
+    free(table);
 }

@@ -80,6 +80,13 @@ def blake2s(
     last_node: bool = False,
 ) -> bytes:
     """Unkeyed Blake2s with full tree parameters (no range limits)."""
+    if (fanout == 1 and depth == 1 and not leaf_size and not node_offset
+            and not node_depth and not inner_size and not last_node):
+        # sequential-mode parameters: identical to hashlib's blake2s
+        # (OpenSSL-speed; the pure sponge below is the Blake2X tree path)
+        import hashlib
+        return hashlib.blake2s(data, digest_size=digest_size,
+                               salt=salt, person=person).digest()
     param = struct.pack(
         "<BBBBIIHBB8s8s",
         digest_size,
