@@ -86,7 +86,12 @@ class DualStack:
                 continue
             vis = finput.value_type.split(".")[-1]
             mode = PUBLIC if vis == "public" else PRIVATE
-            regs[finput.register] = _inject(builder, lit, mode)
+            try:
+                regs[finput.register] = _inject(builder, lit, mode)
+            except HaltError:
+                # no gadget type yet (scalar/group/...): console-only value;
+                # instructions over it take the witness-fallback path
+                regs[finput.register] = CircuitValue(lit, None)
         for inst in fn.instructions:
             self._execute(builder, inst, regs)
         outputs = []
@@ -176,6 +181,38 @@ class DualStack:
             from . import interpreter as I
             console = (I.op_shl_wrapped if op == "shl.w" else I.op_shr_wrapped)(a.literal, b.literal)
             gadget = (a.gadget.shl_wrapped if op == "shl.w" else a.gadget.shr_wrapped)(b.gadget)
+            regs[inst.destinations[0]] = CircuitValue(console, gadget)
+            return
+        if op.startswith("commit."):
+            a = ld(inst.operands[0])
+            rand = ld(inst.operands[1])
+            dest_type = (inst.as_type or "field").split(".")[0]
+            from . import interpreter as I
+            console = I.commit_instruction(op, a.literal, rand.literal, dest_type)
+            t = a.literal.type_name
+            if (t in ("field", "boolean") or t in INT_WIDTHS) and \
+                    dest_type not in ("group", "address"):
+                try:
+                    from ..circuit.response_gadget import plaintext_bits_gadget
+                    from ..circuit.inclusion_gadget import bhp_commit_gadget
+                    from ..circuit.keccak_gadget import pedersen_commit_gadget
+                    from ..params import bls12_377 as _P
+                    bits = plaintext_bits_gadget(builder, a.gadget, t)
+                    r = rand.literal.value % _P.S
+                    rbits = [CBool.new(builder, PRIVATE, (r >> i) & 1 == 1)
+                             for i in range(251)]
+                    kind = op.split(".", 1)[1]
+                    if kind.startswith("bhp"):
+                        x = bhp_commit_gadget(builder, int(kind[3:]),
+                                              f"AleoBHP{kind[3:]}", bits, rbits)
+                    else:
+                        x = pedersen_commit_gadget(builder, int(kind[3:]),
+                                                   bits, rbits)
+                    gadget = _hash_dest_cast(builder, x, dest_type, console)
+                except (AssertionError, NotImplementedError):
+                    gadget = _inject(builder, console, PRIVATE).gadget
+            else:
+                gadget = _inject(builder, console, PRIVATE).gadget
             regs[inst.destinations[0]] = CircuitValue(console, gadget)
             return
         if op in ("lt", "lte", "gt", "gte") and isinstance(ld(inst.operands[0]).gadget, CInteger):

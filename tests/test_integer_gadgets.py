@@ -136,3 +136,28 @@ function go:
         assert outs[0].literal.value == _as_literal(console[0]).value
         # real constraints were generated (not just witness injection)
         assert builder.num_constraints > 200
+
+
+class TestCommitDispatch:
+    def test_commit_instructions_constrained(self):
+        import jax
+        from snarkvm_tpu.synthesizer.program import parse_program
+        from snarkvm_tpu.synthesizer.process import Stack, _as_literal
+        from snarkvm_tpu.synthesizer.circuit_exec import DualStack
+        prog = parse_program("""program commits.aleo;
+
+function go:
+    input r0 as u64.private;
+    input r1 as scalar.private;
+    commit.bhp256 r0 r1 into r2 as field;
+    commit.ped128 r0 r1 into r3 as field;
+    output r2 as field.private;
+    output r3 as field.private;
+""")
+        dual = DualStack(Stack(prog))
+        outs, b = dual.execute_function("go", ["12345u64", "999scalar"])
+        assert b.is_satisfied()
+        console = Stack(prog).evaluate_function("go", ["12345u64", "999scalar"])
+        assert outs[0].literal.value == _as_literal(console[0]).value
+        assert outs[1].literal.value == _as_literal(console[1]).value
+        assert b.value_of(outs[0].gadget.lc) == outs[0].literal.value
