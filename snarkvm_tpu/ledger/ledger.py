@@ -379,6 +379,26 @@ class Ledger:
         self.vm.previous_hash = block.hash()
         self._state_roots.append(self._compute_state_root())
 
+    def scan(self, view_key: int):
+        """Wallet scan (ledger/src/find.rs shape): decrypt every on-chain
+        record ciphertext with the view key; returns the owned records as
+        [(commitment, Record, height)]."""
+        from ..console import network as N
+        addr = N.g_scalar_multiply(view_key)
+        found = []
+        for block in self.blocks:
+            h = block.header.metadata.height
+            for tx in block.transactions:
+                for t in tx.transitions:
+                    for commitment, _checksum, enc in getattr(t, "output_records", []):
+                        try:
+                            dec = enc.decrypt(view_key)
+                        except Exception:
+                            continue
+                        if dec.owner == addr:
+                            found.append((commitment, dec, h))
+        return found
+
     # ---- state root (BlockTree: BHP1024 Merkle over block hashes) ----
     def _compute_state_root(self) -> int:
         leaves = [int_to_bits_le(b.hash() % R, 253) for b in self.blocks]

@@ -103,6 +103,7 @@ class VM:
                                        signer=signer, caller=signer, tvk=req.tvk)
         futures = []
         t_outputs = []
+        output_records = []
         fn = stack.program.functions[function_name]
         for i, out in enumerate(outs):
             if getattr(out, "kind", None) == "future":
@@ -110,9 +111,17 @@ class VM:
                 futures.append((pid, fname, args, 0))
                 t_outputs.append(("future", 0))
             elif isinstance(out, Record):
-                # output record -> commitment (transition/merkle.rs output id)
+                # output record -> commitment + encrypted record + checksum
+                # (response/mod.rs:139-169: randomizer = HashToScalar_psd2
+                # ([tvk, output register locator]), checksum = BHP1024(ct))
+                from ..console import network as N
                 rtype = fn.outputs[i].value_type.split(".")[0]
                 commitment = out.to_commitment(program_id, rtype)
+                locator = int(fn.outputs[i].operand.split(".")[0][1:])
+                randomizer = N.hash_to_scalar_psd(2, [req.tvk, locator])
+                enc = out.encrypt(randomizer)
+                checksum = N.hash_bhp(1024, enc.to_bits_le())
+                output_records.append((commitment, checksum, enc))
                 t_outputs.append(("record", commitment))
         # transition inputs: records expose (serial_number); others the id hash
         t_inputs = []
@@ -128,6 +137,7 @@ class VM:
             outputs=t_outputs,
             tcm=req.tcm, scm=req.scm,
         )
+        transition.output_records = output_records
         tx = Transaction("execute", [transition])
         futures = [(pid, fname, args, transition.id()) for pid, fname, args, _ in futures]
         pending = PendingTransaction(tx, futures, outputs=list(outs))

@@ -91,3 +91,24 @@ class TestRecordLifecycle:
         with pytest.raises(AssertionError, match="belong"):
             led.vm.execute(thief, "token.aleo", "burn", [rec],
                            [("record", "token")])
+
+
+class TestCiphertextsAndScan:
+    def test_output_records_encrypted_and_scannable(self, env):
+        led, pk = env
+        from snarkvm_tpu.console import network as N
+        p = led.vm.execute(pk, "token.aleo", "mint", [_addr(pk), "888u64"],
+                           [("private", "address"), ("private", "u64")])
+        t = p.transaction.transitions[0]
+        assert len(t.output_records) == 1
+        commitment, checksum, enc = t.output_records[0]
+        assert enc.is_ciphertext
+        assert checksum == N.hash_bhp(1024, enc.to_bits_le())
+        block = led.prepare_advance_to_next_beacon_block([p])
+        led.advance_to_next_block(block, [p])
+        # the owner scans it out of the chain; a stranger cannot
+        mine = [r for r in led.scan(pk.to_view_key()) if r[0] == commitment]
+        assert len(mine) == 1
+        assert mine[0][1].data[0][1].value.value.value == 888
+        stranger = account.PrivateKey.new(rng).to_view_key()
+        assert [r for r in led.scan(stranger) if r[0] == commitment] == []
