@@ -117,6 +117,76 @@ def inclusion_assignment(state_path: StatePath, commitment: int, gamma,
     return builder
 
 
+def ledger_inclusion_assignment(sp, commitment: int, gamma,
+                                serial_number: int) -> CircuitBuilder:
+    """Inclusion circuit over a REAL ledger state path (ledger/query.py
+    LedgerStatePath): same serial-number derivation as above, then the
+    exact tree encodings — field-leaf levels, the u8-prefixed header
+    leaf at index 1, the flat BHP1024 block-hash binding, and the
+    depth-32 block tree to the global state root.
+
+    Public inputs: [1, global_state_root, serial_number]."""
+    from ..console.state_path import (TRANSITION_DEPTH, TRANSACTION_DEPTH,
+                                      TRANSACTIONS_DEPTH, HEADER_DEPTH)
+    from ..ledger.ledger import BLOCK_TREE_DEPTH
+    from .bhp_gadget import bhp_hash_gadget
+
+    builder = CircuitBuilder()
+    gsr = CField.new(builder, PUBLIC, sp.global_state_root)
+    sn = CField.new(builder, PUBLIC, serial_number)
+    commit_g = CField.new(builder, PRIVATE, commitment)
+    gamma_g = CGroup.new(builder, PRIVATE, gamma)
+
+    # serial number derivation (identical to the local-path variant)
+    doubled = gamma_g + gamma_g
+    cleared = doubled + doubled
+    sn_domain = CField.constant(builder, N.SERIAL_NUMBER_DOMAIN)
+    nonce_field = poseidon_gadget.hash_psd(builder, 2, [sn_domain, cleared.x])[0]
+    nonce_bits = nonce_field.to_bits_le(253)[:250]
+    preimage = ([CBool.constant(builder, b)
+                 for b in _bits(N.SERIAL_NUMBER_DOMAIN, 253)]
+                + commit_g.to_bits_le(253))
+    bhp_commit_gadget(builder, 512, "AleoBHP512", preimage,
+                      nonce_bits).assert_eq(sn)
+
+    def walk(leaf_bits_g, level, depth):
+        node = _leaf_hash_bits(builder, leaf_bits_g)
+        index_bits = [CBool.new(builder, PRIVATE, (level.index >> i) & 1 == 1)
+                      for i in range(depth)]
+        sibs = [CField.new(builder, PRIVATE, s) for s in level.siblings]
+        from .merkle_gadget import _hash_children_gadget
+        for bit, sib in zip(index_bits, sibs):
+            left = sib.ternary(bit, node)
+            right = node.ternary(bit, sib)
+            node = _hash_children_gadget(builder, left, right)
+        return node
+
+    # level 1: commitment leaf
+    tx_id = walk(commit_g.to_bits_le(253), sp.transition_level,
+                 TRANSITION_DEPTH)
+    txs_root = walk(tx_id.to_bits_le(253), sp.transaction_level,
+                    TRANSACTION_DEPTH)
+    t_root = walk(txs_root.to_bits_le(253), sp.transactions_level,
+                  TRANSACTIONS_DEPTH)
+    # header leaf: u8 index prefix (1) + transactions root bits
+    header_leaf = ([CBool.constant(builder, b) for b in _bits(1, 8)]
+                   + t_root.to_bits_le(253))
+    header_root = walk(header_leaf, sp.header_level, HEADER_DEPTH)
+    # block hash = BHP1024(previous_hash bits || header_root bits)
+    prev_g = CField.new(builder, PRIVATE, sp.previous_block_hash % R)
+    block_hash = bhp_hash_gadget(
+        builder, 1024, "AleoBHP1024",
+        prev_g.to_bits_le(253) + header_root.to_bits_le(253))
+    walk(block_hash.to_bits_le(253), sp.block_level,
+         BLOCK_TREE_DEPTH).assert_eq(gsr)
+    return builder
+
+
+def _leaf_hash_bits(builder, leaf_bits):
+    from .merkle_gadget import hash_leaf_gadget
+    return hash_leaf_gadget(builder, leaf_bits)
+
+
 def _bool_ternary(builder, cond: CBool, a: CBool, b: CBool) -> CBool:
     """cond ? a : b over booleans: out = b + cond*(a - b)."""
     av = builder.value_of(a.lc)

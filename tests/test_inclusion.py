@@ -111,3 +111,50 @@ class TestInclusion:
                                      local_state_root=0, is_global=True)
             assert not b.is_satisfied()
             raise AssertionError("unsatisfied")
+
+
+class TestLedgerInclusion:
+    def test_real_ledger_path_in_circuit(self):
+        import random as _r
+        from snarkvm_tpu.console import account
+        from snarkvm_tpu.ledger.ledger import Ledger
+        from snarkvm_tpu.ledger.query import Query
+        from snarkvm_tpu.circuit.inclusion_gadget import ledger_inclusion_assignment
+        from snarkvm_tpu.utils.encoding import bech32m_encode
+        r2 = _r.Random(0xF00)
+        keys = [account.PrivateKey.new(r2) for _ in range(4)]
+        led = Ledger(keys, r2)
+        led.vm.process.deploy("""program token.aleo;
+
+record token:
+    owner as address.private;
+    amount as u64.private;
+
+function mint:
+    input r0 as address.private;
+    input r1 as u64.private;
+    cast r0 r1 into r2 as token.record;
+    output r2 as token.record;
+""")
+        alice = keys[0]
+        addr = bech32m_encode("aleo", alice.to_address()[0].to_bytes(32, "little"))
+        p = led.vm.execute(alice, "token.aleo", "mint", [addr, "42u64"],
+                           [("private", "address"), ("private", "u64")])
+        blk = led.prepare_advance_to_next_beacon_block([p])
+        led.advance_to_next_block(blk, [p])
+        commitment = p.outputs[0].to_commitment("token.aleo", "token")
+        sp = Query(led).get_state_path_for_commitment(commitment)
+        gamma = ed.mul(ed.GENERATOR, r2.randrange(1, P.S))
+        sn = serial_number_from_gamma(gamma, commitment)
+        b = ledger_inclusion_assignment(sp, commitment, gamma, sn)
+        assert b.is_satisfied()
+        assert b.public[1] == sp.global_state_root == led.latest_state_root
+        assert b.public[2] == sn
+        # wrong root fails
+        import copy
+        bad = copy.deepcopy(sp)
+        bad.global_state_root += 1
+        with pytest.raises(Exception):
+            bb = ledger_inclusion_assignment(bad, commitment, gamma, sn)
+            assert not bb.is_satisfied()
+            raise AssertionError("unsatisfied")
