@@ -98,8 +98,8 @@ class DualStack:
         for out in fn.outputs:
             cv = regs[out.operand.split(".")[0]]
             outputs.append(cv)
-            if not expose_outputs:
-                continue
+            if not expose_outputs or cv.gadget is None:
+                continue  # futures/gadgetless values have no public exposure
             # outputs surface as public variables (response commitments in the
             # full protocol; direct exposure in the run-mode circuit)
             pub = builder.new_public(builder.value_of(cv.gadget.lc)
@@ -336,7 +336,14 @@ class DualStack:
             creg.store(name, cv.literal)
         self.stack._execute(inst, creg)
         for d in inst.destinations:
-            lit = _as_literal(creg.load(d))
+            raw = creg.load(d)
+            try:
+                lit = _as_literal(raw)
+            except HaltError:
+                # non-literal console value (future/struct/record): flows
+                # console-side only
+                regs[d] = CircuitValue(raw, None)
+                continue
             try:
                 gadget = _inject(builder, lit, PRIVATE).gadget
             except HaltError:

@@ -154,6 +154,40 @@ class VM:
             pending.futures.extend(fee_pending.futures)
         return pending
 
+    def deploy_transaction(self, private_key, program_text: str, srs=None,
+                           priority_fee: int | None = None,
+                           rng=None) -> PendingTransaction:
+        """Build a deploy-transaction (vm/deploy.rs shape): parse + check
+        the program, synthesize per-function circuits with certificates
+        (when an SRS is given), price it, and attach the fee transition.
+        The program loads into the process when the transaction finalizes
+        in a block (speculate accepts it)."""
+        from .program import parse_program
+        from .process import Stack
+        from . import deploy as D
+        from . import cost as C
+
+        prog = parse_program(program_text)
+        if prog.id in self.process.stacks:
+            raise HaltError(f"program {prog.id} already exists")
+        stack = Stack(prog, external=self.process.stacks)
+        if srs is not None:
+            deployment = D.deploy(srs, stack, rng or self.rng,
+                                  program_text=program_text)
+        else:
+            deployment = D.Deployment(prog.id, program_text, [])
+        tx = Transaction("deploy", [], payload=deployment)
+        pending = PendingTransaction(tx, [])
+        pending.deployment = deployment
+        if priority_fee is not None:
+            base_fee, _ = C.deployment_cost(deployment)
+            fee_pending = self._fee_public(private_key, base_fee, priority_fee,
+                                           execution_id([]) or 1)
+            tx.transitions.append(fee_pending.transaction.transitions[0])
+            tx.fee_amount = base_fee
+            pending.futures.extend(fee_pending.futures)
+        return pending
+
     def _fee_public(self, private_key, base_fee: int, priority_fee: int,
                     deployment_or_execution_id: int) -> PendingTransaction:
         """Build the fee transition (credits.aleo/fee_public)."""
@@ -206,9 +240,17 @@ class VM:
         self.store.maps.start_atomic()
         accepted, rejected = [], []
         stacks = self.process.stacks
+        pending_programs = {}   # programs visible to later txs in this batch
         for i, p in enumerate(pending):
             self.store.maps.atomic_checkpoint()
             try:
+                deployment = getattr(p, "deployment", None)
+                if deployment is not None:
+                    from .program import parse_program
+                    prog = parse_program(deployment.program_text)
+                    if prog.id in stacks or prog.id in pending_programs:
+                        raise HaltError(f"program {prog.id} already exists")
+                    pending_programs[prog.id] = deployment
                 for pid, fname, args, tid in p.futures:
                     F.execute_finalize(stacks[pid], fname, args, self.store, state, tid)
                 accepted.append(i)
@@ -216,10 +258,17 @@ class VM:
             except HaltError:
                 self.store.maps.atomic_rewind()
                 rejected.append(i)
+        self._pending_programs = pending_programs
         return accepted, rejected
 
     def finalize(self):
         self.store.maps.finish_atomic()
+        # load accepted deployments into the process (vm/finalize.rs:
+        # atomic_finalize deploy branch)
+        for pid, deployment in getattr(self, "_pending_programs", {}).items():
+            if pid not in self.process.stacks:
+                self.process.deploy(deployment.program_text)
+        self._pending_programs = {}
 
     def abort_speculation(self):
         self.store.maps.abort_atomic()
