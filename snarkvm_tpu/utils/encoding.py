@@ -92,3 +92,13 @@ def bech32m_decode(s: str):
     if _polymod(_hrp_expand(hrp) + data) != _BECH32M_CONST:
         raise ValueError("bad bech32m checksum")
     return hrp, _from_base32(data[:-6])
+
+
+def address_to_string(x: int) -> str:
+    """aleo1... bech32m of the 32-byte LE Edwards x-coordinate."""
+    return bech32m_encode("aleo", int(x).to_bytes(32, "little"))
+
+
+def address_from_string(s: str) -> int:
+    _, data = bech32m_decode(s)
+    return int.from_bytes(data, "little")
