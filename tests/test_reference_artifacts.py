@@ -174,3 +174,15 @@ def test_command_text_roundtrip():
         program_io.write_command(w, text)
         back = program_io.read_command(Reader(w.getvalue()))
         assert back.text == text, (back.text, text)
+
+
+def test_genesis_semantic_parity_all_roots_and_ids():
+    """Recompute every transition ID, transaction ID, Merkle root (txs/
+    finalize/ratifications/header), committee ID, block hash, and verify the
+    real beacon Schnorr signature — all against mainnet genesis bytes."""
+    from snarkvm_tpu.formats import block_io, parity
+    blk = block_io.read_block(_genesis_bytes())
+    res = parity.check_block(blk)
+    failures = [k for k, v in res.items() if not v]
+    assert not failures, failures
+    assert len(res) >= 18
