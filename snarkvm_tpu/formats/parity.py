@@ -268,6 +268,38 @@ def verify_beacon_signature(blk: block_io.Block) -> bool:
     return sig.verify(address, [blk.block_hash])
 
 
+def transition_verifier_inputs(t: block_io.Transition) -> list:
+    """Public inputs for a transition proof (verify_execution.rs:165 /
+    verify_fee.rs:185): [1, tpk_x, tpk_y, tcm, scm, input IDs (+record tags),
+    is_root=1, parent_x, parent_y, output IDs (+record checksums)].
+
+    Note: covers root transitions only — child transitions of multi-call
+    executions additionally splice in caller context (call_graph handling).
+    """
+    from ..console.types import _group_from_x
+    tpk = _group_from_x(t.tpk)
+    parent = N.program_address(t.program_id)
+    inputs = [1, tpk[0], tpk[1], t.tcm, t.scm]
+    for inp in t.inputs:
+        inputs.append(inp.id)
+        if inp.variant == 3:      # record: (serial_number, tag)
+            inputs.append(inp.payload)
+    inputs += [1, parent[0], parent[1]]
+    for out in t.outputs:
+        inputs.append(out.id)
+        if out.variant == 3:      # record output: (commitment, checksum)
+            inputs.append(out.checksum)
+    return inputs
+
+
+def verify_single_transition_proof(srs, vk, transition, proof) -> bool:
+    """Verify a 1-transition execution/fee proof against a verifying key."""
+    from ..snark import varuna
+    mode = varuna.VarunaHidingMode if proof.is_hiding() else varuna.VarunaNonHidingMode
+    return varuna.verify_batch(srs, [(vk, [transition_verifier_inputs(transition)])],
+                               proof, mode)
+
+
 def check_block(blk: block_io.Block) -> dict:
     """Recompute everything; returns {check_name: bool}."""
     out = {}

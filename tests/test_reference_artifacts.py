@@ -186,3 +186,33 @@ def test_genesis_semantic_parity_all_roots_and_ids():
     failures = [k for k, v in res.items() if not v]
     assert not failures, failures
     assert len(res) >= 18
+
+
+def test_real_mainnet_varuna_proofs_verify():
+    """THE transcript-parity acceptance test: all 8 ZK Varuna proofs inside
+    the mainnet genesis block (4 transfer_public_to_private executions + 4
+    fee_public fees) verify with OUR verifier against the shipped verifying
+    keys and the real universal SRS. A tampered input must be rejected."""
+    from snarkvm_tpu.formats import block_io, parity
+    from snarkvm_tpu.params import mainnet_artifacts as MA
+    from snarkvm_tpu.snark import varuna
+    from snarkvm_tpu.console import network as N
+
+    blk = block_io.read_block(_genesis_bytes())
+    srs = MA.verifier_srs()
+    vk_fee, _ = MA.credits_verifying_key("fee_public")
+    vk_t2p, _ = MA.credits_verifying_key("transfer_public_to_private")
+
+    for ct in blk.transactions:
+        tx = ct.transaction
+        assert parity.verify_single_transition_proof(
+            srs, vk_t2p, tx.execution.transitions[0], tx.execution.proof)
+        assert parity.verify_single_transition_proof(
+            srs, vk_fee, tx.fee.transition, tx.fee.proof)
+
+    # negative control
+    fee = blk.transactions[0].transaction.fee
+    bad = parity.transition_verifier_inputs(fee.transition)
+    bad[3] = (bad[3] + 1) % N.R
+    assert not varuna.verify_batch(srs, [(vk_fee, [bad])], fee.proof,
+                                   varuna.VarunaHidingMode)
