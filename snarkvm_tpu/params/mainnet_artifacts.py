@@ -98,6 +98,91 @@ def verifier_srs(resource_dir: str = DEFAULT_RESOURCE_DIR) -> MainnetVerifierSRS
     return MainnetVerifierSRS(resource_dir)
 
 
+MAX_NUM_POWERS = 1 << 28  # parameters/src/mainnet/powers.rs:51
+
+
+def _read_powers_file(path: str):
+    with open(path, "rb") as f:
+        data = f.read()
+    n32 = int.from_bytes(data[:4], "little")
+    if 4 + n32 * 96 == len(data):
+        count, off = n32, 4
+    else:
+        count = int.from_bytes(data[:8], "little")
+        off = 8
+    return [canonical.read_g1_uncompressed(data[off + 96 * i: off + 96 * (i + 1)])
+            for i in range(count)]
+
+
+class _PowerWindows:
+    """Sliceable view over sparse global power indices.
+
+    Backed by windows (contiguous [start, start+len) ranges) and a sparse
+    dict of individual points. Slicing outside available coverage raises.
+    """
+
+    def __init__(self):
+        self.windows = []     # (start, [points])
+        self.sparse = {}
+
+    def add_window(self, start: int, points: list) -> None:
+        self.windows.append((start, points))
+
+    def __getitem__(self, key):
+        if isinstance(key, slice):
+            lo, hi = key.start or 0, key.stop
+            for start, pts in self.windows:
+                if lo >= start and hi <= start + len(pts):
+                    return pts[lo - start: hi - start]
+            out = []
+            for i in range(lo, hi):
+                out.append(self.sparse[i])
+            return out
+        for start, pts in self.windows:
+            if start <= key < start + len(pts):
+                return pts[key - start]
+        return self.sparse[key]
+
+
+class MainnetSRS(MainnetVerifierSRS):
+    """Prover-capable view of the real mainnet SRS from the locally shipped
+    shards: low powers 0..2^15 (powers-of-beta-15), shifted powers covering
+    the top 2^16 global indices (shifted-powers-of-beta-{15,16}), the sparse
+    gamma-powers map, neg powers, and beta-h. Supports committing polys of
+    degree < 2^15 with degree bounds of form 2^k - 2 (k <= 16).
+
+    Global indexing (powers.rs:257-266): shifted shard files cover
+    [MAX_NUM_POWERS - total_shifted_len, MAX_NUM_POWERS); degree-bound
+    commits read powers at [max_degree - bound, ...) with
+    max_degree = MAX_NUM_POWERS - 1.
+    """
+
+    def __init__(self, resource_dir: str = DEFAULT_RESOURCE_DIR):
+        super().__init__(resource_dir)
+        self.max_degree = MAX_NUM_POWERS - 1
+        low = _read_powers_file(os.path.join(resource_dir, "powers-of-beta-15.usrs"))
+        self._g_windows = _PowerWindows()
+        self._g_windows.add_window(0, low)
+        shifted = []
+        for shard in (16, 15):   # shard 16 covers the window below shard 15
+            path = os.path.join(resource_dir, f"shifted-powers-of-beta-{shard}.usrs")
+            if os.path.exists(path):
+                shifted.extend(_read_powers_file(path))
+        if shifted:
+            self._g_windows.add_window(MAX_NUM_POWERS - len(shifted), shifted)
+        gamma = _PowerWindows()
+        gamma.sparse = dict(self._gamma_powers)
+        self._gamma_windows = gamma
+
+    @property
+    def powers_of_beta_g(self):
+        return self._g_windows
+
+    @property
+    def powers_of_beta_times_gamma_g(self):
+        return self._gamma_windows
+
+
 @functools.lru_cache(maxsize=None)
 def credits_verifying_key(function_name: str, resource_dir: str = DEFAULT_RESOURCE_DIR):
     """Parse a shipped .verifier key; returns (CircuitVerifyingKey, num_vars)."""

@@ -216,3 +216,49 @@ def test_real_mainnet_varuna_proofs_verify():
     bad[3] = (bad[3] + 1) % N.R
     assert not varuna.verify_batch(srs, [(vk_fee, [bad])], fee.proof,
                                    varuna.VarunaHidingMode)
+
+
+def test_prove_under_real_mainnet_srs():
+    """Our prover commits/opens against the REAL (trapdoor-free) mainnet SRS
+    shards — low powers, shifted windows, sparse gamma map — and our
+    protocol-exact verifier accepts, in both ZK and non-hiding modes."""
+    import random
+    from snarkvm_tpu.params import mainnet_artifacts as MA
+    from snarkvm_tpu.curves import pairing
+    from snarkvm_tpu.fields.scalar import Fq
+    from snarkvm_tpu.console import account
+    from snarkvm_tpu.console.request import Request
+    from snarkvm_tpu.console.types import Plaintext
+    from snarkvm_tpu.synthesizer.program import parse_program
+    from snarkvm_tpu.synthesizer.process import Stack
+    from snarkvm_tpu.synthesizer import execute as E
+    from snarkvm_tpu.snark import varuna
+
+    srs = MA.MainnetSRS()
+    g0 = srs.powers_of_beta_g[0:1][0]
+    g1p = srs.powers_of_beta_g[1:2][0]
+    assert (pairing.pairing((Fq(g1p[0]), Fq(g1p[1])), srs.h)
+            == pairing.pairing((Fq(g0[0]), Fq(g0[1])), srs.beta_h))
+
+    rng = random.Random(8080)
+    program = """
+program math.aleo;
+
+function combine:
+    input r0 as field.public;
+    input r1 as field.private;
+    mul r0 r1 into r2;
+    add r2 r1 into r3;
+    output r3 as field.private;
+"""
+    stack = Stack(parse_program(program))
+    sk = account.PrivateKey.new(rng)
+    for mode in (varuna.VarunaHidingMode, varuna.VarunaNonHidingMode):
+        trace = E.Trace()
+        req = Request.sign(sk, "math.aleo", "combine",
+                           [Plaintext.literal("field", 3), Plaintext.literal("field", 5)],
+                           [("public", "field"), ("private", "field")], rng)
+        trace.insert(E.execute_function(
+            stack, req, [("public", "field"), ("private", "field")]))
+        proof, vks = trace.prove_execution(srs, rng, mode=mode)
+        assert E.verify_execution(srs, proof, vks)
