@@ -187,6 +187,8 @@ def _merge_builders(dst: CircuitBuilder, src: CircuitBuilder):
         dst.enforce(remap(a), remap(b), remap(c))
 
 
-def verify_execution(srs, proof, ordered_vks, mode=varuna.VarunaNonHidingMode) -> bool:
+def verify_execution(srs, proof, ordered_vks, mode=None) -> bool:
     keys_to_inputs = [(vk, inputs) for _, vk, inputs in ordered_vks]
+    if mode is None:
+        mode = varuna.VarunaHidingMode if proof.is_hiding() else varuna.VarunaNonHidingMode
     return varuna.verify_batch(srs, keys_to_inputs, proof, mode)
