@@ -3,3 +3,26 @@
 Built from scratch on JAX/XLA/Pallas. See SURVEY.md for the blueprint.
 """
 __version__ = "0.1.0"
+
+import os as _os
+
+
+def _enable_compile_cache():
+    """Persistent XLA compile cache: the fused Mosaic EC kernels take
+    minutes to compile on TPU (one-time); cache them across processes."""
+    try:
+        import jax
+
+        path = _os.environ.get(
+            "SNARKVM_TPU_JAX_CACHE",
+            _os.path.expanduser("~/.cache/snarkvm_tpu_jax"),
+        )
+        _os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compile_cache()

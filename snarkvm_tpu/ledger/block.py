@@ -98,6 +98,10 @@ class Transition:
     tpk: tuple | None = None     # transition public key (group)
     tcm: int = 0                 # transition commitment
     scm: int = 0                 # signer commitment
+    # console-side argument values (Plaintext/Literal or None per slot),
+    # kept for restrictions checks (restrictions/mod.rs is_argument_restricted)
+    input_values: list | None = None
+    output_values: list | None = None
 
     def to_bits(self):
         from ..console.types import bytes_to_bits_le

@@ -206,6 +206,235 @@ def _add_rows(x1, y1, z1, x2, y2, z2, pp):
 
 
 # ---------------------------------------------------------------------------
+# Full-width Montgomery ("fw") in-kernel field ops — the compile-friendly,
+# MXU-assisted variant. No sequential limb loops at all:
+#   * partial-product column sums via ONE f32 matmul against a 0/1
+#     "diagonal indicator" matrix (exact: every sum < 2^24 < f32 mantissa)
+#   * carry/borrow resolution via Kogge-Stone parallel prefix (log2 L steps)
+#   * REDC as full-width Montgomery: M = (T mod R)*N' mod R; out = (T+M*p)/R
+# Replaces the CIOS form whose fully-unrolled jaxpr (~37k eqns) takes ~4min
+# of Mosaic compile per shape. This form is ~5k eqns and runs entirely on
+# [L..2L, B] tensor ops (VPU) plus one MXU dot per limb product.
+# ---------------------------------------------------------------------------
+
+_ROWS = 2 * L + 1      # 49 columns of the double-width product
+_NPRIME = (-pow(P.Q, -1, 1 << (BASE_BITS * L))) % (1 << (BASE_BITS * L))
+
+
+def _shift_up_rows(x, d):
+    """Move limb i's value to limb i+d (carry direction), zero-fill."""
+    if d == 0:
+        return x
+    return jnp.pad(x, ((d, 0), (0, 0)))[: x.shape[0]]
+
+
+def _ks_norm(cols, nl):
+    """cols: [m, B] uint32 column sums (each < 2^32). Returns the first nl
+    canonical 16-bit limbs of sum_i cols[i]*2^(16 i) (higher limbs and the
+    final carry are truncated — callers guarantee the value fits)."""
+    s = (cols & MASK) + _shift_up_rows(cols >> BASE_BITS, 1)
+    s = (s & MASK) + _shift_up_rows(s >> BASE_BITS, 1)
+    # now s[i] <= 2^16: binary carries via Kogge-Stone prefix scan
+    g = s >> BASE_BITS                                   # generate (0/1)
+    p = ((s & MASK) == MASK).astype(jnp.uint32)          # propagate
+    d = 1
+    while d < s.shape[0]:
+        g = g | (p & _shift_up_rows(g, d))
+        p = p & _shift_up_rows(p, d)
+        d <<= 1
+    carry_in = _shift_up_rows(g, 1)
+    return ((s + carry_in) & MASK)[:nl]
+
+
+def _ks_borrows(a, b):
+    """Borrow-out chain of a - b per limb (canonical limbs). Returns
+    [m, B] uint32 0/1 where row i = borrow OUT of limb i."""
+    g = (a < b).astype(jnp.uint32)
+    p = (a == b).astype(jnp.uint32)
+    d = 1
+    while d < a.shape[0]:
+        g = g | (p & _shift_up_rows(g, d))
+        p = p & _shift_up_rows(p, d)
+        d <<= 1
+    return g
+
+
+def _sub_canonical(a, b):
+    """a - b for canonical limb planes with a >= b. Exact."""
+    bo = _ks_borrows(a, b)
+    bin_ = _shift_up_rows(bo, 1)
+    return (a + (jnp.uint32(1) << BASE_BITS) - b - bin_) & MASK
+
+
+def _condsub_fw(x, pp):
+    """x < 2p canonical -> x mod p."""
+    bo = _ks_borrows(x, pp)
+    keep = bo[x.shape[0] - 1 : x.shape[0]] != 0          # [1, B] broadcast
+    bin_ = _shift_up_rows(bo, 1)
+    diff = (x + (jnp.uint32(1) << BASE_BITS) - pp - bin_) & MASK
+    return jnp.where(keep, x, diff)
+
+
+def _ind_diag(l, rows):
+    """[rows, 4*l*l] bf16 weighted indicator. The 16-bit lo/hi halves of
+    each partial product are further split into 8-bit bytes so every dot
+    operand fits bf16 EXACTLY (<= 8 significand bits); weights 1/256 fold
+    the byte recombination into the same single matmul. Column t encodes
+    product term (i=t//l, j=t%l); blocks: [lo byte0 (w=1, k=i+j),
+    lo byte1 (w=256, k=i+j), hi byte0 (w=1, k=i+j+1), hi byte1 (w=256,
+    k=i+j+1)]. One default-precision bf16 dot then computes exact column
+    sums (every product <= 255*256 and every sum < 2^24, exact in f32)."""
+    n = l * l
+    k = jax.lax.broadcasted_iota(jnp.int32, (rows, n), 0)
+    t = jax.lax.broadcasted_iota(jnp.int32, (rows, n), 1)
+    i = t // l
+    j = t % l
+    lo = (i + j == k)
+    hi = (i + j + 1 == k)
+    one = jnp.float32(1.0)
+    w256 = jnp.float32(256.0)
+    parts = [jnp.where(lo, one, 0.0), jnp.where(lo, w256, 0.0),
+             jnp.where(hi, one, 0.0), jnp.where(hi, w256, 0.0)]
+    return jnp.concatenate(parts, axis=1).astype(jnp.bfloat16)
+
+
+def _u32_to_f32(x):
+    """Mosaic has no uint32<->float32 casts; go through int32 (values are
+    always < 2^24 here, so the sign bit is never set)."""
+    return jax.lax.bitcast_convert_type(x, jnp.int32).astype(jnp.float32)
+
+
+def _f32_to_u32(x):
+    return jax.lax.bitcast_convert_type(x.astype(jnp.int32), jnp.uint32)
+
+
+def _diag_cols(a, b, ind):
+    """Column sums of the double-width product a*b. a/b: [l, B] canonical
+    limbs. Returns [rows, B] uint32 (each entry < 2*l*2^16 < 2^24)."""
+    l, B = a.shape
+    prod = a[:, None, :] * b[None, :, :]                 # [l, l, B] u32
+    lo = (prod & MASK).reshape(l * l, B)
+    hi = (prod >> BASE_BITS).reshape(l * l, B)
+    byte0 = jnp.uint32(0xFF)
+    stacked = jnp.concatenate(
+        [lo & byte0, lo >> 8, hi & byte0, hi >> 8], axis=0)   # [4*l*l, B]
+    stacked = _u32_to_f32(stacked).astype(jnp.bfloat16)       # exact (<=255)
+    cols = jax.lax.dot_general(
+        ind, stacked, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return _f32_to_u32(cols)
+
+
+def _mm_fw(a, b, pp, nn, ind):
+    """Montgomery mul via full-width REDC. a/b: [L, B] Montgomery-form
+    canonical limbs; pp/nn: modulus and N' = -p^{-1} mod R planes."""
+    t_cols = _diag_cols(a, b, ind)                       # T = a*b   [49, B]
+    T = _ks_norm(t_cols, 2 * L)                          # 48 canonical limbs
+    m_cols = _diag_cols(T[:L], nn, ind)                  # (T mod R) * N'
+    M = _ks_norm(m_cols, L)                              # mod R
+    mp_cols = _diag_cols(M, pp, ind)                     # M * p [49, B]
+    total = mp_cols + jnp.pad(T, ((0, 1), (0, 0)))       # T + M*p
+    S = _ks_norm(total, _ROWS)                           # low L limbs == 0
+    return _condsub_fw(S[L : 2 * L], pp)                 # (T + M*p)/R mod p
+
+
+def _add_fw(a, b, pp):
+    s = _ks_norm(a + b, L)                               # a+b < 2p fits L limbs
+    return _condsub_fw(s, pp)
+
+
+def _sub_fw(a, b, pp):
+    u = _ks_norm(a + pp, L)                              # a + p (< 2p, L limbs)
+    v = _sub_canonical(u, b)                             # a + p - b  (>= 0)
+    return _condsub_fw(v, pp)
+
+
+def _fw_ops(pp, nn):
+    ind = _ind_diag(L, _ROWS)
+    mm = lambda a, b: _mm_fw(a, b, pp, nn, ind)
+    add = lambda a, b: _add_fw(a, b, pp)
+    sub = lambda a, b: _sub_fw(a, b, pp)
+    return mm, add, sub
+
+
+def _double_rows_fw(x1, y1, z1, pp, nn):
+    mm, add, sub = _fw_ops(pp, nn)
+    A = mm(x1, x1)
+    B = mm(y1, y1)
+    C = mm(B, B)
+    t = add(x1, B)
+    t = mm(t, t)
+    t = sub(sub(t, A), C)
+    D = add(t, t)
+    E = add(add(A, A), A)
+    F = mm(E, E)
+    X3 = sub(F, add(D, D))
+    C2 = add(C, C)
+    C4 = add(C2, C2)
+    C8 = add(C4, C4)
+    Y3 = sub(mm(E, sub(D, X3)), C8)
+    YZ = mm(y1, z1)
+    Z3 = add(YZ, YZ)
+    return X3, Y3, Z3
+
+
+def _add_rows_fw(x1, y1, z1, x2, y2, z2, pp, nn):
+    mm, add, sub = _fw_ops(pp, nn)
+    inf1 = _is_zero_rows(z1)
+    inf2 = _is_zero_rows(z2)
+
+    Z1Z1 = mm(z1, z1)
+    Z2Z2 = mm(z2, z2)
+    U1 = mm(x1, Z2Z2)
+    U2 = mm(x2, Z1Z1)
+    S1 = mm(mm(y1, z2), Z2Z2)
+    S2 = mm(mm(y2, z1), Z1Z1)
+    H = sub(U2, U1)
+    r = sub(S2, S1)
+    h_zero = _is_zero_rows(H)
+    r_zero = _is_zero_rows(r)
+    same = h_zero & r_zero
+    opp = h_zero & (~r_zero)
+
+    H2 = add(H, H)
+    I = mm(H2, H2)
+    J = mm(H, I)
+    r2 = add(r, r)
+    V = mm(U1, I)
+    X3 = sub(sub(mm(r2, r2), J), add(V, V))
+    S1J = mm(S1, J)
+    Y3 = sub(mm(r2, sub(V, X3)), add(S1J, S1J))
+    ZZ = add(z1, z2)
+    ZZ = mm(ZZ, ZZ)
+    Z3 = mm(sub(sub(ZZ, Z1Z1), Z2Z2), H)
+
+    dx, dy, dz = _double_rows_fw(x1, y1, z1, pp, nn)
+    X = _select_rows(same, dx, X3)
+    Y = _select_rows(same, dy, Y3)
+    Z = _select_rows(same, dz, Z3)
+    Z = _select_rows(opp, _zero_rows_like(Z), Z)
+    X = _select_rows(inf1, x2, _select_rows(inf2, x1, X))
+    Y = _select_rows(inf1, y2, _select_rows(inf2, y1, Y))
+    Z = _select_rows(inf1, z2, _select_rows(inf2, z1, Z))
+    return X, Y, Z
+
+
+def _add_kernel_fw(x1, y1, z1, x2, y2, z2, pp, nn, xo, yo, zo):
+    X, Y, Z = _add_rows_fw(x1[:, :], y1[:, :], z1[:, :],
+                           x2[:, :], y2[:, :], z2[:, :], pp[:, :], nn[:, :])
+    xo[:, :] = X
+    yo[:, :] = Y
+    zo[:, :] = Z
+
+
+def _double_kernel_fw(x1, y1, z1, pp, nn, xo, yo, zo):
+    X, Y, Z = _double_rows_fw(x1[:, :], y1[:, :], z1[:, :], pp[:, :], nn[:, :])
+    xo[:, :] = X
+    yo[:, :] = Y
+    zo[:, :] = Z
+
+
+# ---------------------------------------------------------------------------
 # Kernels
 # ---------------------------------------------------------------------------
 
@@ -225,11 +454,21 @@ def _double_kernel(x1, y1, z1, pp, xo, yo, zo):
     zo[:, :] = Z
 
 
+def _kernel_flavor() -> str:
+    import os
+    return os.environ.get("SNARKVM_TPU_EC_KERNEL", "fw")
+
+
 @functools.lru_cache(maxsize=None)
-def _g1_op(n_in: int, kernel_name: str, block: int):
+def _g1_op(n_in: int, kernel_name: str, block: int, flavor: str = "fw"):
     if jax.default_backend() == "cpu":
         return _g1_op_cpu(kernel_name)
-    kernel = {"add": _add_kernel, "double": _double_kernel}[kernel_name]
+    kernel = {
+        ("add", "fw"): _add_kernel_fw,
+        ("double", "fw"): _double_kernel_fw,
+        ("add", "unrolled"): _add_kernel,
+        ("double", "unrolled"): _double_kernel,
+    }[(kernel_name, flavor)]
 
     def run(*coords):
         B = coords[0].shape[1]
@@ -257,7 +496,8 @@ def _g1_op_cpu(kernel_name: str):
     from . import ec
 
     def run(*coords):
-        t = [c.T for c in coords[:-1]]       # drop the modulus plane
+        n_pts = 6 if kernel_name == "add" else 3
+        t = [c.T for c in coords[:n_pts]]    # drop the constant planes
         if kernel_name == "add":
             p = {"X": t[0], "Y": t[1], "Z": t[2]}
             q = {"X": t[3], "Y": t[4], "Z": t[5]}
@@ -279,17 +519,35 @@ def _p_plane(B: int):
     return jnp.asarray(_p_plane_np(B))
 
 
+@functools.lru_cache(maxsize=None)
+def _n_plane_np(B: int):
+    col = np.array([(_NPRIME >> (BASE_BITS * i)) & int(MASK) for i in range(L)],
+                   dtype=np.uint32)
+    return np.tile(col[:, None], (1, B))
+
+
+def _n_plane(B: int):
+    return jnp.asarray(_n_plane_np(B))
+
+
 def g1_add_lm(p, q, block: int = LANE):
     """p, q: dicts {"X","Y","Z"} of [L, B] (B % block == 0). Complete add."""
     B = p["X"].shape[1]
-    x, y, z = _g1_op(7, "add", block)(p["X"], p["Y"], p["Z"],
-                                      q["X"], q["Y"], q["Z"], _p_plane(B))
+    flavor = _kernel_flavor()
+    args = [p["X"], p["Y"], p["Z"], q["X"], q["Y"], q["Z"], _p_plane(B)]
+    if flavor == "fw":
+        args.append(_n_plane(B))
+    x, y, z = _g1_op(len(args), "add", block, flavor)(*args)
     return {"X": x, "Y": y, "Z": z}
 
 
 def g1_double_lm(p, block: int = LANE):
     B = p["X"].shape[1]
-    x, y, z = _g1_op(4, "double", block)(p["X"], p["Y"], p["Z"], _p_plane(B))
+    flavor = _kernel_flavor()
+    args = [p["X"], p["Y"], p["Z"], _p_plane(B)]
+    if flavor == "fw":
+        args.append(_n_plane(B))
+    x, y, z = _g1_op(len(args), "double", block, flavor)(*args)
     return {"X": x, "Y": y, "Z": z}
 
 

@@ -159,6 +159,8 @@ def execute_function(stack: Stack, request: Request, input_types,
         tpk=None,
         tcm=request.tcm,
         scm=request.scm,
+        input_values=list(inputs),
+        output_values=[out.literal for out in dual_outputs],
     )
     public = [1] + builder.public[1:]
     return TracedTransition(transition, builder, public,

@@ -80,6 +80,8 @@ class VM:
         self.block_height = 0
         self.blocks = []
         self.previous_hash = 0
+        from .restrictions import Restrictions
+        self.restrictions = Restrictions.load_mainnet()
 
     # ---- transaction construction ----
     def execute(self, private_key, program_id: str, function_name: str,
@@ -200,8 +202,12 @@ class VM:
     def check_transaction(self, pending: "PendingTransaction") -> None:
         """Fee sufficiency check (vm/verify.rs check_fee shape): the fee
         transition's base amount must cover the execution cost of the
-        non-fee transitions. Raises ValueError."""
+        non-fee transitions. Also rejects restricted transitions
+        (vm/verify.rs:305 restrictions gate). Raises ValueError."""
         from . import cost as C
+        if self.restrictions.contains_restricted_transitions(
+                pending.transaction.transitions, self.block_height + 1):
+            raise ValueError("transaction contains a restricted transition")
         body = [t for t in pending.transaction.transitions
                 if not (t.program_id == "credits.aleo"
                         and t.function_name.startswith("fee_"))]
