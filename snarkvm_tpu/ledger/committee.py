@@ -25,6 +25,9 @@ class Committee:
         self.starting_round = starting_round
         self.members = dict(members)
         self.total_stake = sum(s for s, _, _ in members.values())
+        # live gauge (reference: ledger/committee/src/lib.rs:97-98)
+        from ..utils import metrics
+        metrics.gauge(metrics.COMMITTEE_TOTAL_STAKE, self.total_stake)
 
     @classmethod
     def new_genesis(cls, members):

@@ -75,6 +75,7 @@ class Ledger:
         self.vm = VM(rng, store_path=store_path)
         self.rng = rng
         self.puzzle = Puzzle()
+        self.history = None   # History instance => per-block staking dumps
         members = {}
         self.validator_addresses = []
         for key in validator_keys:
@@ -378,6 +379,8 @@ class Ledger:
         self.vm.blocks = self.blocks
         self.vm.previous_hash = block.hash()
         self._state_roots.append(self._compute_state_root())
+        if self.history is not None:   # `history` feature analog
+            self.history.store_block_mappings(md.height, self.vm.store)
 
     def scan(self, view_key: int):
         """Wallet scan (ledger/src/find.rs shape): decrypt every on-chain
