@@ -128,6 +128,10 @@ class Request:
 
     def verify(self, input_types, is_root: bool = True) -> bool:
         """Console-side verification (request/verify.rs behavior)."""
+        if self.network_id != N.ID:
+            # the reference halts on construction (request/mod.rs:88);
+            # the console verifier therefore never accepts a foreign network
+            return False
         ck = self.signature.compute_key
         challenge, response = self.signature.challenge, self.signature.response
         if ck.to_address() != self.signer:

@@ -419,6 +419,85 @@ def _add_rows_fw(x1, y1, z1, x2, y2, z2, pp, nn):
     return X, Y, Z
 
 
+def _rcb_add_rows(x1, y1, z1, x2, y2, z2, pp, nn):
+    """Renes-Costello-Batina COMPLETE projective add for a=0, b=1 curves
+    (eprint 2015/1060 algorithm 7, b3 = 3). Handles doubling, inverses and
+    the identity (0:1:0) with NO branches — one kernel covers add+double,
+    and the jaxpr is ~12 Montgomery muls instead of the 25 the branchy
+    Jacobian complete add needs (add formula + double formula + selects)."""
+    mm, add, sub = _fw_ops(pp, nn)
+    tri = lambda v: add(add(v, v), v)                    # b3 = 3 (b = 1)
+    t0 = mm(x1, x2)
+    t1 = mm(y1, y2)
+    t2 = mm(z1, z2)
+    t3 = mm(add(x1, y1), add(x2, y2))
+    t3 = sub(t3, add(t0, t1))                            # X1Y2 + X2Y1
+    t4 = mm(add(y1, z1), add(y2, z2))
+    t4 = sub(t4, add(t1, t2))                            # Y1Z2 + Y2Z1
+    X3 = mm(add(x1, z1), add(x2, z2))
+    Y3 = sub(X3, add(t0, t2))                            # X1Z2 + X2Z1
+    X3 = add(t0, t0)
+    t0 = add(X3, t0)                                     # 3*X1X2
+    t2 = tri(t2)                                         # b3*Z1Z2
+    Z3 = add(t1, t2)
+    t1 = sub(t1, t2)
+    Y3 = tri(Y3)                                         # b3*(X1Z2+X2Z1)
+    X3 = sub(mm(t3, t1), mm(t4, Y3))
+    Y3 = add(mm(Y3, t0), mm(t1, Z3))
+    Z3 = add(mm(Z3, t4), mm(t0, t3))
+    return X3, Y3, Z3
+
+
+def _add_kernel_rcb(x1, y1, z1, x2, y2, z2, pp, nn, xo, yo, zo):
+    X, Y, Z = _rcb_add_rows(x1[:, :], y1[:, :], z1[:, :],
+                            x2[:, :], y2[:, :], z2[:, :], pp[:, :], nn[:, :])
+    xo[:, :] = X
+    yo[:, :] = Y
+    zo[:, :] = Z
+
+
+def _rcb_add_rowlist(x1, y1, z1, x2, y2, z2):
+    """RCB complete add over ROW-LIST field ops (pallas_field.py style:
+    each limb a separate [B] vector, fully unrolled CIOS mont mul). The
+    unrolled form measures ~4x faster per mul on real hardware than the
+    tensorized [L, B] + Kogge-Stone form; 12 muls keep the jaxpr ~7k eqns
+    (vs 37k for the branchy Jacobian complete add), compiling in ~a minute
+    once (persistent cache)."""
+    mm = lambda a, b: pf.mont_mul_block(a, b, FQ)
+    add = lambda a, b: pf.add_block(a, b, FQ)
+    sub = lambda a, b: pf.sub_block(a, b, FQ)
+    tri = lambda v: add(add(v, v), v)
+    t0 = mm(x1, x2)
+    t1 = mm(y1, y2)
+    t2 = mm(z1, z2)
+    t3 = mm(add(x1, y1), add(x2, y2))
+    t3 = sub(t3, add(t0, t1))
+    t4 = mm(add(y1, z1), add(y2, z2))
+    t4 = sub(t4, add(t1, t2))
+    X3 = mm(add(x1, z1), add(x2, z2))
+    Y3 = sub(X3, add(t0, t2))
+    X3 = add(t0, t0)
+    t0 = add(X3, t0)
+    t2 = tri(t2)
+    Z3 = add(t1, t2)
+    t1 = sub(t1, t2)
+    Y3 = tri(Y3)
+    X3 = sub(mm(t3, t1), mm(t4, Y3))
+    Y3 = add(mm(Y3, t0), mm(t1, Z3))
+    Z3 = add(mm(Z3, t4), mm(t0, t3))
+    return X3, Y3, Z3
+
+
+def _add_kernel_rcb_cios(x1, y1, z1, x2, y2, z2, pp, nn, xo, yo, zo):
+    rows = lambda ref: [ref[i, :] for i in range(L)]
+    X, Y, Z = _rcb_add_rowlist(rows(x1), rows(y1), rows(z1),
+                               rows(x2), rows(y2), rows(z2))
+    for i in range(L):
+        xo[i, :] = X[i]
+        yo[i, :] = Y[i]
+        zo[i, :] = Z[i]
+
+
 def _add_kernel_fw(x1, y1, z1, x2, y2, z2, pp, nn, xo, yo, zo):
     X, Y, Z = _add_rows_fw(x1[:, :], y1[:, :], z1[:, :],
                            x2[:, :], y2[:, :], z2[:, :], pp[:, :], nn[:, :])
@@ -456,14 +535,26 @@ def _double_kernel(x1, y1, z1, pp, xo, yo, zo):
 
 def _kernel_flavor() -> str:
     import os
-    return os.environ.get("SNARKVM_TPU_EC_KERNEL", "fw")
+    return os.environ.get("SNARKVM_TPU_EC_KERNEL", "rcb")
+
+
+@functools.lru_cache(maxsize=None)
+def _rcb_cpu_fn():
+    """CPU path for the rcb flavor: the formulas are pure jnp — run them
+    directly under jit (small graph; no Pallas/Mosaic involved)."""
+    return jax.jit(_rcb_add_rows)
 
 
 @functools.lru_cache(maxsize=None)
 def _g1_op(n_in: int, kernel_name: str, block: int, flavor: str = "fw"):
+    if flavor.startswith("rcb") and jax.default_backend() == "cpu":
+        fn = _rcb_cpu_fn()
+        return lambda *args: fn(*args)
     if jax.default_backend() == "cpu":
         return _g1_op_cpu(kernel_name)
     kernel = {
+        ("add", "rcb"): _add_kernel_rcb,
+        ("add", "rcb_cios"): _add_kernel_rcb_cios,
         ("add", "fw"): _add_kernel_fw,
         ("double", "fw"): _double_kernel_fw,
         ("add", "unrolled"): _add_kernel,
@@ -531,19 +622,25 @@ def _n_plane(B: int):
 
 
 def g1_add_lm(p, q, block: int = LANE):
-    """p, q: dicts {"X","Y","Z"} of [L, B] (B % block == 0). Complete add."""
+    """p, q: dicts {"X","Y","Z"} of [L, B] (B % block == 0). Complete add.
+
+    COORDINATE MODEL IS FLAVOR-DEPENDENT: the default "rcb" flavor uses
+    homogeneous projective coordinates with identity (0:1:0); the legacy
+    "fw"/"unrolled" flavors use Jacobian with identity Z=0."""
     B = p["X"].shape[1]
     flavor = _kernel_flavor()
     args = [p["X"], p["Y"], p["Z"], q["X"], q["Y"], q["Z"], _p_plane(B)]
-    if flavor == "fw":
+    if flavor in ("fw", "rcb", "rcb_cios"):
         args.append(_n_plane(B))
     x, y, z = _g1_op(len(args), "add", block, flavor)(*args)
     return {"X": x, "Y": y, "Z": z}
 
 
 def g1_double_lm(p, block: int = LANE):
-    B = p["X"].shape[1]
     flavor = _kernel_flavor()
+    if flavor.startswith("rcb"):
+        return g1_add_lm(p, p, block)        # complete: doubling is the same kernel
+    B = p["X"].shape[1]
     args = [p["X"], p["Y"], p["Z"], _p_plane(B)]
     if flavor == "fw":
         args.append(_n_plane(B))
@@ -562,13 +659,15 @@ def _int_to_col(v: int) -> np.ndarray:
 
 def g1_from_affine_lm(points):
     """points: list of (x, y) canonical ints or None -> limb-major dict,
-    lanes padded to a multiple of LANE with infinity."""
+    lanes padded to a multiple of LANE with the identity. Identity lanes
+    are written as (0, 1, 0) — correct for the projective (rcb) model and
+    harmless for the Jacobian flavors (which key on Z == 0)."""
     n = len(points)
     B = max(LANE, ((n + LANE - 1) // LANE) * LANE)
-    X = np.zeros((L, B), dtype=np.uint32)
-    Y = np.zeros((L, B), dtype=np.uint32)
-    Z = np.zeros((L, B), dtype=np.uint32)
     one_m = _int_to_col(FQ.R % P.Q)
+    X = np.zeros((L, B), dtype=np.uint32)
+    Y = np.tile(one_m[:, None], (1, B))
+    Z = np.zeros((L, B), dtype=np.uint32)
     for i, pt in enumerate(points):
         if pt is None:
             continue
@@ -586,23 +685,46 @@ def _col_to_int(col) -> int:
 
 
 def g1_lm_to_jac_ints(p):
-    """[L, B] dict -> list of (X, Y, Z) canonical int Jacobian tuples."""
+    """[L, B] dict -> list of (X, Y, Z) canonical int JACOBIAN tuples.
+    Under the rcb flavor the planes are homogeneous projective; they are
+    mapped to the Jacobian representative (X*Z, Y*Z^2, Z)."""
     Rinv = pow(FQ.R, -1, P.Q)
     X = np.asarray(p["X"])
     Y = np.asarray(p["Y"])
     Z = np.asarray(p["Z"])
+    proj = _kernel_flavor().startswith("rcb")
     out = []
     for i in range(X.shape[1]):
-        out.append((_col_to_int(X[:, i]) * Rinv % P.Q,
-                    _col_to_int(Y[:, i]) * Rinv % P.Q,
-                    _col_to_int(Z[:, i]) * Rinv % P.Q))
+        x = _col_to_int(X[:, i]) * Rinv % P.Q
+        y = _col_to_int(Y[:, i]) * Rinv % P.Q
+        z = _col_to_int(Z[:, i]) * Rinv % P.Q
+        if proj and z != 0:
+            out.append((x * z % P.Q, y * z * z % P.Q, z))
+        elif proj:
+            out.append((0, 1, 0))
+        else:
+            out.append((x, y, z))
     return out
+
+
+@functools.lru_cache(maxsize=None)
+def _one_plane_np(B: int):
+    return np.tile(_int_to_col(FQ.R % P.Q)[:, None], (1, B))
 
 
 def _identity_lm(B: int):
     return {"X": jnp.zeros((L, B), jnp.uint32),
-            "Y": jnp.zeros((L, B), jnp.uint32),
+            "Y": jnp.asarray(_one_plane_np(B)),
             "Z": jnp.zeros((L, B), jnp.uint32)}
+
+
+def _mask_identity(p, keep):
+    """keep: [B] bool — lanes where keep is False become the identity."""
+    k = keep[None, :]
+    B = p["X"].shape[1]
+    return {"X": jnp.where(k, p["X"], 0),
+            "Y": jnp.where(k, p["Y"], jnp.asarray(_one_plane_np(B))),
+            "Z": jnp.where(k, p["Z"], 0)}
 
 
 # ---------------------------------------------------------------------------
@@ -621,14 +743,20 @@ def _neg_lm(p):
             "Z": p["Z"]}
 
 
+def _shift_lanes_right(p, d):
+    """Shift lanes right by d; vacated lanes become the identity."""
+    B = p["X"].shape[1]
+    lanes = jnp.arange(B) >= d
+    shifted = {k: jnp.pad(v, ((0, 0), (d, 0)))[:, :B] for k, v in p.items()}
+    return _mask_identity(shifted, lanes)
+
+
 def _prefix_scan_lm(p, n):
     """Hillis-Steele inclusive scan of EC adds over the first n lanes
     (lanes >= n must be identity; they stay harmless)."""
-    B = p["X"].shape[1]
     d = 1
     while d < n:
-        shifted = {k: jnp.pad(v, ((0, 0), (d, 0)))[:, :B] for k, v in p.items()}
-        p = g1_add_lm(p, shifted)
+        p = g1_add_lm(p, _shift_lanes_right(p, d))
         d <<= 1
     return p
 
@@ -672,10 +800,9 @@ def msm_g1_lm(points_lm, scalar_limbs, n: int, c: int | None = None,
             has_any = boundary >= 0
             safe = jnp.maximum(boundary, 0)
             S = _gather_lanes(prefix, safe)                     # [nb]
-            keep = has_any[None, :]
-            S = {k: jnp.where(keep, v, 0) for k, v in S.items()}  # identity
+            S = _mask_identity(S, has_any)
             # S_prev: shift right one lane; lane 0 becomes identity
-            Sp = {k: jnp.pad(v, ((0, 0), (1, 0)))[:, :nb] for k, v in S.items()}
+            Sp = _shift_lanes_right(S, 1)
             buckets = g1_add_lm(_pad_lanes(S, nb_pad),
                                 _neg_lm(_pad_lanes(Sp, nb_pad)))
             # drop bucket 0; reverse the remaining nb-1 buckets; a prefix
@@ -684,10 +811,8 @@ def msm_g1_lm(points_lm, scalar_limbs, n: int, c: int | None = None,
             rev = {k: v[:, 1:nb][:, ::-1] for k, v in buckets.items()}
             rev = _pad_lanes(rev, nb_pad)
             suffix = _prefix_scan_lm(rev, nb - 1)
-            # zero out lanes >= nb-1 (scan smeared values into the padding)
-            lanes = jnp.arange(nb_pad) < nb - 1
-            suffix = {k: jnp.where(lanes[None, :], v, 0)
-                      for k, v in suffix.items()}
+            # identity out lanes >= nb-1 (scan smeared values into padding)
+            suffix = _mask_identity(suffix, jnp.arange(nb_pad) < nb - 1)
             total = _reduce_lanes(suffix, nb_pad)               # lane 0
             outs.append({k: v[:, :1] for k, v in total.items()})
         return {k: jnp.concatenate([o[k] for o in outs], axis=1)
@@ -710,7 +835,8 @@ def _pad_lanes(p, B):
     cur = p["X"].shape[1]
     if cur >= B:
         return p
-    return {k: jnp.pad(v, ((0, 0), (0, B - cur))) for k, v in p.items()}
+    padded = {k: jnp.pad(v, ((0, 0), (0, B - cur))) for k, v in p.items()}
+    return _mask_identity(padded, jnp.arange(B) < cur)
 
 
 def _reduce_lanes(p, B):
@@ -721,6 +847,7 @@ def _reduce_lanes(p, B):
         half = size // 2
         right = {k: jnp.pad(v[:, half:size], ((0, 0), (0, B - (size - half))))
                  for k, v in p.items()}
+        right = _mask_identity(right, jnp.arange(B) < (size - half))
         p = g1_add_lm(p, right)
         size = half
     return p

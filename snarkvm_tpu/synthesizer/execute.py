@@ -40,16 +40,48 @@ class TracedTransition:
     builder: CircuitBuilder
     public_inputs: list
     function_key: tuple    # (program_id, function_name) — circuit cache key
+    # record inputs needing inclusion proofs: [(commitment, gamma, sn)]
+    record_inputs: list = None
+
+
+INCLUSION_KEY = ("inclusion", "state_path")
 
 
 class Trace:
-    """Accumulates transitions + assignments; prove_execution batches them."""
+    """Accumulates transitions + assignments; prove_execution batches them.
+
+    Inclusion instances (one per record input, trace/inclusion/mod.rs:45)
+    join the same batch as an extra circuit group — exactly the
+    reference's prove_batch shape (trace/mod.rs:260: inclusion-circuit
+    assignments are appended before the single batched Varuna proof)."""
 
     def __init__(self):
         self.traced = []
+        self.inclusion_tasks = []   # (commitment, gamma, serial_number)
+        self._inclusion_paths = None
 
     def insert(self, tt: TracedTransition):
         self.traced.append(tt)
+        for task in getattr(tt, "record_inputs", None) or []:
+            self.inclusion_tasks.append(task)
+
+    def insert_inclusion(self, commitment: int, gamma, serial_number: int):
+        """Register a record input that needs a state-path inclusion proof."""
+        self.inclusion_tasks.append((commitment, gamma, serial_number))
+
+    def prepare(self, query):
+        """Trace::prepare (trace/mod.rs:117): fetch the global state root +
+        a StatePath per record-input commitment from the Query."""
+        self._inclusion_paths = [
+            (query.get_state_path_for_commitment(c), c, gamma, sn)
+            for c, gamma, sn in self.inclusion_tasks]
+
+    def _inclusion_builders(self):
+        from ..circuit.inclusion_gadget import ledger_inclusion_assignment
+        if self.inclusion_tasks and self._inclusion_paths is None:
+            raise ValueError("Trace has record inputs: call prepare(query) first")
+        return [ledger_inclusion_assignment(sp, c, gamma, sn)
+                for sp, c, gamma, sn in (self._inclusion_paths or [])]
 
     def prove_execution(self, srs: kzg.UniversalSRS, rng, mode=varuna.VarunaNonHidingMode):
         """One batched Varuna proof across all transitions, grouped per
@@ -64,6 +96,13 @@ class Trace:
             pk, vk = varuna.circuit_setup(srs, synth, mode)
             keys.append((pk, [t.builder.to_synthesizer() for t in tts]))
             vks.append((fkey, vk, [t.public_inputs for t in tts]))
+        inclusion = self._inclusion_builders()
+        if inclusion:
+            synth = inclusion[0].to_synthesizer()
+            pk, vk = varuna.circuit_setup(srs, synth, mode)
+            keys.append((pk, [b.to_synthesizer() for b in inclusion]))
+            vks.append((INCLUSION_KEY, vk,
+                        [[1] + b.public[1:] for b in inclusion]))
         keys.sort(key=lambda kv: kv[0].circuit.id)
         proof = varuna.prove_batch(srs, keys, rng, mode)
         # align vks with the sorted key order
@@ -163,8 +202,11 @@ def execute_function(stack: Stack, request: Request, input_types,
         output_values=[out.literal for out in dual_outputs],
     )
     public = [1] + builder.public[1:]
+    record_inputs = [(iid.fields[0], iid.fields[1], iid.fields[2])
+                     for iid in request.input_ids if iid.kind == "record"]
     return TracedTransition(transition, builder, public,
-                            (request.program_id, request.function_name))
+                            (request.program_id, request.function_name),
+                            record_inputs=record_inputs)
 
 
 def _merge_builders(dst: CircuitBuilder, src: CircuitBuilder):
