@@ -76,12 +76,52 @@ def bench_msm_host():
     }))
 
 
+def bench_msm_tpu():
+    """Pippenger MSM on the chip: Pallas RCB complete-add kernels with the
+    round-scheduled bucket accumulation (ops/ec_pallas.py msm_g1_lm)."""
+    import time as _t
+    import random as _rand
+    import numpy as np
+    import jax.numpy as jnp
+    from snarkvm_tpu.ops import ec_pallas as ep
+    from snarkvm_tpu.curves import sw_fast as g1f
+    from snarkvm_tpu.params import bls12_377 as P
+
+    n = 1 << int(os.environ.get("MSM_LOG2", "14"))
+    rng = _rand.Random(9)
+    base = g1f.from_affine((P.G1_GENERATOR_X, P.G1_GENERATOR_Y))
+    cycle, cur = [], base
+    for _ in range(min(n, 256)):
+        cycle.append(g1f.to_affine(cur))
+        cur = g1f.jac_add(cur, g1f.jac_double(cur))
+    pts = (cycle * ((n + len(cycle) - 1) // len(cycle)))[:n]
+    scalars = [rng.randrange(P.R) for _ in range(n)]
+    plm = ep.g1_from_affine_lm(pts)
+    sl = np.zeros((n, 16), np.uint32)
+    for i, s in enumerate(scalars):
+        for j in range(16):
+            sl[i, j] = (s >> (16 * j)) & 0xFFFF
+    sl = jnp.asarray(sl)
+    ep.msm_g1_lm(plm, sl, n)          # compile warm-up
+    t0 = _t.perf_counter()
+    ep.msm_g1_lm(plm, sl, n)
+    dt = _t.perf_counter() - t0
+    rate = n / dt / 1e6
+    print(json.dumps({
+        "metric": f"msm_g1_tpu_2^{n.bit_length()-1}_points_per_s",
+        "value": round(rate, 4), "unit": "Mpoint/s",
+        "vs_baseline": round(rate / 1.0, 4),
+    }))
+
+
 def main():
     metric = os.environ.get("METRIC", "ntt")
     if metric == "poseidon":
         return bench_poseidon()
     if metric == "msm":
         return bench_msm_host()
+    if metric == "msm_tpu":
+        return bench_msm_tpu()
     import jax
 
     log_n = int(os.environ.get("NTT_SIZE", "18"))

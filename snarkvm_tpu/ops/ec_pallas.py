@@ -1,4 +1,4 @@
-"""Pallas TPU kernels for BLS12-377 G1 (Jacobian, limb-major) + MSM.
+"""Pallas TPU kernels for BLS12-377 G1 (limb-major) + MSM.
 
 Why this exists: the XLA limb-plane EC path (ops/ec.py) costs ~5s of XLA
 compile PER g1_add instance on CPU (each rolled Montgomery REDC becomes a
@@ -9,14 +9,21 @@ XLA graph is just gathers/sorts plus custom-calls.
 
 Layout: limb-major [L=24, B] uint32 per coordinate (limbs on sublanes,
 batch on lanes), Montgomery form — the same layout as the Pallas NTT
-(pallas_field.py). Infinity is encoded as Z == 0.
+(pallas_field.py).
+
+Kernel flavors (SNARKVM_TPU_EC_KERNEL):
+  * "rcb" (default) — Renes-Costello-Batina COMPLETE projective add
+    (12 muls, identity (0:1:0), one kernel for add+double) over the
+    full-width-Montgomery field ops (MXU diag matmul + Kogge-Stone).
+  * "rcb_cios" — same formulas over row-unrolled CIOS field ops.
+  * "fw"/"unrolled" — the legacy branchy Jacobian complete add
+    (identity Z=0; 25 muls incl. the embedded double branch).
 
 MSM (replaces algorithms/src/msm/variable_base/batched.rs:366 for the
-device path): per window, sort-by-digit -> Hillis-Steele inclusive scan
-of complete adds (log2(n) kernel calls over the full lane width) ->
-bucket sums via boundary differences -> suffix-sum window total.
-Window combination happens on host ints (22 tiny EC ops).
-"""
+device path): per window, sort-by-digit, then (method="rounds") lanes =
+buckets with one masked gather+add per round — O(n) EC work like the
+reference's batched.rs — or (method="scan") a Hillis-Steele prefix scan
+over all lanes. Window combination happens on host ints (tiny)."""
 from __future__ import annotations
 
 import functools
@@ -766,20 +773,72 @@ def _extract_digits_lm(scalar_limbs, window, c):
     return _extract_digits(scalar_limbs, window, c)
 
 
+
+
+def _suffix_window_total(buckets, nb: int, nb_pad: int):
+    """Window total sum_b b * bucket_b from bucket-sum lanes. Drop bucket
+    0; reverse the remaining nb-1 buckets; a prefix scan of the reversed
+    buckets yields the suffix sums T_k, and sum_k T_k = the total."""
+    rev = {k: v[:, 1:nb][:, ::-1] for k, v in buckets.items()}
+    rev = _pad_lanes(rev, nb_pad)
+    suffix = _prefix_scan_lm(rev, nb - 1)
+    # identity out lanes >= nb-1 (scan smeared values into the padding)
+    suffix = _mask_identity(suffix, jnp.arange(nb_pad) < nb - 1)
+    total = _reduce_lanes(suffix, nb_pad)                   # lane 0
+    return {k: v[:, :1] for k, v in total.items()}
+
 def msm_g1_lm(points_lm, scalar_limbs, n: int, c: int | None = None,
-              num_bits: int = 253):
+              num_bits: int = 253, method: str | None = None):
     """Pippenger over Pallas kernels. points_lm: limb-major dict (lanes
     padded past n with infinity); scalar_limbs: canonical Fr limbs [n, 16]
-    uint32 (row-major). Returns the host Jacobian int tuple."""
+    uint32 (row-major). Returns the host Jacobian int tuple.
+
+    method="rounds" (default): lanes = buckets; after the per-window sort,
+    bucket b's points form a contiguous run [start_b, end_b) and round t
+    adds sorted_point[start_b + t] into bucket-lane b (masked past the
+    run) — total EC work ~= max_bucket_count * nb per window, i.e. O(n)
+    like the reference's batched.rs, instead of the O(n log n) of
+    method="scan" (Hillis-Steele prefix scan over all lanes)."""
+    import os
     from .msm import default_window
     from ..curves import sw_fast as g1f
 
+    if method is None:
+        method = os.environ.get("SNARKVM_TPU_MSM_METHOD", "rounds")
     B = points_lm["X"].shape[1]
     if c is None:
         c = default_window(n)
     windows = (num_bits + c - 1) // c
     nb = 1 << c
     nb_pad = max(LANE, ((nb + LANE - 1) // LANE) * LANE)
+
+    def window_sums_rounds(points, slimbs):
+        outs = []
+        bucket_ids = jnp.arange(nb, dtype=jnp.int32)
+        for w in range(windows):
+            digits = _extract_digits_lm(slimbs, w, c)            # [n]
+            # bucket 0 contributes nothing: retire its points with the pads
+            digits = jnp.where(digits == 0, nb, digits)
+            digits_full = jnp.concatenate(
+                [digits, jnp.full((B - n,), nb, jnp.int32)])
+            order = jnp.argsort(digits_full)
+            sorted_digits = jnp.take(digits_full, order)
+            sp = _gather_lanes(points, order)
+            start = jnp.searchsorted(sorted_digits, bucket_ids, side="left")
+            end = jnp.searchsorted(sorted_digits, bucket_ids, side="right")
+            counts = end - start                                  # [nb]
+            rounds = int(np.asarray(jnp.max(counts)))
+            acc = _identity_lm(nb_pad)
+            start_pad = jnp.pad(start, (0, nb_pad - nb))
+            counts_pad = jnp.pad(counts, (0, nb_pad - nb))
+            for t in range(rounds):
+                valid = counts_pad > t
+                idx = jnp.clip(start_pad + t, 0, B - 1)
+                gathered = _mask_identity(_gather_lanes(sp, idx), valid)
+                acc = g1_add_lm(acc, gathered)
+            outs.append(_suffix_window_total(acc, nb, nb_pad))
+        return {k: jnp.concatenate([o[k] for o in outs], axis=1)
+                for k in ("X", "Y", "Z")}
 
     def window_sums_fn(points, slimbs):
         # eager driver: every EC op below is a fixed-width jitted kernel
@@ -805,20 +864,12 @@ def msm_g1_lm(points_lm, scalar_limbs, n: int, c: int | None = None,
             Sp = _shift_lanes_right(S, 1)
             buckets = g1_add_lm(_pad_lanes(S, nb_pad),
                                 _neg_lm(_pad_lanes(Sp, nb_pad)))
-            # drop bucket 0; reverse the remaining nb-1 buckets; a prefix
-            # scan of the reversed buckets yields the suffix sums T_k, and
-            # sum_k T_k = sum_b b * bucket_b (the window total)
-            rev = {k: v[:, 1:nb][:, ::-1] for k, v in buckets.items()}
-            rev = _pad_lanes(rev, nb_pad)
-            suffix = _prefix_scan_lm(rev, nb - 1)
-            # identity out lanes >= nb-1 (scan smeared values into padding)
-            suffix = _mask_identity(suffix, jnp.arange(nb_pad) < nb - 1)
-            total = _reduce_lanes(suffix, nb_pad)               # lane 0
-            outs.append({k: v[:, :1] for k, v in total.items()})
+            outs.append(_suffix_window_total(buckets, nb, nb_pad))
         return {k: jnp.concatenate([o[k] for o in outs], axis=1)
                 for k in ("X", "Y", "Z")}
 
-    sums = _pad_lanes(window_sums_fn(points_lm, scalar_limbs), LANE)
+    window_fn = window_sums_rounds if method == "rounds" else window_sums_fn
+    sums = _pad_lanes(window_fn(points_lm, scalar_limbs), LANE)
     jacs = g1_lm_to_jac_ints(sums)[:windows]
     total = None
     for w in range(windows - 1, -1, -1):
