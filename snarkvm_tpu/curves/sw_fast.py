@@ -28,6 +28,30 @@ def to_affine(j):
     return (X * z2 % Q, Y * z2 % Q * zi % Q)
 
 
+def batch_to_affine(jacs):
+    """Montgomery's batch-inversion trick: ONE modular inversion for the
+    whole batch (vs one per point in to_affine) + 3 mults per point."""
+    out = [None] * len(jacs)
+    prefix = []
+    acc = 1
+    for j in jacs:
+        if j[2] != 0:
+            prefix.append(acc)
+            acc = acc * j[2] % Q
+        else:
+            prefix.append(None)
+    inv = pow(acc, -1, Q) if acc != 1 or any(j[2] != 0 for j in jacs) else 1
+    for i in range(len(jacs) - 1, -1, -1):
+        X, Y, Z = jacs[i]
+        if Z == 0:
+            continue
+        zi = inv * prefix[i] % Q
+        inv = inv * Z % Q
+        z2 = zi * zi % Q
+        out[i] = (X * z2 % Q, Y * z2 % Q * zi % Q)
+    return out
+
+
 def jac_double(j):
     X1, Y1, Z1 = j
     if Z1 == 0:

@@ -813,32 +813,59 @@ def msm_g1_lm(points_lm, scalar_limbs, n: int, c: int | None = None,
     nb_pad = max(LANE, ((nb + LANE - 1) // LANE) * LANE)
 
     def window_sums_rounds(points, slimbs):
-        outs = []
+        """ALL windows at once: lanes = windows x nb_pad bucket segments.
+        One masked two-level gather (bucket slot -> sorted position ->
+        original lane) + one EC add per round, then SEGMENTED suffix
+        scans/reductions — ~rounds + 3*log2(nb) kernel calls total and a
+        single host sync, instead of O(windows * rounds) calls."""
+        W = windows
         bucket_ids = jnp.arange(nb, dtype=jnp.int32)
-        for w in range(windows):
-            digits = _extract_digits_lm(slimbs, w, c)            # [n]
-            # bucket 0 contributes nothing: retire its points with the pads
-            digits = jnp.where(digits == 0, nb, digits)
-            digits_full = jnp.concatenate(
-                [digits, jnp.full((B - n,), nb, jnp.int32)])
-            order = jnp.argsort(digits_full)
-            sorted_digits = jnp.take(digits_full, order)
-            sp = _gather_lanes(points, order)
-            start = jnp.searchsorted(sorted_digits, bucket_ids, side="left")
-            end = jnp.searchsorted(sorted_digits, bucket_ids, side="right")
-            counts = end - start                                  # [nb]
-            rounds = int(np.asarray(jnp.max(counts)))
-            acc = _identity_lm(nb_pad)
-            start_pad = jnp.pad(start, (0, nb_pad - nb))
-            counts_pad = jnp.pad(counts, (0, nb_pad - nb))
-            for t in range(rounds):
-                valid = counts_pad > t
-                idx = jnp.clip(start_pad + t, 0, B - 1)
-                gathered = _mask_identity(_gather_lanes(sp, idx), valid)
-                acc = g1_add_lm(acc, gathered)
-            outs.append(_suffix_window_total(acc, nb, nb_pad))
-        return {k: jnp.concatenate([o[k] for o in outs], axis=1)
-                for k in ("X", "Y", "Z")}
+        digs = jnp.stack([_extract_digits_lm(slimbs, w, c)
+                          for w in range(W)])                    # [W, n]
+        # bucket 0 contributes nothing: retire its points with the pads
+        digs = jnp.where(digs == 0, nb, digs)
+        digs = jnp.concatenate(
+            [digs, jnp.full((W, B - n), nb, jnp.int32)], axis=1)  # [W, B]
+        order = jnp.argsort(digs, axis=1)                         # [W, B]
+        sorted_digits = jnp.take_along_axis(digs, order, axis=1)
+        start = jax.vmap(lambda sd: jnp.searchsorted(sd, bucket_ids, side="left"))(sorted_digits)
+        end = jax.vmap(lambda sd: jnp.searchsorted(sd, bucket_ids, side="right"))(sorted_digits)
+        counts = end - start                                      # [W, nb]
+        rounds = int(np.asarray(jnp.max(counts)))                 # ONE sync
+        startp = jnp.pad(start, ((0, 0), (0, nb_pad - nb)))
+        countsp = jnp.pad(counts, ((0, 0), (0, nb_pad - nb)))
+        lanes = W * nb_pad
+        acc = _identity_lm(lanes)
+        for t in range(rounds):
+            valid = (countsp > t).reshape(lanes)
+            sel = jnp.clip(startp + t, 0, B - 1)                  # [W, nb_pad]
+            src = jnp.take_along_axis(order, sel, axis=1).reshape(lanes)
+            gathered = _mask_identity(_gather_lanes(points, src), valid)
+            acc = g1_add_lm(acc, gathered)
+        # segmented suffix-sum: rev[w, j] = bucket_{nb-1-j} of window w
+        lane_ids = jnp.arange(nb_pad)
+        rev_sel = jnp.where(lane_ids < nb - 1, nb - 1 - lane_ids, 0)
+        rev_src = (jnp.arange(W)[:, None] * nb_pad + rev_sel[None, :]).reshape(lanes)
+        rev = _mask_identity(_gather_lanes(acc, rev_src),
+                             jnp.tile(lane_ids < nb - 1, W))
+        d = 1
+        while d < nb - 1:
+            shifted = _shift_lanes_right(rev, d)
+            shifted = _mask_identity(shifted, jnp.tile(lane_ids >= d, W))
+            rev = g1_add_lm(rev, shifted)
+            d <<= 1
+        rev = _mask_identity(rev, jnp.tile(lane_ids < nb - 1, W))
+        # segmented tree-reduce to lane 0 of each segment
+        size = nb_pad
+        while size > 1:
+            half = size // 2
+            src2 = (jnp.arange(lanes) + half) % lanes
+            right = _mask_identity(_gather_lanes(rev, src2),
+                                   jnp.tile(lane_ids < (size - half), W))
+            rev = g1_add_lm(rev, right)
+            size = half
+        heads = jnp.arange(W) * nb_pad
+        return _gather_lanes(rev, heads)                          # [W] lanes
 
     def window_sums_fn(points, slimbs):
         # eager driver: every EC op below is a fixed-width jitted kernel

@@ -29,8 +29,11 @@ R = P.R
 
 
 def _msm(bases, scalars):
-    """Native C Pippenger when available (utils/native.py), Python fallback."""
-    if native.available() and len(bases) >= 8:
+    """Native C Pippenger when available (utils/native.py), Python fallback.
+    Used for every size: the Python Pippenger pays a fixed ~2^14 bucket
+    adds even for tiny inputs, so small commits (masks, single openings)
+    must not fall through to it."""
+    if native.available():
         out = native.msm_g1(list(bases), [s % R for s in scalars])
         if out is not None:
             return out
@@ -64,9 +67,9 @@ class UniversalSRS:
     def _powers_for(self, scalars):
         jac = native.batch_scalar_mul(self.g, scalars) if native.available() else None
         if jac is not None:
-            return [g1.to_affine(j) for j in jac]
+            return g1.batch_to_affine(jac)
         gj = g1.from_affine(self.g)
-        return [g1.to_affine(g1.mul_int(gj, s)) for s in scalars]
+        return g1.batch_to_affine([g1.mul_int(gj, s) for s in scalars])
 
     @property
     def powers_of_beta_g(self):
