@@ -89,8 +89,81 @@ class LedgerStatePath:
         return self.block_level.root == self.global_state_root
 
 
+class RESTQuery:
+    """Query::REST (ledger/query/src/query.rs:63-133): fetch the latest
+    state root and state paths from a node's REST API.
+
+    Endpoints (query.rs):
+      GET {url}/{network}/stateRoot/latest
+      GET {url}/{network}/statePath/{commitment}
+    """
+
+    def __init__(self, url: str, network: str = "mainnet", timeout: float = 10.0):
+        self.url = url.rstrip("/")
+        self.network = network
+        self.timeout = timeout
+
+    def _get(self, path: str) -> str:
+        import urllib.request
+        with urllib.request.urlopen(f"{self.url}/{self.network}{path}",
+                                    timeout=self.timeout) as resp:
+            return resp.read().decode()
+
+    def current_state_root(self) -> int:
+        import json as _json
+        body = _json.loads(self._get("/stateRoot/latest"))
+        # nodes return a display string like "sr1..." or a field literal
+        if isinstance(body, str) and body.endswith("field"):
+            return int(body.removesuffix("field"))
+        return int(body)
+
+    def get_state_path_for_commitment(self, commitment: int) -> "LedgerStatePath":
+        import json as _json
+        body = _json.loads(self._get(f"/statePath/{commitment}field"))
+        return state_path_from_json(body)
+
+
+def state_path_from_json(data: dict) -> "LedgerStatePath":
+    """Rebuild a LedgerStatePath from its JSON form (state_path_to_json)."""
+    def lvl(d):
+        return PathLevel(leaf_bits=[bool(b) for b in d["leaf_bits"]],
+                         index=d["index"],
+                         siblings=[int(s) for s in d["siblings"]],
+                         root=int(d["root"]))
+    return LedgerStatePath(
+        global_state_root=int(data["global_state_root"]),
+        commitment=int(data["commitment"]),
+        transition_level=lvl(data["transition"]),
+        transaction_level=lvl(data["transaction"]),
+        transactions_level=lvl(data["transactions"]),
+        header_level=lvl(data["header"]),
+        previous_block_hash=int(data["previous_block_hash"]),
+        block_hash=int(data["block_hash"]),
+        block_level=lvl(data["block"]),
+    )
+
+
+def state_path_to_json(sp: "LedgerStatePath") -> dict:
+    def lvl(p):
+        return {"leaf_bits": [1 if b else 0 for b in p.leaf_bits],
+                "index": p.index,
+                "siblings": [str(s) for s in p.siblings],
+                "root": str(p.root)}
+    return {
+        "global_state_root": str(sp.global_state_root),
+        "commitment": str(sp.commitment),
+        "transition": lvl(sp.transition_level),
+        "transaction": lvl(sp.transaction_level),
+        "transactions": lvl(sp.transactions_level),
+        "header": lvl(sp.header_level),
+        "previous_block_hash": str(sp.previous_block_hash),
+        "block_hash": str(sp.block_hash),
+        "block": lvl(sp.block_level),
+    }
+
+
 class Query:
-    """ledger/query.rs analog over a Ledger instance."""
+    """ledger/query.rs analog over a Ledger instance (Query::VM)."""
 
     def __init__(self, ledger):
         self.ledger = ledger

@@ -505,6 +505,44 @@ def _add_kernel_rcb_cios(x1, y1, z1, x2, y2, z2, pp, nn, xo, yo, zo):
         zo[i, :] = Z[i]
 
 
+def _rcb_add_rows_mm2(x1, y1, z1, x2, y2, z2, pp):
+    """RCB complete add over the TENSORIZED-UNROLLED CIOS field ops
+    (_mm2/_add2/_sub2): all values stay [L, B] vreg-dense (no [1, B]
+    row-list register waste, no MXU dot per product). 12 muls keep the
+    fully-unrolled jaxpr ~10k eqns — one-time Mosaic compile, cached."""
+    mm = lambda a, b: _mm2(a, b, pp)
+    add = lambda a, b: _add2(a, b, pp)
+    sub = lambda a, b: _sub2(a, b, pp)
+    tri = lambda v: add(add(v, v), v)
+    t0 = mm(x1, x2)
+    t1 = mm(y1, y2)
+    t2 = mm(z1, z2)
+    t3 = mm(add(x1, y1), add(x2, y2))
+    t3 = sub(t3, add(t0, t1))
+    t4 = mm(add(y1, z1), add(y2, z2))
+    t4 = sub(t4, add(t1, t2))
+    X3 = mm(add(x1, z1), add(x2, z2))
+    Y3 = sub(X3, add(t0, t2))
+    X3 = add(t0, t0)
+    t0 = add(X3, t0)
+    t2 = tri(t2)
+    Z3 = add(t1, t2)
+    t1 = sub(t1, t2)
+    Y3 = tri(Y3)
+    X3 = sub(mm(t3, t1), mm(t4, Y3))
+    Y3 = add(mm(Y3, t0), mm(t1, Z3))
+    Z3 = add(mm(Z3, t4), mm(t0, t3))
+    return X3, Y3, Z3
+
+
+def _add_kernel_rcb_mm2(x1, y1, z1, x2, y2, z2, pp, nn, xo, yo, zo):
+    X, Y, Z = _rcb_add_rows_mm2(x1[:, :], y1[:, :], z1[:, :],
+                                x2[:, :], y2[:, :], z2[:, :], pp[:, :])
+    xo[:, :] = X
+    yo[:, :] = Y
+    zo[:, :] = Z
+
+
 def _add_kernel_fw(x1, y1, z1, x2, y2, z2, pp, nn, xo, yo, zo):
     X, Y, Z = _add_rows_fw(x1[:, :], y1[:, :], z1[:, :],
                            x2[:, :], y2[:, :], z2[:, :], pp[:, :], nn[:, :])
@@ -562,6 +600,7 @@ def _g1_op(n_in: int, kernel_name: str, block: int, flavor: str = "fw"):
     kernel = {
         ("add", "rcb"): _add_kernel_rcb,
         ("add", "rcb_cios"): _add_kernel_rcb_cios,
+        ("add", "rcb_mm2"): _add_kernel_rcb_mm2,
         ("add", "fw"): _add_kernel_fw,
         ("double", "fw"): _double_kernel_fw,
         ("add", "unrolled"): _add_kernel,
@@ -637,7 +676,7 @@ def g1_add_lm(p, q, block: int = LANE):
     B = p["X"].shape[1]
     flavor = _kernel_flavor()
     args = [p["X"], p["Y"], p["Z"], q["X"], q["Y"], q["Z"], _p_plane(B)]
-    if flavor in ("fw", "rcb", "rcb_cios"):
+    if flavor in ("fw", "rcb", "rcb_cios", "rcb_mm2"):
         args.append(_n_plane(B))
     x, y, z = _g1_op(len(args), "add", block, flavor)(*args)
     return {"X": x, "Y": y, "Z": z}
