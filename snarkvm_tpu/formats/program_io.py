@@ -1049,6 +1049,110 @@ def program_to_text(prog: ProgramAst) -> str:
     return "\n".join(out) + "\n"
 
 
+_RE_REGISTER = __import__("re").compile(r"^r\d+($|[.\[])")
+
+
+def program_from_text(text: str) -> ProgramAst:
+    """Parse canonical Aleo source into a ProgramAst — the inverse of
+    program_to_text, so text -> AST -> bytes produces the reference binary
+    program format (synthesizer/program bytes.rs) from a source package."""
+    prog = None
+    imports = []
+    cur = None          # ("mapping"/"struct"/"record"/"closure"/"function", obj)
+    cur_fn = None       # FunctionAst while inside a function or its finalize
+    in_finalize = False
+
+    def flush():
+        nonlocal cur, cur_fn, in_finalize
+        if cur is not None:
+            prog.components.append(cur)
+        cur = None
+        cur_fn = None
+        in_finalize = False
+
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith(("//", "/*", "*")):
+            continue
+        line = line.split("//")[0].strip().rstrip(";")
+        if not line:
+            continue
+        if line.startswith("import "):
+            imports.append(line.split()[1])
+        elif line.startswith("program "):
+            prog = ProgramAst(line.split()[1])
+            prog.imports = imports
+        elif line.startswith("mapping ") and line.endswith(":"):
+            flush()
+            cur = ("mapping", [line.split()[1].rstrip(":"), None, None])
+        elif line.startswith("struct ") and line.endswith(":"):
+            flush()
+            cur = ("struct", (line.split()[1].rstrip(":"), []))
+        elif line.startswith("record ") and line.endswith(":"):
+            flush()
+            cur = ("record", [line.split()[1].rstrip(":"), None, []])
+        elif line.startswith("closure ") and line.endswith(":"):
+            flush()
+            cur = ("closure", ClosureAst(line.split()[1].rstrip(":")))
+        elif line.startswith("function ") and line.endswith(":"):
+            flush()
+            cur_fn = FunctionAst(line.split()[1].rstrip(":"))
+            cur = ("function", cur_fn)
+        elif line.startswith("finalize ") and line.endswith(":"):
+            assert cur_fn is not None, "finalize outside a function"
+            cur_fn.finalize = FinalizeAst(line.split()[1].rstrip(":"))
+            in_finalize = True
+        elif cur is not None and cur[0] == "mapping":
+            kind, rest = line.split(" as ", 1)
+            ty = rest.rsplit(".", 1)[0]
+            cur[1][1 if kind.strip() == "key" else 2] = ty
+        elif cur is not None and cur[0] == "struct" and " as " in line:
+            mname, pt = line.split(" as ", 1)
+            cur[1][1].append((mname.strip(), pt.strip()))
+        elif cur is not None and cur[0] == "record" and " as " in line:
+            ename, ty = line.split(" as ", 1)
+            ename, ty = ename.strip(), ty.strip()
+            if ename == "owner":
+                cur[1][1] = ty.rsplit(".", 1)[1]
+            else:
+                cur[1][2].append((ename, ty))
+        elif line.startswith("input "):
+            _, reg, _, ty = line.split()
+            if in_finalize:
+                cur_fn.finalize.inputs.append((reg, ty))
+            elif cur[0] == "closure":
+                cur[1].inputs.append((reg, ty))
+            else:
+                cur_fn.inputs.append((reg, ty))
+        elif line.startswith("output "):
+            _, operand, _, ty = line.split()
+            variant = 1 if _RE_REGISTER.match(operand) else 0
+            if cur[0] == "closure":
+                cur[1].outputs.append((variant, operand, ty))
+            else:
+                cur_fn.outputs.append((variant, operand, ty))
+        else:
+            inst = Inst(line.split()[0], line + ";")
+            if in_finalize:
+                cur_fn.finalize.commands.append(inst)
+            elif cur[0] == "closure":
+                cur[1].instructions.append(inst)
+            else:
+                cur_fn.instructions.append(inst)
+    flush()
+    # normalize list-built components to the tuple shapes read_program makes
+    comps = []
+    for kind, obj in prog.components:
+        if kind == "mapping":
+            comps.append((kind, tuple(obj)))
+        elif kind == "record":
+            comps.append((kind, (obj[0], obj[1], obj[2])))
+        else:
+            comps.append((kind, obj if not isinstance(obj, list) else tuple(obj)))
+    prog.components = comps
+    return prog
+
+
 def parse_program_bytes(data: bytes) -> ProgramAst:
     r = Reader(data)
     prog = read_program(r)

@@ -52,8 +52,19 @@ def deploy(srs: kzg.UniversalSRS, stack: Stack, rng,
     dual = DualStack(stack)
     vks = []
     for fname, fn in sorted(stack.program.functions.items()):
-        inputs = [sample_input(rng, fi.value_type) for fi in fn.inputs]
-        _, builder = dual.execute_function(fname, inputs)
+        # CheckDeployment samples dummy inputs (process/src/deploy.rs); the
+        # circuit SHAPE is input-independent, so if a sample halts the
+        # console run (overflow, div-by-zero), resample — the reference
+        # synthesizes without enforcing satisfaction in this mode
+        # (stack/execute.rs:155-159 only enforces limits).
+        for attempt in range(64):
+            inputs = [sample_input(rng, fi.value_type) for fi in fn.inputs]
+            try:
+                _, builder = dual.execute_function(fname, inputs)
+                break
+            except HaltError:
+                if attempt == 63:
+                    raise
         if builder.num_constraints > max_constraints:
             raise HaltError(f"function {fname} exceeds deployment constraint limit")
         if builder.num_public + builder.num_private > max_variables:
