@@ -118,16 +118,27 @@ class SynthesisPuzzle:
         return program.to_leaves(program.construct_inputs(rng))
 
 
+MAX_SOLUTIONS = 4                  # console/network/src/lib.rs MAX_SOLUTIONS
+
+
 class Puzzle:
-    def __init__(self, synthesis=None):
+    def __init__(self, synthesis=None, cache_size: int = 1 << 10):
         self.synthesis = synthesis or SynthesisPuzzle()
-        self._cache = {}
+        # LRU proof-target cache (puzzle/src/lib.rs:87 LruCache)
+        from collections import OrderedDict
+        self._cache = OrderedDict()
+        self._cache_size = cache_size
 
     def get_proof_target(self, partial: PartialSolution) -> int:
         key = partial.id
-        if key not in self._cache:
-            self._cache[key] = leaves_to_proof_target(self.synthesis.to_leaves(partial))
-        return self._cache[key]
+        if key in self._cache:
+            self._cache.move_to_end(key)
+            return self._cache[key]
+        target = leaves_to_proof_target(self.synthesis.to_leaves(partial))
+        self._cache[key] = target
+        if len(self._cache) > self._cache_size:
+            self._cache.popitem(last=False)
+        return target
 
     def prove(self, epoch_hash: int, address_x: int, counter: int,
               minimum_proof_target: int | None = None) -> Solution:
@@ -143,3 +154,20 @@ class Puzzle:
             return False
         target = self.get_proof_target(solution.partial)
         return target == solution.target and target >= expected_proof_target
+
+    def check_solutions(self, solutions, expected_epoch_hash: int,
+                        expected_proof_target: int) -> None:
+        """Batch validation (puzzle/src/lib.rs:299): count limit, unique
+        solution IDs, then every solution's epoch hash + proof target.
+        Raises ValueError on the first violation."""
+        if len(solutions) > MAX_SOLUTIONS:
+            raise ValueError(
+                f"{len(solutions)} solutions exceed MAX_SOLUTIONS ({MAX_SOLUTIONS})")
+        ids = [s.partial.id for s in solutions]
+        if len(set(ids)) != len(ids):
+            raise ValueError("duplicate solution IDs in the batch")
+        for s in solutions:
+            if s.partial.epoch_hash != expected_epoch_hash:
+                raise ValueError(f"solution {s.partial.id} has a stale epoch hash")
+            if not self.check_solution(s, expected_epoch_hash, expected_proof_target):
+                raise ValueError(f"solution {s.partial.id} fails the proof target")

@@ -723,6 +723,46 @@ def g1_from_affine_lm(points):
     return {"X": jnp.asarray(X), "Y": jnp.asarray(Y), "Z": jnp.asarray(Z)}
 
 
+def g1_from_affine_lm_fast(points, pad_to: int | None = None):
+    """Vectorized version of g1_from_affine_lm for LARGE fixed base sets
+    (SRS uploads): bulk bytes packing instead of per-limb Python loops.
+    points: list of (x, y) canonical ints or None."""
+    n = len(points)
+    B = pad_to or max(LANE, ((n + LANE - 1) // LANE) * LANE)
+    one = FQ.R % P.Q
+    xs = bytearray()
+    ys = bytearray()
+    zs = bytearray()
+    one_b = one.to_bytes(48, "little")
+    zero_b = bytes(48)
+    for pt in points:
+        if pt is None:
+            xs += zero_b
+            ys += one_b
+            zs += zero_b
+        else:
+            xs += (pt[0] * FQ.R % P.Q).to_bytes(48, "little")
+            ys += (pt[1] * FQ.R % P.Q).to_bytes(48, "little")
+            zs += one_b
+    pad = B - n
+    if pad:
+        xs += zero_b * pad
+        ys += one_b * pad
+        zs += zero_b * pad
+    out = {}
+    for k, buf in (("X", xs), ("Y", ys), ("Z", zs)):
+        arr = np.frombuffer(bytes(buf), dtype=np.uint16).reshape(B, L)
+        out[k] = jnp.asarray(np.ascontiguousarray(arr.T).astype(np.uint32))
+    return out
+
+
+def scalars_to_limbs(scalars):
+    """[n] canonical Fr ints -> [n, 16] uint32 limb rows (fast packing)."""
+    buf = b"".join(int(s).to_bytes(32, "little") for s in scalars)
+    arr = np.frombuffer(buf, dtype=np.uint16).reshape(len(scalars), 16)
+    return jnp.asarray(arr.astype(np.uint32))
+
+
 def _col_to_int(col) -> int:
     v = 0
     for i in range(L):

@@ -40,6 +40,69 @@ def _msm(bases, scalars):
     return g1.msm(list(bases), [s % R for s in scalars])
 
 
+# ---------------------------------------------------------------------------
+# Device (TPU) MSM dispatch — the analog of the reference's opportunistic
+# CUDA offload with CPU fallback (algorithms/src/msm/variable_base/mod.rs:36).
+# SRS base planes are uploaded to HBM once per SRS object and sliced per
+# call; scalars ride as packed limb rows.
+# ---------------------------------------------------------------------------
+
+import os as _os
+import weakref as _weakref
+
+_DEVICE_SRS_CACHE: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+
+
+def _device_msm_min() -> int:
+    return int(_os.environ.get("SNARKVM_TPU_DEVICE_MSM_MIN", str(1 << 14)))
+
+
+def _device_msm_enabled() -> bool:
+    mode = _os.environ.get("SNARKVM_TPU_DEVICE_MSM", "auto")
+    if mode == "off":
+        return False
+    try:
+        import jax
+        return jax.default_backend() != "cpu" or mode == "always"
+    except Exception:
+        return False
+
+
+def _device_planes(srs, kind: str):
+    """Upload (once) the full base-point plane for this SRS + kind."""
+    from ..ops import ec_pallas as ep
+    planes = _DEVICE_SRS_CACHE.setdefault(srs, {})
+    if kind not in planes:
+        pts = (srs.powers_of_beta_g if kind == "beta"
+               else srs.powers_of_beta_times_gamma_g)
+        planes[kind] = (ep.g1_from_affine_lm_fast(list(pts)), len(pts))
+    return planes[kind]
+
+
+def _msm_srs(srs, kind: str, shift: int, scalars):
+    """MSM over srs powers[shift : shift+len(scalars)] — device when large
+    enough, host C otherwise. Falls back to host on ANY device error."""
+    n = len(scalars)
+    if n >= _device_msm_min() and _device_msm_enabled():
+        try:
+            from ..ops import ec_pallas as ep
+            import jax.numpy as jnp
+            plane, total = _device_planes(srs, kind)
+            assert shift + n <= total
+            lanes = max(ep.LANE, ((n + ep.LANE - 1) // ep.LANE) * ep.LANE)
+            window = {k: v[:, shift : shift + lanes] for k, v in plane.items()}
+            if shift + lanes > total:   # re-pad the tail with identity
+                window = ep._mask_identity(
+                    window, jnp.arange(lanes) < (total - shift))
+            sl = ep.scalars_to_limbs([s % R for s in scalars])
+            return ep.msm_g1_lm(window, sl, n)
+        except Exception:
+            pass
+    pts = (srs.powers_of_beta_g if kind == "beta"
+           else srs.powers_of_beta_times_gamma_g)
+    return _msm(pts[shift : shift + n], scalars)
+
+
 class UniversalSRS:
     """Test SRS with known beta (deterministic from a seed)."""
 
@@ -200,27 +263,26 @@ def commit(srs: UniversalSRS, poly: Poly, degree_bound: int | None = None,
     coeffs = poly.c
     shift = (srs.max_degree - degree_bound) if degree_bound is not None else 0
     assert shift + len(coeffs) <= srs.max_degree + 1, "polynomial too large for SRS"
-    bases = srs.powers_of_beta_g[shift : shift + len(coeffs)]
-    comm = _msm(bases, coeffs)
+    comm = _msm_srs(srs, "beta", shift, coeffs)
     randomness = Randomness.empty()
     if hiding_bound is not None:
         assert rng is not None
         randomness = Randomness.rand(hiding_bound, rng)
         # degree-bounded commits use SHIFTED gamma powers, matching
         # sonic_pc shifted_powers_of_beta_times_gamma_g (mod.rs:80-90)
-        rbases = srs.powers_of_beta_times_gamma_g[shift : shift + len(randomness.blinding.c)]
-        comm = g1.jac_add(comm, _msm(rbases, randomness.blinding.c))
+        comm = g1.jac_add(comm, _msm_srs(srs, "gamma", shift,
+                                         randomness.blinding.c))
     return g1.to_affine(comm), randomness
 
 
 def open_single(srs: UniversalSRS, poly: Poly, point: int, randomness: Randomness):
     """KZG10::open — returns (w affine, random_v or None)."""
     witness, _ = poly.divide_by_linear(point)
-    w = _msm(srs.powers_of_beta_g[: max(1, len(witness.c))], witness.c or [0])
+    w = _msm_srs(srs, "beta", 0, witness.c or [0])
     random_v = None
     if randomness.is_hiding():
         hw, _ = randomness.blinding.divide_by_linear(point)
-        w = g1.jac_add(w, _msm(srs.powers_of_beta_times_gamma_g[: max(1, len(hw.c))], hw.c or [0]))
+        w = g1.jac_add(w, _msm_srs(srs, "gamma", 0, hw.c or [0]))
         random_v = randomness.blinding.evaluate(point)
     return g1.to_affine(w), random_v
 

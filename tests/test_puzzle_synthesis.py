@@ -164,3 +164,37 @@ class TestEpochProgram:
         sol = p.prove(555, 77, counter=1)
         assert p.check_solution(sol, 555, 0)
         assert not p.check_solution(sol, 556, 0)
+
+
+class TestCheckSolutions:
+    """Batch validation (puzzle/src/lib.rs:299) + the LRU target cache."""
+
+    def _mk(self):
+        from snarkvm_tpu.ledger.puzzle import (
+            Puzzle, SimpleSynthesisPuzzle, PartialSolution, Solution)
+        return Puzzle(SimpleSynthesisPuzzle()), PartialSolution, Solution
+
+    def test_batch_happy_path_and_limits(self):
+        import pytest
+        from snarkvm_tpu.ledger.puzzle import MAX_SOLUTIONS
+        puzzle, PartialSolution, Solution = self._mk()
+        epoch = 77
+        sols = [puzzle.prove(epoch, 1000 + i, i) for i in range(MAX_SOLUTIONS)]
+        floor = min(s.target for s in sols)
+        puzzle.check_solutions(sols, epoch, floor)          # passes
+        with pytest.raises(ValueError, match="MAX_SOLUTIONS"):
+            extra = sols + [puzzle.prove(epoch, 4242, 99)]
+            puzzle.check_solutions(extra, epoch, 0)
+        with pytest.raises(ValueError, match="duplicate"):
+            puzzle.check_solutions([sols[0], sols[0]], epoch, 0)
+        with pytest.raises(ValueError, match="stale epoch"):
+            puzzle.check_solutions(sols, epoch + 1, 0)
+        with pytest.raises(ValueError, match="proof target"):
+            puzzle.check_solutions(sols, epoch, floor * 2 + 10)
+
+    def test_lru_cache_bounded(self):
+        from snarkvm_tpu.ledger.puzzle import Puzzle, SimpleSynthesisPuzzle, PartialSolution
+        puzzle = Puzzle(SimpleSynthesisPuzzle(), cache_size=4)
+        for i in range(10):
+            puzzle.get_proof_target(PartialSolution(5, 1, i))
+        assert len(puzzle._cache) == 4
