@@ -667,6 +667,29 @@ def _n_plane(B: int):
     return jnp.asarray(_n_plane_np(B))
 
 
+def g1_add_traced(p, q, block: int = LANE):
+    """Complete projective add for use INSIDE an enclosing jit trace (the
+    rcb kernel as a raw pallas_call, or the pure-jnp formulas on CPU) —
+    lets whole MSM stages fuse into single dispatches."""
+    B = p["X"].shape[1]
+    pp, nn = _p_plane(B), _n_plane(B)
+    if jax.default_backend() == "cpu":
+        x, y, z = _rcb_add_rows(p["X"], p["Y"], p["Z"],
+                                q["X"], q["Y"], q["Z"], pp, nn)
+        return {"X": x, "Y": y, "Z": z}
+    bs = lambda: pl.BlockSpec((L, block), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)
+    x, y, z = pl.pallas_call(
+        _add_kernel_rcb,
+        grid=(B // block,),
+        in_specs=[bs() for _ in range(8)],
+        out_specs=(bs(), bs(), bs()),
+        out_shape=tuple(jax.ShapeDtypeStruct((L, B), jnp.uint32)
+                        for _ in range(3)),
+    )(p["X"], p["Y"], p["Z"], q["X"], q["Y"], q["Z"], pp, nn)
+    return {"X": x, "Y": y, "Z": z}
+
+
 def g1_add_lm(p, q, block: int = LANE):
     """p, q: dicts {"X","Y","Z"} of [L, B] (B % block == 0). Complete add.
 
@@ -854,6 +877,94 @@ def _extract_digits_lm(scalar_limbs, window, c):
 
 
 
+@functools.lru_cache(maxsize=None)
+def _msm_prep_fn(W: int, c: int, n: int, B: int, nb: int, nb_pad: int):
+    """Jitted window prep: digits for all windows, per-window sort, bucket
+    run starts/counts, and the global round count."""
+
+    def run(slimbs):
+        bucket_ids = jnp.arange(nb, dtype=jnp.int32)
+        digs = jnp.stack([_extract_digits_lm(slimbs, w, c)
+                          for w in range(W)])                     # [W, n]
+        # bucket 0 contributes nothing: retire its points with the pads
+        digs = jnp.where(digs == 0, nb, digs)
+        digs = jnp.concatenate(
+            [digs, jnp.full((W, B - n), nb, jnp.int32)], axis=1)  # [W, B]
+        order = jnp.argsort(digs, axis=1)                          # [W, B]
+        sorted_digits = jnp.take_along_axis(digs, order, axis=1)
+        start = jax.vmap(lambda sd: jnp.searchsorted(
+            sd, bucket_ids, side="left"))(sorted_digits)
+        end = jax.vmap(lambda sd: jnp.searchsorted(
+            sd, bucket_ids, side="right"))(sorted_digits)
+        counts = end - start                                       # [W, nb]
+        startp = jnp.pad(start, ((0, 0), (0, nb_pad - nb)))
+        countsp = jnp.pad(counts, ((0, 0), (0, nb_pad - nb)))
+        return order, startp, countsp, jnp.max(counts)
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=None)
+def _msm_accum_fn(W: int, nb_pad: int, B: int, block: int = LANE):
+    """Jitted bucket accumulation: ONE dispatch running `rounds` iterations
+    of (two-level gather -> mask -> complete add) over all window segments."""
+    lanes = W * nb_pad
+
+    def run(pX, pY, pZ, order, startp, countsp, rounds):
+        points = {"X": pX, "Y": pY, "Z": pZ}
+        ident = _identity_lm(lanes)
+
+        def body(t, acc):
+            valid = (countsp > t).reshape(lanes)
+            sel = jnp.clip(startp + t, 0, B - 1)                   # [W, nb_pad]
+            src = jnp.take_along_axis(order, sel, axis=1).reshape(lanes)
+            gathered = _mask_identity(_gather_lanes(points, src), valid)
+            out = g1_add_traced(
+                {"X": acc[0], "Y": acc[1], "Z": acc[2]}, gathered, block)
+            return (out["X"], out["Y"], out["Z"])
+
+        return jax.lax.fori_loop(
+            0, rounds, body, (ident["X"], ident["Y"], ident["Z"]))
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=None)
+def _msm_suffix_fn(W: int, nb: int, nb_pad: int, block: int = LANE):
+    """Jitted segmented suffix-sum + tree-reduce: window totals at the
+    head lane of each segment, gathered to [W] lanes."""
+    lanes = W * nb_pad
+
+    def run(aX, aY, aZ):
+        acc = {"X": aX, "Y": aY, "Z": aZ}
+        lane_ids = jnp.arange(nb_pad)
+        # rev[w, j] = bucket_{nb-1-j} of window w
+        rev_sel = jnp.where(lane_ids < nb - 1, nb - 1 - lane_ids, 0)
+        rev_src = (jnp.arange(W)[:, None] * nb_pad
+                   + rev_sel[None, :]).reshape(lanes)
+        rev = _mask_identity(_gather_lanes(acc, rev_src),
+                             jnp.tile(lane_ids < nb - 1, W))
+        d = 1
+        while d < nb - 1:
+            shifted = _shift_lanes_right(rev, d)
+            shifted = _mask_identity(shifted, jnp.tile(lane_ids >= d, W))
+            rev = g1_add_traced(rev, shifted, block)
+            d <<= 1
+        rev = _mask_identity(rev, jnp.tile(lane_ids < nb - 1, W))
+        size = nb_pad
+        while size > 1:
+            half = size // 2
+            src2 = (jnp.arange(lanes) + half) % lanes
+            right = _mask_identity(_gather_lanes(rev, src2),
+                                   jnp.tile(lane_ids < (size - half), W))
+            rev = g1_add_traced(rev, right, block)
+            size = half
+        heads = jnp.arange(W) * nb_pad
+        return _gather_lanes(rev, heads)                           # [W] lanes
+
+    return jax.jit(run)
+
+
 def _suffix_window_total(buckets, nb: int, nb_pad: int):
     """Window total sum_b b * bucket_b from bucket-sum lanes. Drop bucket
     0; reverse the remaining nb-1 buckets; a prefix scan of the reversed
@@ -892,59 +1003,36 @@ def msm_g1_lm(points_lm, scalar_limbs, n: int, c: int | None = None,
     nb_pad = max(LANE, ((nb + LANE - 1) // LANE) * LANE)
 
     def window_sums_rounds(points, slimbs):
-        """ALL windows at once: lanes = windows x nb_pad bucket segments.
-        One masked two-level gather (bucket slot -> sorted position ->
-        original lane) + one EC add per round, then SEGMENTED suffix
-        scans/reductions — ~rounds + 3*log2(nb) kernel calls total and a
-        single host sync, instead of O(windows * rounds) calls."""
-        W = windows
-        bucket_ids = jnp.arange(nb, dtype=jnp.int32)
-        digs = jnp.stack([_extract_digits_lm(slimbs, w, c)
-                          for w in range(W)])                    # [W, n]
-        # bucket 0 contributes nothing: retire its points with the pads
-        digs = jnp.where(digs == 0, nb, digs)
-        digs = jnp.concatenate(
-            [digs, jnp.full((W, B - n), nb, jnp.int32)], axis=1)  # [W, B]
-        order = jnp.argsort(digs, axis=1)                         # [W, B]
-        sorted_digits = jnp.take_along_axis(digs, order, axis=1)
-        start = jax.vmap(lambda sd: jnp.searchsorted(sd, bucket_ids, side="left"))(sorted_digits)
-        end = jax.vmap(lambda sd: jnp.searchsorted(sd, bucket_ids, side="right"))(sorted_digits)
-        counts = end - start                                      # [W, nb]
-        rounds = int(np.asarray(jnp.max(counts)))                 # ONE sync
-        startp = jnp.pad(start, ((0, 0), (0, nb_pad - nb)))
-        countsp = jnp.pad(counts, ((0, 0), (0, nb_pad - nb)))
-        lanes = W * nb_pad
-        acc = _identity_lm(lanes)
-        for t in range(rounds):
-            valid = (countsp > t).reshape(lanes)
-            sel = jnp.clip(startp + t, 0, B - 1)                  # [W, nb_pad]
-            src = jnp.take_along_axis(order, sel, axis=1).reshape(lanes)
-            gathered = _mask_identity(_gather_lanes(points, src), valid)
-            acc = g1_add_lm(acc, gathered)
-        # segmented suffix-sum: rev[w, j] = bucket_{nb-1-j} of window w
-        lane_ids = jnp.arange(nb_pad)
-        rev_sel = jnp.where(lane_ids < nb - 1, nb - 1 - lane_ids, 0)
-        rev_src = (jnp.arange(W)[:, None] * nb_pad + rev_sel[None, :]).reshape(lanes)
-        rev = _mask_identity(_gather_lanes(acc, rev_src),
-                             jnp.tile(lane_ids < nb - 1, W))
-        d = 1
-        while d < nb - 1:
-            shifted = _shift_lanes_right(rev, d)
-            shifted = _mask_identity(shifted, jnp.tile(lane_ids >= d, W))
-            rev = g1_add_lm(rev, shifted)
-            d <<= 1
-        rev = _mask_identity(rev, jnp.tile(lane_ids < nb - 1, W))
-        # segmented tree-reduce to lane 0 of each segment
-        size = nb_pad
-        while size > 1:
-            half = size // 2
-            src2 = (jnp.arange(lanes) + half) % lanes
-            right = _mask_identity(_gather_lanes(rev, src2),
-                                   jnp.tile(lane_ids < (size - half), W))
-            rev = g1_add_lm(rev, right)
-            size = half
-        heads = jnp.arange(W) * nb_pad
-        return _gather_lanes(rev, heads)                          # [W] lanes
+        """ALL windows at once: lanes = windows x nb_pad bucket segments,
+        with the whole pipeline fused into THREE jitted dispatches (prep,
+        bucket-accumulation fori_loop with the Pallas add inlined, and the
+        segmented suffix/reduce) — the per-call tunnel latency otherwise
+        dominates the eager driver. On CPU the eager per-round loop keeps
+        XLA compiles small (dispatch overhead is irrelevant locally)."""
+        prep = _msm_prep_fn(windows, c, n, B, nb, nb_pad)
+        order, startp, countsp, rounds = prep(slimbs)
+        if jax.default_backend() == "cpu":
+            rounds = int(np.asarray(rounds))
+            lanes = windows * nb_pad
+            acc = _identity_lm(lanes)
+            for t in range(rounds):
+                valid = (countsp > t).reshape(lanes)
+                sel = jnp.clip(startp + t, 0, B - 1)
+                src = jnp.take_along_axis(order, sel, axis=1).reshape(lanes)
+                gathered = _mask_identity(_gather_lanes(points, src), valid)
+                acc = g1_add_lm(acc, gathered)
+            heads = []
+            for w in range(windows):
+                seg = {k: v[:, w * nb_pad : (w + 1) * nb_pad]
+                       for k, v in acc.items()}
+                heads.append(_suffix_window_total(seg, nb, nb_pad))
+            return {k: jnp.concatenate([h[k] for h in heads], axis=1)
+                    for k in ("X", "Y", "Z")}
+        accum = _msm_accum_fn(windows, nb_pad, B)
+        acc = accum(points["X"], points["Y"], points["Z"],
+                    order, startp, countsp, rounds)
+        suffix = _msm_suffix_fn(windows, nb, nb_pad)
+        return suffix(*acc)
 
     def window_sums_fn(points, slimbs):
         # eager driver: every EC op below is a fixed-width jitted kernel
