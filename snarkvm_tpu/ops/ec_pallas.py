@@ -905,26 +905,81 @@ def _msm_prep_fn(W: int, c: int, n: int, B: int, nb: int, nb_pad: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _msm_accum_fn(W: int, nb_pad: int, B: int, block: int = LANE):
-    """Jitted bucket accumulation: ONE dispatch running `rounds` iterations
-    of (two-level gather -> mask -> complete add) over all window segments."""
+def _msm_accum_fn(W: int, nb: int, nb_pad: int, B: int, c: int,
+                  num_bits: int = 253, block: int = LANE):
+    """Jitted bucket accumulation with REPLICATED buckets: window w only
+    uses nb_w = 2^(window bit width) buckets; the remaining lanes of its
+    segment hold R_w = nb_pad/nb_w round-robin replicas per bucket, so a
+    narrow top window (e.g. 6 bits of a 253-bit scalar) no longer forces
+    max-bucket-count serial rounds. Replicas tree-reduce in log2(R) masked
+    adds; bucket b of window w ends at lane w*nb_pad + b*R_w and a static
+    regather restores the contiguous [W, nb_pad] bucket layout. One
+    dispatch; the round bound is traced (no host sync)."""
     lanes = W * nb_pad
 
-    def run(pX, pY, pZ, order, startp, countsp, rounds):
+    # static per-lane maps (numpy -> baked constants)
+    b_of = np.zeros(lanes, np.int32)      # bucket index within the window
+    r_of = np.zeros(lanes, np.int32)      # replica index within the bucket
+    R_of = np.zeros(lanes, np.int32)      # replica count for this window
+    regather = np.zeros(lanes, np.int32)  # bucket-major lane -> replica-0 lane
+    live = np.zeros(lanes, bool)          # lane participates at all
+    nb_ws = []
+    for w in range(W):
+        width = min(c, num_bits - c * w)
+        nb_w = min(nb, 1 << width)
+        nb_ws.append(nb_w)
+        R_w = nb_pad // nb_w
+        base_lane = w * nb_pad
+        for i in range(nb_pad):
+            b_of[base_lane + i] = i // R_w
+            r_of[base_lane + i] = i % R_w
+            R_of[base_lane + i] = R_w
+            live[base_lane + i] = True
+        for b in range(nb_pad):
+            regather[base_lane + b] = base_lane + (b * R_w if b < nb_w else 0)
+    flat_wb = (np.arange(lanes) // nb_pad) * nb + b_of   # index into [W*nb]
+    regather_valid = np.concatenate(
+        [np.arange(nb_pad) < nb_ws[w] for w in range(W)])
+
+    def run(pX, pY, pZ, order, startp, countsp, rounds_unused):
         points = {"X": pX, "Y": pY, "Z": pZ}
         ident = _identity_lm(lanes)
+        start_l = jnp.take(startp[:, :nb].reshape(W * nb), jnp.asarray(flat_wb))
+        count_l = jnp.take(countsp[:, :nb].reshape(W * nb), jnp.asarray(flat_wb))
+        r_ofj = jnp.asarray(r_of)
+        R_ofj = jnp.asarray(R_of)
+        # per-lane rounds = ceil((count - r)/R); global bound is the max
+        lane_rounds = jnp.maximum(count_l - r_ofj + R_ofj - 1, 0) // R_ofj
+        rounds = jnp.max(lane_rounds)
 
         def body(t, acc):
-            valid = (countsp > t).reshape(lanes)
-            sel = jnp.clip(startp + t, 0, B - 1)                   # [W, nb_pad]
+            k = r_ofj + t * R_ofj
+            valid = k < count_l
+            sel = jnp.clip(start_l + k, 0, B - 1).reshape(W, nb_pad)
             src = jnp.take_along_axis(order, sel, axis=1).reshape(lanes)
             gathered = _mask_identity(_gather_lanes(points, src), valid)
             out = g1_add_traced(
                 {"X": acc[0], "Y": acc[1], "Z": acc[2]}, gathered, block)
             return (out["X"], out["Y"], out["Z"])
 
-        return jax.lax.fori_loop(
+        acc = jax.lax.fori_loop(
             0, rounds, body, (ident["X"], ident["Y"], ident["Z"]))
+        acc = {"X": acc[0], "Y": acc[1], "Z": acc[2]}
+        # replica tree-reduce, bottom-up: fold replica j+s into j for
+        # s = 1, 2, ..., R/2 (j aligned to 2s)
+        s = 1
+        while s < nb_pad:
+            recv = (R_of > s) & (r_of % (2 * s) == 0)
+            if recv.any():
+                src2 = (np.arange(lanes) + s) % lanes
+                right = _gather_lanes(acc, jnp.asarray(src2))
+                right = _mask_identity(right, jnp.asarray(recv))
+                acc = g1_add_traced(acc, right, block)
+            s *= 2
+        # regather buckets to the contiguous layout; dead slots -> identity
+        acc = _gather_lanes(acc, jnp.asarray(regather))
+        acc = _mask_identity(acc, jnp.asarray(regather_valid))
+        return acc["X"], acc["Y"], acc["Z"]
 
     return jax.jit(run)
 
@@ -1028,7 +1083,7 @@ def msm_g1_lm(points_lm, scalar_limbs, n: int, c: int | None = None,
                 heads.append(_suffix_window_total(seg, nb, nb_pad))
             return {k: jnp.concatenate([h[k] for h in heads], axis=1)
                     for k in ("X", "Y", "Z")}
-        accum = _msm_accum_fn(windows, nb_pad, B)
+        accum = _msm_accum_fn(windows, nb, nb_pad, B, c, num_bits)
         acc = accum(points["X"], points["Y"], points["Z"],
                     order, startp, countsp, rounds)
         suffix = _msm_suffix_fn(windows, nb, nb_pad)

@@ -76,3 +76,61 @@ class TestMSM:
         out = ep.msm_g1_lm(plm, sc, n, c=c, num_bits=bits)
         want = _aff(g1f.msm(pts, scalars))
         assert _aff(out) == want
+
+
+class TestReplicatedAccum:
+    """The fused accumulation stage with bucket REPLICAS (narrow top
+    window): stage functions driven directly, vs the host-int MSM.
+
+    CPU-XLA compiles the fused multi-add graphs slowly (~minutes), so this
+    runs only with SNARKVM_TPU_SLOW_TESTS=1; the TPU MSM bench exercises
+    the same path with a correctness check on every run."""
+
+    def test_fused_stages_match_host(self):
+        import os
+        if os.environ.get("SNARKVM_TPU_SLOW_TESTS") != "1":
+            pytest.skip("slow fused-graph CPU compile; set SNARKVM_TPU_SLOW_TESTS=1")
+        import numpy as np
+        import jax.numpy as jnp
+        from snarkvm_tpu.ops.msm import default_window
+
+        n, c, num_bits = 96, 4, 11        # windows: 4,4,3 bits -> replicas
+        windows = (num_bits + c - 1) // c
+        nb = 1 << c
+        nb_pad = 128
+        pts = _points(n)
+        sc = [rng.randrange(1 << num_bits) for _ in range(n)]
+        plm = ep.g1_from_affine_lm(pts)
+        B = plm["X"].shape[1]
+        sl = ep.scalars_to_limbs(sc)
+
+        prep = ep._msm_prep_fn(windows, c, n, B, nb, nb_pad)
+        order, startp, countsp, rounds = prep(sl)
+        accum = ep._msm_accum_fn(windows, nb, nb_pad, B, c, num_bits)
+        acc = accum(plm["X"], plm["Y"], plm["Z"], order, startp, countsp, rounds)
+        suffix = ep._msm_suffix_fn(windows, nb, nb_pad)
+        sums = suffix(*acc)
+
+        # combine windows on host and compare with the naive host MSM
+        jacs = ep.g1_lm_to_jac_ints(ep._pad_lanes(sums, ep.LANE))[:windows]
+        total = None
+        for w in range(windows - 1, -1, -1):
+            if total is not None:
+                for _ in range(c):
+                    total = g1f.jac_double(total)
+            if jacs[w][2] != 0:
+                total = jacs[w] if total is None else g1f.jac_add(total, jacs[w])
+        want = None
+        for pt, s in zip(pts, sc):
+            term = g1f.jac_mul(g1f.from_affine(pt), s) if hasattr(g1f, "jac_mul") else None
+            if term is None:
+                j = g1f.from_affine(pt)
+                term = (0, 1, 0)
+                for b in reversed(range(s.bit_length())):
+                    term = g1f.jac_double(term)
+                    if (s >> b) & 1:
+                        term = g1f.jac_add(term, j)
+            want = term if want is None else g1f.jac_add(want, term)
+        wz2, gz2 = pow(want[2], 2, P.Q), pow(total[2], 2, P.Q)
+        assert (want[0] * gz2 - total[0] * wz2) % P.Q == 0
+        assert (want[1] * gz2 * total[2] - total[1] * wz2 * want[2]) % P.Q == 0
