@@ -119,8 +119,50 @@ def bench_msm_tpu():
     }))
 
 
+def bench_varuna():
+    """Full Varuna prove throughput (the BASELINE.json 'proofs/min'
+    family): one R1CS multiplication chain at VARUNA_LOG2 constraints,
+    proved via the production pipeline (device MSM dispatch + native
+    NTT); best-of-2 wall time."""
+    import random as _rand
+    from snarkvm_tpu.snark import varuna, r1cs
+    from snarkvm_tpu.polycommit import kzg
+    from snarkvm_tpu.params import bls12_377 as P
+
+    logn = int(os.environ.get("VARUNA_LOG2", "13"))
+    n = (1 << logn) - 8
+    R = P.R
+
+    class Chain:
+        def generate_constraints(self, cs):
+            x = cs.alloc_input(3)
+            cur_v, cur = cs.alloc(5), 5
+            for _ in range(n):
+                nv = cur * cur % R
+                nxt = cs.alloc(nv)
+                cs.enforce([(1, cur_v)], [(1, cur_v)], [(1, nxt)])
+                cur_v, cur = nxt, nv
+            cs.enforce([(1, x)], [(1, cur_v)], [(3 * cur % R, cs.one)])
+
+    rng = _rand.Random(7)
+    srs = kzg.test_srs(1 << (logn + 2))
+    circ = Chain()
+    pk, vk = varuna.circuit_setup(srs, circ, varuna.VarunaNonHidingMode)
+    varuna.prove_batch(srs, [(pk, [circ])], rng, varuna.VarunaNonHidingMode)  # warm
+    dt = min(_timed(lambda: varuna.prove_batch(
+        srs, [(pk, [circ])], rng, varuna.VarunaNonHidingMode)) for _ in range(2))
+    rate = 60.0 / dt
+    print(json.dumps({
+        "metric": f"varuna_prove_2^{logn}_constraints_proofs_per_min",
+        "value": round(rate, 3), "unit": "proofs/min",
+        "vs_baseline": round(rate / 1.0, 3),
+    }))
+
+
 def main():
     metric = os.environ.get("METRIC", "ntt")
+    if metric == "varuna":
+        return bench_varuna()
     if metric == "poseidon":
         return bench_poseidon()
     if metric == "msm":

@@ -89,13 +89,21 @@ def _msm_srs(srs, kind: str, shift: int, scalars):
             import jax.numpy as jnp
             plane, total = _device_planes(srs, kind)
             assert shift + n <= total
-            lanes = max(ep.LANE, ((n + ep.LANE - 1) // ep.LANE) * ep.LANE)
-            window = {k: v[:, shift : shift + lanes] for k, v in plane.items()}
-            if shift + lanes > total:   # re-pad the tail with identity
-                window = ep._mask_identity(
-                    window, jnp.arange(lanes) < (total - shift))
-            sl = ep.scalars_to_limbs([s % R for s in scalars])
-            return ep.msm_g1_lm(window, sl, n)
+            # pad to the next power of two so every commit in a proof
+            # shares a handful of compiled MSM shapes (zero scalars land
+            # in bucket 0 and are skipped — free)
+            npad = 1 << (n - 1).bit_length()
+            lanes = max(ep.LANE, npad)
+            window = {k: v[:, shift : min(shift + lanes, total)]
+                      for k, v in plane.items()}
+            cur = window["X"].shape[1]
+            if cur < lanes:
+                window = {k: jnp.pad(v, ((0, 0), (0, lanes - cur)))
+                          for k, v in window.items()}
+                window = ep._mask_identity(window, jnp.arange(lanes) < cur)
+            scalars = [s % R for s in scalars] + [0] * (npad - n)
+            sl = ep.scalars_to_limbs(scalars)
+            return ep.msm_g1_lm(window, sl, npad)
         except Exception:
             pass
     pts = (srs.powers_of_beta_g if kind == "beta"

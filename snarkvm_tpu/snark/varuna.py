@@ -432,6 +432,8 @@ def _transpose(matrix, variable_size, input_size):
 def prove_batch(srs: kzg.UniversalSRS, keys_to_constraints, rng, mode=VarunaNonHidingMode):
     """keys_to_constraints: list of (CircuitProvingKey, [ConstraintSynthesizer,...]).
     Returns Proof. (varuna.rs:336)"""
+    from ..utils.timer import timer
+    t = timer("varuna_prove_batch")
     zkb = zk_bound(mode)
 
     # --- init_prover: synthesize every instance ---
@@ -485,6 +487,7 @@ def prove_batch(srs: kzg.UniversalSRS, keys_to_constraints, rng, mode=VarunaNonH
             comms.append(c)
         return comms
 
+    t.lap("init_prover")
     # --- round 1: witness polynomials ---
     first_polys = []
     for st in circuit_states:
@@ -515,6 +518,7 @@ def prove_batch(srs: kzg.UniversalSRS, keys_to_constraints, rng, mode=VarunaNonH
 
     batch_combiners = verifier_first_round(batch_sizes, sponge)
 
+    t.lap("round1_witness")
     # --- round 2: rowcheck h_0 ---
     h_0 = Poly.zero()
     for st, comb in zip(circuit_states, batch_combiners):
@@ -534,6 +538,7 @@ def prove_batch(srs: kzg.UniversalSRS, keys_to_constraints, rng, mode=VarunaNonH
 
     alpha, eta_b, eta_c = verifier_second_round(max_cd, sponge)
 
+    t.lap("round2_rowcheck")
     # --- round 3: lineval sumcheck (g_1, h_1) ---
     third_sums = []
     h_1_sum = Poly.zero()
@@ -579,6 +584,7 @@ def prove_batch(srs: kzg.UniversalSRS, keys_to_constraints, rng, mode=VarunaNonH
 
     beta = verifier_third_round(max_vd, sponge)
 
+    t.lap("round3_lineval")
     # --- round 4: matrix sumchecks (g_a/g_b/g_c) ---
     fourth_sums = []
     fourth_comms = []
@@ -626,6 +632,7 @@ def prove_batch(srs: kzg.UniversalSRS, keys_to_constraints, rng, mode=VarunaNonH
 
     delta_a, delta_b, delta_c = verifier_fourth_round(len(circuit_states), sponge)
 
+    t.lap("round4_matrix")
     # --- round 5: h_2 ---
     h_2 = Poly.zero()
     for i, circuit_lhs in enumerate(lhs_polys):
@@ -682,6 +689,8 @@ def prove_batch(srs: kzg.UniversalSRS, keys_to_constraints, rng, mode=VarunaNonH
     )
 
     num_witness = sum(batch_sizes)
+    t.lap("round5_and_open")
+    t.finish()
     return Proof(
         batch_sizes=batch_sizes,
         witness_commitments=first_comms[:num_witness],
