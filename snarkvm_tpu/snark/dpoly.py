@@ -1,0 +1,256 @@
+"""Device-resident dense polynomials over Fr — the HBM-resident backing
+for the Varuna prover's hot rounds (the reference keeps these in host RAM
+with rayon + CUDA NTT offload; here coefficients live on the TPU as
+Montgomery limb planes [n, 16] and every transform/pointwise op is a
+jitted device computation; the host only orchestrates and absorbs
+Fiat-Shamir values).
+
+Representation: jnp.uint32 [n, L=16], Montgomery form, row-major (the
+ops/ntt.py Domain layout). Interop with the int-list Poly is explicit
+(from_poly/to_poly) and only used at protocol boundaries.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..params import bls12_377 as P
+from ..fields import limb
+from ..fields.limb import FR
+from ..ops.ntt import Domain
+from .poly import Poly
+
+R = P.R
+L = FR.L
+_R_MONT = FR.R % R          # Montgomery representation of 1
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, n - 1).bit_length() if n > 1 else 1
+
+
+@functools.lru_cache(maxsize=64)
+def _domain(n: int) -> Domain:
+    return Domain(n)
+
+
+def _ints_to_mont(vals) -> jnp.ndarray:
+    """Canonical ints -> Montgomery limb plane [n, L] (bulk bytes pack)."""
+    buf = b"".join(((int(v) % R) * FR.R % R).to_bytes(32, "little")
+                   for v in vals)
+    arr = np.frombuffer(buf, dtype=np.uint16).reshape(len(vals), 16)
+    return jnp.asarray(arr.astype(np.uint32))
+
+
+def _mont_to_ints(a) -> list:
+    arr = np.asarray(a).astype(np.uint16)
+    data = arr.tobytes()
+    rinv = pow(FR.R, -1, R)
+    return [int.from_bytes(data[i : i + 32], "little") * rinv % R
+            for i in range(0, len(data), 32)]
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_add():
+    return jax.jit(lambda a, b: limb.add(a, b, FR))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_sub():
+    return jax.jit(lambda a, b: limb.sub(a, b, FR))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_mul():
+    return jax.jit(lambda a, b: limb.mont_mul(a, b, FR))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_scale():
+    def f(a, k_mont):
+        return limb.mont_mul(a, jnp.broadcast_to(k_mont, a.shape), FR)
+    return jax.jit(f)
+
+
+def _tree_sum(x):
+    """Sum rows of [n, L] with log-depth limb adds (n power of two)."""
+    n = x.shape[0]
+    while n > 1:
+        half = n // 2
+        x = limb.add(x[:half], x[half:], FR)
+        n = half
+    return x
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_eval(n_pad: int):
+    """Evaluate at z: powers built by log-doubling, then dot + tree sum."""
+    def f(a, z_mont):
+        # powers[0:n_pad] of z via doubling: [1], [1,z], [1,z,z^2,z^3], ...
+        pw = jnp.broadcast_to(jnp.asarray(_one_plane(1)), (1, L))
+        k = 1
+        while k < n_pad:
+            top = limb.mont_mul(pw, jnp.broadcast_to(pw[-1:], pw.shape), FR)
+            top = limb.mont_mul(top, jnp.broadcast_to(z_mont, top.shape), FR)
+            pw = jnp.concatenate([pw, top], axis=0)
+            k *= 2
+        prods = limb.mont_mul(a, pw[:n_pad], FR)
+        return _tree_sum(prods)
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=1)
+def _one_plane(n: int):
+    return np.tile(np.array(
+        [( _R_MONT >> (16 * i)) & 0xFFFF for i in range(L)],
+        dtype=np.uint32), (n, 1))
+
+
+class DPoly:
+    """Device dense polynomial (ascending coefficients, Montgomery limbs)."""
+
+    __slots__ = ("a", "n")
+
+    def __init__(self, a, n: int | None = None):
+        self.a = a                        # [cap, L] mont limbs (cap >= n)
+        self.n = n if n is not None else a.shape[0]
+
+    # ---- constructors -------------------------------------------------
+    @classmethod
+    def from_ints(cls, coeffs) -> "DPoly":
+        coeffs = list(coeffs)
+        while coeffs and coeffs[-1] % R == 0:
+            coeffs.pop()
+        if not coeffs:
+            return cls(jnp.zeros((1, L), jnp.uint32), 0)
+        return cls(_ints_to_mont(coeffs), len(coeffs))
+
+    @classmethod
+    def from_poly(cls, p: Poly) -> "DPoly":
+        return cls.from_ints(p.c)
+
+    @classmethod
+    def from_mont_plane(cls, a, n: int | None = None) -> "DPoly":
+        return cls(a, n)
+
+    def to_ints(self) -> list:
+        if self.n == 0:
+            return []
+        c = _mont_to_ints(self.a[: self.n])
+        while c and c[-1] == 0:
+            c.pop()
+        return c
+
+    def to_poly(self) -> Poly:
+        return Poly(self.to_ints())
+
+    # ---- shape helpers -------------------------------------------------
+    def is_zero(self) -> bool:
+        return self.n == 0
+
+    @property
+    def degree(self) -> int:
+        return max(0, self.n - 1)
+
+    def _padded(self, m: int):
+        cur = self.a.shape[0]
+        a = self.a[:m] if cur >= m else jnp.pad(self.a, ((0, m - cur), (0, 0)))
+        if self.n < m:
+            mask = (jnp.arange(m) < self.n)[:, None]
+            a = jnp.where(mask, a, 0)
+        return a
+
+    # ---- arithmetic ------------------------------------------------------
+    def __add__(self, o: "DPoly") -> "DPoly":
+        m = max(self.n, o.n, 1)
+        return DPoly(_jit_add()(self._padded(m), o._padded(m)), m)
+
+    def __sub__(self, o: "DPoly") -> "DPoly":
+        m = max(self.n, o.n, 1)
+        return DPoly(_jit_sub()(self._padded(m), o._padded(m)), m)
+
+    def scale(self, k: int) -> "DPoly":
+        if self.n == 0 or k % R == 0:
+            return DPoly(jnp.zeros((1, L), jnp.uint32), 0)
+        k_mont = jnp.asarray(_ints_to_mont([k]))
+        return DPoly(_jit_scale()(self._padded(self.n), k_mont), self.n)
+
+    def __mul__(self, o):
+        if isinstance(o, int):
+            return self.scale(o)
+        if self.n == 0 or o.n == 0:
+            return DPoly(jnp.zeros((1, L), jnp.uint32), 0)
+        out_len = self.n + o.n - 1
+        m = _next_pow2(out_len)
+        d = _domain(m)
+        ea = d.fft(self._padded(m))
+        eb = d.fft(o._padded(m))
+        prod = _jit_mul()(ea, eb)
+        return DPoly(d.ifft(prod), out_len)
+
+    def evaluate(self, z: int) -> int:
+        if self.n == 0:
+            return 0
+        m = _next_pow2(self.n)
+        z_mont = jnp.asarray(_ints_to_mont([z]))
+        out = _jit_eval(m)(self._padded(m), z_mont)
+        return _mont_to_ints(out)[0]
+
+    # ---- domain transforms ----------------------------------------------
+    def evaluate_over_domain(self, n: int):
+        """Montgomery evals plane [n, L] over the order-n subgroup."""
+        d = _domain(n)
+        assert self.n <= n, "fold-before-fft not supported on device"
+        return d.fft(self._padded(n))
+
+    def coset_evaluate(self, n: int):
+        d = _domain(n)
+        assert self.n <= n
+        return d.coset_fft(self._padded(n))
+
+    @classmethod
+    def from_evaluations(cls, evals_plane, n: int | None = None) -> "DPoly":
+        d = _domain(evals_plane.shape[0])
+        return cls(d.ifft(evals_plane), n or evals_plane.shape[0])
+
+    @classmethod
+    def from_coset_evaluations(cls, evals_plane, n: int | None = None) -> "DPoly":
+        d = _domain(evals_plane.shape[0])
+        return cls(d.coset_ifft(evals_plane), n or evals_plane.shape[0])
+
+    # ---- structured division ----------------------------------------------
+    def divide_by_vanishing(self, n: int):
+        """Divide by x^n - 1: q[i] = sum_{j>=1} c[i + j*n] (suffix sums of
+        stride-n slices, log-depth on device); r = c[:n] + q[:n]."""
+        if self.n < n + 1:
+            return DPoly(jnp.zeros((1, L), jnp.uint32), 0), DPoly(self.a, self.n)
+        m = ((self.n + n - 1) // n) * n
+        c = self._padded(m).reshape(m // n, n, L)
+        # reverse inclusive suffix-sum over axis 0 (mod-r adds)
+        blocks = c
+        k = 1
+        while k < blocks.shape[0]:
+            shifted = jnp.pad(blocks, ((0, k), (0, 0), (0, 0)))[k:]
+            blocks = limb.add(blocks, shifted, FR)
+            k *= 2
+        # blocks[j] = sum_{t>=j} c_t ; q chunk j = blocks[j+1]
+        q = blocks[1:].reshape(-1, L)
+        q_len = self.n - n
+        r = _jit_add()(self._padded(n), q[:n] if q.shape[0] >= n
+                       else jnp.pad(q, ((0, n - q.shape[0]), (0, 0))))
+        return DPoly(q, q_len), DPoly(r, n)
+
+    def mul_by_vanishing(self, n: int) -> "DPoly":
+        out_len = self.n + n
+        a = self._padded(self.n)
+        hi = jnp.pad(a, ((n, 0), (0, 0)))
+        lo = jnp.pad(a, ((0, n), (0, 0)))
+        return DPoly(_jit_sub()(hi, lo), out_len)
+
+    def shift_coeffs(self, k: int) -> "DPoly":
+        if k >= self.n:
+            return DPoly(jnp.zeros((1, L), jnp.uint32), 0)
+        return DPoly(self.a[k : self.n], self.n - k)
