@@ -79,6 +79,36 @@ def _device_planes(srs, kind: str):
     return planes[kind]
 
 
+def _plane_window(srs, kind: str, shift: int, lanes: int):
+    from ..ops import ec_pallas as ep
+    import jax.numpy as jnp
+    plane, total = _device_planes(srs, kind)
+    window = {k: v[:, shift : min(shift + lanes, total)]
+              for k, v in plane.items()}
+    cur = window["X"].shape[1]
+    if cur < lanes:
+        window = {k: jnp.pad(v, ((0, 0), (0, lanes - cur)))
+                  for k, v in window.items()}
+        window = ep._mask_identity(window, jnp.arange(lanes) < cur)
+    return window
+
+
+def _msm_srs_dpoly(srs, kind: str, shift: int, dp):
+    """Commit MSM straight from a DPoly's Montgomery plane: de-Montgomery
+    on device, no host int round-trip."""
+    from ..ops import ec_pallas as ep
+    from ..snark import dpoly as dpoly_mod
+    import jax
+    from ..fields import limb as limb_mod
+    n = dp.n
+    npad = 1 << (n - 1).bit_length()
+    lanes = max(ep.LANE, npad)
+    window = _plane_window(srs, kind, shift, lanes)
+    from_mont = jax.jit(lambda a: limb_mod._from_mont(a, limb_mod.FR))
+    sl = from_mont(dp._padded(npad))
+    return ep.msm_g1_lm(window, sl, npad)
+
+
 def _msm_srs(srs, kind: str, shift: int, scalars):
     """MSM over srs powers[shift : shift+len(scalars)] — device when large
     enough, host C otherwise. Falls back to host on ANY device error."""
@@ -268,8 +298,22 @@ class Randomness:
 def commit(srs: UniversalSRS, poly: Poly, degree_bound: int | None = None,
            hiding_bound: int | None = None, rng=None):
     """KZG10::commit (+ sonic shifted powers). Returns ((x,y)|None affine, Randomness)."""
-    coeffs = poly.c
     shift = (srs.max_degree - degree_bound) if degree_bound is not None else 0
+    if (type(poly).__name__ == "DPoly" and poly.n >= _device_msm_min()
+            and _device_msm_enabled()):
+        try:
+            assert shift + poly.n <= srs.max_degree + 1
+            comm = _msm_srs_dpoly(srs, "beta", shift, poly)
+            randomness = Randomness.empty()
+            if hiding_bound is not None:
+                assert rng is not None
+                randomness = Randomness.rand(hiding_bound, rng)
+                comm = g1.jac_add(comm, _msm_srs(srs, "gamma", shift,
+                                                 randomness.blinding.c))
+            return g1.to_affine(comm), randomness
+        except Exception:
+            pass
+    coeffs = poly.c
     assert shift + len(coeffs) <= srs.max_degree + 1, "polynomial too large for SRS"
     comm = _msm_srs(srs, "beta", shift, coeffs)
     randomness = Randomness.empty()
@@ -286,7 +330,14 @@ def commit(srs: UniversalSRS, poly: Poly, degree_bound: int | None = None,
 def open_single(srs: UniversalSRS, poly: Poly, point: int, randomness: Randomness):
     """KZG10::open — returns (w affine, random_v or None)."""
     witness, _ = poly.divide_by_linear(point)
-    w = _msm_srs(srs, "beta", 0, witness.c or [0])
+    if (type(witness).__name__ == "DPoly" and witness.n >= _device_msm_min()
+            and _device_msm_enabled()):
+        try:
+            w = _msm_srs_dpoly(srs, "beta", 0, witness)
+        except Exception:
+            w = _msm_srs(srs, "beta", 0, witness.c or [0])
+    else:
+        w = _msm_srs(srs, "beta", 0, witness.c or [0])
     random_v = None
     if randomness.is_hiding():
         hw, _ = randomness.blinding.divide_by_linear(point)

@@ -37,12 +37,17 @@ def _domain(n: int) -> Domain:
     return Domain(n)
 
 
+@functools.lru_cache(maxsize=None)
+def _jit_to_mont():
+    return jax.jit(lambda a: limb._to_mont(a, FR))
+
+
 def _ints_to_mont(vals) -> jnp.ndarray:
-    """Canonical ints -> Montgomery limb plane [n, L] (bulk bytes pack)."""
-    buf = b"".join(((int(v) % R) * FR.R % R).to_bytes(32, "little")
-                   for v in vals)
+    """Canonical ints -> Montgomery limb plane [n, L]: bulk bytes pack on
+    host (no per-element bigint muls), Montgomery conversion ON DEVICE."""
+    buf = b"".join((int(v) % R).to_bytes(32, "little") for v in vals)
     arr = np.frombuffer(buf, dtype=np.uint16).reshape(len(vals), 16)
-    return jnp.asarray(arr.astype(np.uint32))
+    return _jit_to_mont()(jnp.asarray(arr.astype(np.uint32)))
 
 
 def _mont_to_ints(a) -> list:
@@ -102,6 +107,29 @@ def _jit_eval(n_pad: int):
     return jax.jit(f)
 
 
+@functools.lru_cache(maxsize=None)
+def _jit_divlin(m: int):
+    """Inclusive scan of the affine recurrence U_k = T_k + z*U_{k-1} over
+    the reversed coefficient plane T (padded to m rows)."""
+    def f(a, z_mont):
+        T = a[::-1]                                   # T_k = c_{m-1-k}
+        A = jnp.broadcast_to(z_mont, T.shape)         # multiplier plane
+
+        def combine(x, y):
+            a1, b1 = x
+            a2, b2 = y
+            return (limb.mont_mul(a2, a1, FR),
+                    limb.add(limb.mont_mul(a2, b1, FR), b2, FR))
+
+        _, U = jax.lax.associative_scan(combine, (A, T), axis=0)
+        # a was padded at the TOP coefficients -> T has leading zeros; the
+        # scan of zeros contributes nothing, indices shift by (m - n) and
+        # the caller slices what it needs (U here is over all m rows, with
+        # U[k] corresponding to reversed index k)
+        return U
+    return jax.jit(f)
+
+
 @functools.lru_cache(maxsize=1)
 def _one_plane(n: int):
     return np.tile(np.array(
@@ -112,11 +140,24 @@ def _one_plane(n: int):
 class DPoly:
     """Device dense polynomial (ascending coefficients, Montgomery limbs)."""
 
-    __slots__ = ("a", "n")
+    __slots__ = ("a", "n", "_ints")
 
     def __init__(self, a, n: int | None = None):
         self.a = a                        # [cap, L] mont limbs (cap >= n)
         self.n = n if n is not None else a.shape[0]
+        self._ints = None
+
+    @property
+    def c(self) -> list:
+        """Int coefficient list (Poly-compatible view; cached — used at
+        protocol boundaries like commits and Fiat-Shamir evals)."""
+        if self._ints is None:
+            self._ints = self.to_ints()
+        return self._ints
+
+    @property
+    def mod(self) -> int:
+        return R
 
     # ---- constructors -------------------------------------------------
     @classmethod
@@ -149,7 +190,22 @@ class DPoly:
 
     # ---- shape helpers -------------------------------------------------
     def is_zero(self) -> bool:
-        return self.n == 0
+        """Value check (device reduction + one scalar sync)."""
+        if self.n == 0:
+            return True
+        return bool(np.asarray(jnp.all(self.a[: self.n] == 0)))
+
+    def sum_over_domain(self, n: int) -> int:
+        """n * sum of coefficients at indices divisible by n (the Varuna
+        sumcheck sum) — strided gather + tree sum on device."""
+        if self.n == 0:
+            return 0
+        m = _next_pow2((self.n + n - 1) // n)
+        idx = jnp.arange(m) * n
+        rows = jnp.where((idx < self.n)[:, None],
+                         jnp.take(self.a, jnp.clip(idx, 0, self.a.shape[0] - 1), axis=0), 0)
+        total = _tree_sum(rows)
+        return _mont_to_ints(total)[0] * n % R
 
     @property
     def degree(self) -> int:
@@ -164,13 +220,25 @@ class DPoly:
         return a
 
     # ---- arithmetic ------------------------------------------------------
-    def __add__(self, o: "DPoly") -> "DPoly":
+    @staticmethod
+    def _coerce(o) -> "DPoly":
+        return o if isinstance(o, DPoly) else DPoly.from_ints(o.c)
+
+    def __add__(self, o) -> "DPoly":
+        o = self._coerce(o)
         m = max(self.n, o.n, 1)
         return DPoly(_jit_add()(self._padded(m), o._padded(m)), m)
 
-    def __sub__(self, o: "DPoly") -> "DPoly":
+    def __sub__(self, o) -> "DPoly":
+        o = self._coerce(o)
         m = max(self.n, o.n, 1)
         return DPoly(_jit_sub()(self._padded(m), o._padded(m)), m)
+
+    def __neg__(self) -> "DPoly":
+        if self.n == 0:
+            return self
+        zero = DPoly(jnp.zeros((self.n, L), jnp.uint32), self.n)
+        return zero - self
 
     def scale(self, k: int) -> "DPoly":
         if self.n == 0 or k % R == 0:
@@ -181,6 +249,7 @@ class DPoly:
     def __mul__(self, o):
         if isinstance(o, int):
             return self.scale(o)
+        o = self._coerce(o)
         if self.n == 0 or o.n == 0:
             return DPoly(jnp.zeros((1, L), jnp.uint32), 0)
         out_len = self.n + o.n - 1
@@ -254,3 +323,27 @@ class DPoly:
         if k >= self.n:
             return DPoly(jnp.zeros((1, L), jnp.uint32), 0)
         return DPoly(self.a[k : self.n], self.n - k)
+
+    def divide_by_linear(self, z: int):
+        """(quotient, remainder) of division by (x - z). The synthetic-
+        division recurrence w_i = c_{i+1} + z*w_{i+1} is a first-order
+        affine recurrence; it runs log-depth on device via an associative
+        scan over (multiplier, offset) pairs. remainder = p(z)."""
+        if self.n == 0:
+            return DPoly(jnp.zeros((1, L), jnp.uint32), 0), 0
+        m = _next_pow2(self.n)
+        z_mont = jnp.asarray(_ints_to_mont([z if z % R else R]))  # handle z=0
+        if z % R == 0:
+            # division by x: quotient = c[1:], remainder = c[0]
+            rem = _mont_to_ints(self.a[:1])[0]
+            return self.shift_coeffs(1), rem
+        U = _jit_divlin(m)(self._padded(m), z_mont)
+        # T_k = c_{m-1-k} (leading zero pad for k < m-n); U_k = S_{m-1-k}
+        # where S_j = sum_{t>=j} c_t z^(t-j). Quotient w_i = S_{i+1} =
+        # U_{m-2-i}; remainder = S_0 = U_{m-1} = p(z).
+        if self.n > 1:
+            w = U[m - self.n : m - 1][::-1]
+        else:
+            w = jnp.zeros((1, L), jnp.uint32)
+        rem = _mont_to_ints(U[m - 1 : m])[0]
+        return DPoly(w, max(self.n - 1, 0)), rem

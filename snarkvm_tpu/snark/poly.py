@@ -155,13 +155,21 @@ class Poly:
     def degree(self):
         return len(self.c) - 1 if self.c else 0
 
+    def _is_device(self, o) -> bool:
+        # mixed Poly (+|-|*) DPoly promotes to the device representation
+        return type(o).__name__ == "DPoly"
+
     def __add__(self, o):
+        if self._is_device(o):
+            return type(o).from_ints(self.c) + o
         n = max(len(self.c), len(o.c))
         a = self.c + [0] * (n - len(self.c))
         b = o.c + [0] * (n - len(o.c))
         return Poly([(x + y) for x, y in zip(a, b)], self.mod)
 
     def __sub__(self, o):
+        if self._is_device(o):
+            return type(o).from_ints(self.c) - o
         n = max(len(self.c), len(o.c))
         a = self.c + [0] * (n - len(self.c))
         b = o.c + [0] * (n - len(o.c))
@@ -177,6 +185,8 @@ class Poly:
     def __mul__(self, o):
         if isinstance(o, int):
             return self.scale(o)
+        if self._is_device(o):
+            return type(o).from_ints(self.c) * o
         if self.is_zero() or o.is_zero():
             return Poly.zero(self.mod)
         out_len = len(self.c) + len(o.c) - 1

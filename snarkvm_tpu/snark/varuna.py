@@ -401,9 +401,40 @@ def apply_randomized_selector(poly: Poly, combiner: int, target_size: int, src_s
     return h, xg
 
 
-def sum_over_domain(poly: Poly, n: int) -> int:
+def sum_over_domain(poly, n: int) -> int:
     """Σ_{x in H} p(x) = n * Σ_{n | k} c_k."""
+    if hasattr(poly, "sum_over_domain"):
+        return poly.sum_over_domain(n)
     return sum(poly.c[k] for k in range(0, len(poly.c), n)) * n % R
+
+
+def _use_device_poly(n: int) -> bool:
+    """HBM-resident round polynomials (DPoly) for domains big enough to
+    beat the tunnel dispatch latency — the reference's CUDA-NTT dispatch
+    shape (fft/domain.rs:374-378) with a host fallback."""
+    import os
+    mode = os.environ.get("SNARKVM_TPU_DEVICE_POLY", "auto")
+    if mode == "off":
+        return False
+    if mode == "always":
+        return n >= 64
+    if mode != "auto":
+        return False
+    try:
+        import jax
+        if jax.default_backend() == "cpu":
+            return False
+    except Exception:
+        return False
+    return n >= int(os.environ.get("SNARKVM_TPU_DEVICE_POLY_MIN", "4096"))
+
+
+def _interp(evals, device: bool):
+    """interpolate() that lands on the device when the domain is large."""
+    if device:
+        from .dpoly import DPoly, _ints_to_mont
+        return DPoly.from_evaluations(_ints_to_mont(evals), len(evals))
+    return interpolate(evals)
 
 
 # ---------------------------------------------------------------------------
@@ -501,7 +532,7 @@ def prove_batch(srs: kzg.UniversalSRS, keys_to_constraints, rng, mode=VarunaNonH
             for k in range(vd):
                 if k % ratio != 0:
                     w_evals[k] = (w_ext[k - (k // ratio) - 1] - x_evals[k]) % R
-            w_poly = interpolate(w_evals)
+            w_poly = _interp(w_evals, _use_device_poly(vd))
             w_poly, rem = w_poly.divide_by_vanishing(idd)
             assert rem.is_zero()
             first_polys.append(kzg.LabeledPoly(witness_label(circuit.id, "w", j), w_poly,
@@ -524,10 +555,11 @@ def prove_batch(srs: kzg.UniversalSRS, keys_to_constraints, rng, mode=VarunaNonH
     for st, comb in zip(circuit_states, batch_combiners):
         circuit = st["circuit"]
         cd = circuit.constraint_domain
+        dev = _use_device_poly(cd)
         for j, ic in enumerate(comb["instance"]):
-            za = interpolate(st["z_a"][j] + [0] * (cd - len(st["z_a"][j])))
-            zb = interpolate(st["z_b"][j] + [0] * (cd - len(st["z_b"][j])))
-            zc = interpolate(st["z_c"][j] + [0] * (cd - len(st["z_c"][j])))
+            za = _interp(st["z_a"][j] + [0] * (cd - len(st["z_a"][j])), dev)
+            zb = _interp(st["z_b"][j] + [0] * (cd - len(st["z_b"][j])), dev)
+            zc = _interp(st["z_c"][j] + [0] * (cd - len(st["z_c"][j])), dev)
             rowcheck = za * zb - zc
             lhs = rowcheck.scale(ic)
             h_0_i, _ = apply_randomized_selector(lhs, comb["circuit"], max_cd, cd, False)
@@ -549,11 +581,12 @@ def prove_batch(srs: kzg.UniversalSRS, keys_to_constraints, rng, mode=VarunaNonH
         l_at_alpha = lagrange_coefficients(cd, alpha)
         transposes = {m: _transpose(getattr(circuit, m), vd, idd) for m in "abc"}
         m_at_alpha_polys = {}
+        dev = _use_device_poly(vd)
         for m in "abc":
             evals = []
             for col in transposes[m]:
                 evals.append(sum(val * l_at_alpha[ri] for val, ri in col) % R)
-            m_at_alpha_polys[m] = interpolate(evals)
+            m_at_alpha_polys[m] = _interp(evals, dev)
         circuit_sums = []
         for j, ic in enumerate(comb["instance"]):
             w_poly = all_polys[witness_label(circuit.id, "w", j)][0].poly
@@ -600,22 +633,23 @@ def prove_batch(srs: kzg.UniversalSRS, keys_to_constraints, rng, mode=VarunaNonH
         for m in "abc":
             nz = circuit.non_zero_domain(m)
             ev = circuit.arith[m]
-            a_poly = interpolate([v_rc * v % R for v in ev.row_col_val])
+            dev = _use_device_poly(nz)
+            a_poly = _interp([v_rc * v % R for v in ev.row_col_val], dev)
             ab = alpha * beta % R
             rc_size = cd * vd % R
             b_evals = [rc_size * ((ab - beta * r - alpha * c + rc) % R) % R
                        for r, c, rc in zip(ev.row, ev.col, ev.row_col)]
-            b_poly = interpolate(b_evals)
+            b_poly = _interp(b_evals, dev)
             const = v_rc * pow(cd, -1, R) % R * pow(vd, -1, R) % R
             denoms = [(alpha - r) * (beta - c) % R for r, c in zip(ev.row, ev.col)]
             invs = batch_inverse(denoms)
             f_evals = [const * iv % R * v % R for iv, v in zip(invs, ev.row_col_val)]
-            f = interpolate(f_evals)
+            f = _interp(f_evals, dev)
             g_m = f.shift_coeffs(1)
             h = a_poly - b_poly * f
             lhs, _ = apply_randomized_selector(h, 1, max_nz, nz, False)
             circuit_lhs.append(lhs)
-            sums_c[m] = f.c[0] if f.c else 0
+            sums_c[m] = f.c[0] if f.c else 0   # .c syncs only f's coeffs
             label = witness_label(circuit.id, f"g_{m}", 0)
             lp = kzg.LabeledPoly(label, g_m, nz - 2, None)
             c_comm = commit_round([lp], False)[0]

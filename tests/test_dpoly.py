@@ -95,3 +95,26 @@ class TestDomains:
         ev = DPoly.from_ints(a).coset_evaluate(64)
         back = DPoly.from_coset_evaluations(ev, 48)
         assert back.to_ints() == Poly(a).c
+
+
+class TestDivideByLinear:
+    def test_matches_poly(self):
+        a = _rand(100)
+        z = rng.randrange(R)
+        dq, drem = DPoly.from_ints(a).divide_by_linear(z)
+        q, rem = Poly(a).divide_by_linear(z)
+        assert drem == rem == Poly(a).evaluate(z)
+        assert dq.to_ints() == q.c
+
+    def test_zero_point(self):
+        a = _rand(9)
+        dq, drem = DPoly.from_ints(a).divide_by_linear(0)
+        q, rem = Poly(a).divide_by_linear(0)
+        assert drem == rem and dq.to_ints() == q.c
+
+    def test_exact_root(self):
+        # p(x) = (x - 5)(x - 7)
+        p = Poly([35, -12 % R, 1])
+        dq, drem = DPoly.from_poly(p).divide_by_linear(5)
+        assert drem == 0
+        assert dq.to_ints() == [(-7) % R, 1]
