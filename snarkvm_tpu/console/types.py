@@ -243,7 +243,7 @@ def literal_to_str(lit: Literal) -> str:
         x = v[0] if isinstance(v, tuple) else v
         return bech32m_encode("aleo", x.to_bytes(32, "little"))
     if t == "string":
-        return f'"{v}"'
+        return '"' + _escape_string(v) + '"'
     if t == "signature":
         from ..utils.encoding import bech32m_encode
         data = (v.challenge.to_bytes(32, "little") + v.response.to_bytes(32, "little")
@@ -253,12 +253,54 @@ def literal_to_str(lit: Literal) -> str:
     return f"{v}{t}"
 
 
+def _escape_string(v: str) -> str:
+    """StringType Display escapes (types/string parse.rs string_parser)."""
+    out = []
+    for ch in v:
+        if ch == '\\':
+            out.append('\\\\')
+        elif ch == '"':
+            out.append('\\"')
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _unescape_string(v: str) -> str:
+    """Inverse of the nom string parser: \\n \\t \\r \\0 \\' \\" \\\\ and
+    \\u{hex} escapes; enforces the 255-byte cap (MAX_STRING_BYTES)."""
+    out = []
+    i = 0
+    simple = {"n": "\n", "t": "\t", "r": "\r", "0": "\0",
+              "'": "'", '"': '"', "\\": "\\"}
+    while i < len(v):
+        ch = v[i]
+        if ch == "\\" and i + 1 < len(v):
+            nxt = v[i + 1]
+            if nxt in simple:
+                out.append(simple[nxt])
+                i += 2
+                continue
+            if nxt == "u" and i + 2 < len(v) and v[i + 2] == "{":
+                end = v.index("}", i + 3)
+                out.append(chr(int(v[i + 3 : end], 16)))
+                i = end + 1
+                continue
+            raise ValueError(f"invalid escape \\{nxt} in string literal")
+        out.append(ch)
+        i += 1
+    res = "".join(out)
+    if len(res.encode()) > 255:     # E::MAX_STRING_BYTES = u8::MAX
+        raise ValueError("string literal exceeds 255 bytes")
+    return res
+
+
 def literal_from_str(s: str) -> Literal:
     s = s.strip().replace("_", "")
     if s in ("true", "false"):
         return Literal("boolean", s == "true")
     if s.startswith('"') and s.endswith('"'):
-        return Literal("string", s[1:-1])
+        return Literal("string", _unescape_string(s[1:-1]))
     if s.startswith("aleo1"):
         from ..utils.encoding import bech32m_decode
         _, data = bech32m_decode(s)
