@@ -68,14 +68,20 @@ def ratifications_root(ratifies) -> int:
 
 class Ledger:
     def __init__(self, validator_keys, rng, public_balances=None,
-                 store_path: str | None = None):
+                 store_path: str | None = None, _resume: bool = False):
         """validator_keys: >=3 console PrivateKeys forming the genesis
         committee (each bonded at MIN_VALIDATOR_STAKE). store_path: SQLite
-        file for the persistent finalize store."""
+        file for the persistent finalize + block stores. Use Ledger.load
+        to resume from an existing store (SURVEY §5.4: the ledger IS the
+        checkpoint)."""
         self.vm = VM(rng, store_path=store_path)
         self.rng = rng
         self.puzzle = Puzzle()
         self.history = None   # History instance => per-block staking dumps
+        self.block_store = None
+        if store_path is not None:
+            from .store_db import BlockStore
+            self.block_store = BlockStore(store_path)
         members = {}
         self.validator_addresses = []
         for key in validator_keys:
@@ -87,8 +93,11 @@ class Ledger:
         self.stakers = {ax: (ax, stake) for ax, (stake, _, _) in members.items()}
 
         # Genesis ratification: seed public balances into credits.aleo
-        for addr, amount in (public_balances or {}).items():
-            self._credit_account(addr, amount)
+        # (skipped on resume: the persisted finalize store already holds
+        # the post-block balances)
+        if not _resume:
+            for addr, amount in (public_balances or {}).items():
+                self._credit_account(addr, amount)
 
         md = Metadata(
             network=0, round=0, height=0,
@@ -112,6 +121,10 @@ class Ledger:
         genesis.ratifications = ratifies
         genesis.solutions = []
         self.blocks = [genesis]
+        if self.block_store is not None and not _resume \
+                and self.block_store.max_height() is None:
+            self.block_store.put_block(0, genesis)
+            self.block_store.put_meta("committee", self._committee_digest())
         self._state_roots = [self._compute_state_root()]
         # record bookkeeping (check_next_block.rs:COMMITMENT/SERIAL checks)
         self.spent_serial_numbers = set()
@@ -351,7 +364,18 @@ class Ledger:
             self.vm.speculate(to_run, state)
             self.vm.finalize()
 
-        # apply reward ratifications
+        self._apply_block_caches(block, replay=False)
+        if self.block_store is not None:
+            self.block_store.put_block(md.height, block)
+        if self.history is not None:   # `history` feature analog
+            self.history.store_block_mappings(md.height, self.vm.store)
+
+
+    def _apply_block_caches(self, block: Block, replay: bool) -> None:
+        """In-memory bookkeeping for an accepted block. replay=True skips
+        finalize-store writes (they are already persisted) — used by
+        Ledger.load when restoring from the block store."""
+        md = block.header.metadata
         for r in getattr(block, "ratifications", []):
             if r.kind == "block_reward":
                 self.stakers = RW.staking_rewards(self.stakers, self.committee,
@@ -359,12 +383,11 @@ class Ledger:
                 members = {ax: (self.stakers[ax][1], o, c)
                            for ax, (_, o, c) in self.committee.members.items()}
                 self.committee = Committee(self.committee.starting_round, members)
-            elif r.kind == "puzzle_reward":
+            elif r.kind == "puzzle_reward" and not replay:
                 targets = [(s.partial.address_x, s.target)
                            for s in getattr(block, "solutions", [])]
                 for addr_x, amount in RW.proving_rewards(targets, r.amount).items():
                     self._credit_account_x(addr_x, amount)
-
         for ti, tx in enumerate(block.transactions):
             for tri, t in enumerate(tx.transitions):
                 for kind, val in t.inputs:
@@ -373,14 +396,39 @@ class Ledger:
                 for kind, val in t.outputs:
                     if kind == "record":
                         self.commitments[val] = (md.height, ti, tri)
-
         self.blocks.append(block)
         self.vm.block_height = md.height
         self.vm.blocks = self.blocks
         self.vm.previous_hash = block.hash()
         self._state_roots.append(self._compute_state_root())
-        if self.history is not None:   # `history` feature analog
-            self.history.store_block_mappings(md.height, self.vm.store)
+
+    @classmethod
+    def load(cls, validator_keys, rng, store_path: str,
+             public_balances=None) -> "Ledger":
+        """Ledger::load (ledger/src/lib.rs:113): rebuild the in-memory
+        caches from the persisted store + genesis. Finalize state comes
+        straight from the SQLite store; blocks replay only their cache
+        bookkeeping."""
+        led = cls(validator_keys, rng, public_balances=public_balances,
+                  store_path=store_path, _resume=True)
+        want = led.block_store.get_meta("committee")
+        if want is not None and want != led._committee_digest():
+            raise ValueError("stored genesis committee does not match")
+        stored = list(led.block_store.blocks())
+        if stored:
+            if stored[0].hash() != led.blocks[0].hash():
+                raise ValueError("stored genesis block does not match")
+            for block in stored[1:]:
+                led._apply_block_caches(block, replay=True)
+        return led
+
+    def _committee_digest(self) -> bytes:
+        import hashlib
+        h = hashlib.sha256()
+        for ax, (stake, is_open, c) in sorted(self.committee.members.items()):
+            h.update(ax.to_bytes(32, "little"))
+            h.update(stake.to_bytes(8, "little"))
+        return h.digest()
 
     def scan(self, view_key: int):
         """Wallet scan (ledger/src/find.rs shape): decrypt every on-chain

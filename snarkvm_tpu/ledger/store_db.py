@@ -170,3 +170,54 @@ class DbNestedMap:
 
     def close(self):
         self.conn.close()
+
+
+class BlockStore:
+    """Persistent block storage (ledger/store/src/block BlockStorage
+    analog): height-keyed block blobs in the same SQLite file as the
+    finalize store. The ledger IS the checkpoint (SURVEY §5.4) —
+    Ledger.load restores from here."""
+
+    def __init__(self, path: str):
+        import sqlite3
+        self.conn = sqlite3.connect(path)
+        self.conn.execute(
+            "CREATE TABLE IF NOT EXISTS blocks "
+            "(height INTEGER PRIMARY KEY, data BLOB)")
+        self.conn.execute(
+            "CREATE TABLE IF NOT EXISTS block_meta (key TEXT PRIMARY KEY, value BLOB)")
+        self.conn.commit()
+
+    def put_meta(self, key: str, value: bytes) -> None:
+        self.conn.execute(
+            "INSERT OR REPLACE INTO block_meta (key, value) VALUES (?, ?)",
+            (key, value))
+        self.conn.commit()
+
+    def get_meta(self, key: str):
+        row = self.conn.execute(
+            "SELECT value FROM block_meta WHERE key = ?", (key,)).fetchone()
+        return row[0] if row else None
+
+    def put_block(self, height: int, block) -> None:
+        import pickle
+        self.conn.execute(
+            "INSERT OR REPLACE INTO blocks (height, data) VALUES (?, ?)",
+            (height, pickle.dumps(block)))
+        self.conn.commit()
+
+    def get_block(self, height: int):
+        import pickle
+        row = self.conn.execute(
+            "SELECT data FROM blocks WHERE height = ?", (height,)).fetchone()
+        return pickle.loads(row[0]) if row else None
+
+    def max_height(self) -> int | None:
+        row = self.conn.execute("SELECT MAX(height) FROM blocks").fetchone()
+        return row[0]
+
+    def blocks(self):
+        import pickle
+        for _, data in self.conn.execute(
+                "SELECT height, data FROM blocks ORDER BY height"):
+            yield pickle.loads(data)
