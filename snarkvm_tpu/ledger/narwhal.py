@@ -23,9 +23,62 @@ class TransmissionID:
 
 
 @dataclass
+class Data:
+    """Lazy transmission payload (narwhal/data/src/lib.rs:33):
+    Object(deserialized) | Buffer(raw bytes). Deserialization of gossiped
+    payloads is deferred until the consensus layer actually needs the
+    object; checksums are computable from either form."""
+    kind: str                  # "object" | "buffer"
+    value: object              # object with to_bytes_le(), or bytes
+
+    @classmethod
+    def object(cls, obj) -> "Data":
+        return cls("object", obj)
+
+    @classmethod
+    def buffer(cls, raw: bytes) -> "Data":
+        return cls("buffer", raw)
+
+    def to_bytes_le(self) -> bytes:
+        if self.kind == "buffer":
+            return self.value
+        return self.value.to_bytes_le()
+
+    def deserialize(self, parse):
+        """Materialize Buffer -> Object via `parse(bytes)` (idempotent)."""
+        if self.kind == "buffer":
+            self.kind, self.value = "object", parse(self.value)
+        return self.value
+
+    def to_checksum(self) -> int:
+        """narwhal/data/src/lib.rs:39 — u128 from the first 128 bits of
+        sha3-256 over the LE bits of the serialized payload
+        (N::TransmissionChecksum = u128, console/network mainnet_v0.rs:135)."""
+        bits = bytes_to_bits_le(self.to_bytes_le())
+        digest_bits = N.hash_sha3(256, bits)
+        v = 0
+        for i, b in enumerate(digest_bits[:128]):
+            v |= int(b) << i
+        return v
+
+
+@dataclass
 class Transmission:
-    kind: str
-    payload: object
+    kind: str                  # "ratification" | "solution" | "transaction"
+    payload: object            # Data, bytes, or a rich object
+
+    def to_checksum(self) -> int | None:
+        """transmission/src/lib.rs:70 — ratifications carry no checksum."""
+        if self.kind == "ratification":
+            return None
+        data = self.payload if isinstance(self.payload, Data) else (
+            Data.buffer(self.payload) if isinstance(self.payload, (bytes, bytearray))
+            else Data.object(self.payload))
+        return data.to_checksum()
+
+    def to_transmission_id(self, id: int) -> TransmissionID:
+        checksum = self.to_checksum()
+        return TransmissionID(self.kind, id, checksum or 0)
 
 
 @dataclass

@@ -118,6 +118,36 @@ class SynthesisPuzzle:
         return program.to_leaves(program.construct_inputs(rng))
 
 
+class MerklePuzzle:
+    """puzzle/epoch/src/merkle/mod.rs:36 — the pre-synthesis puzzle
+    variant: leaves are uniformly random Fr elements (253 bits each).
+    The leaf COUNT is an epoch constant drawn from ChaChaRng seeded by
+    the first 8 LE bytes of the epoch hash, gen_range(100_000..=200_000)
+    (merkle/mod.rs:70-79); leaf VALUES come from the per-solution rng."""
+
+    MIN_NUMBER_OF_LEAVES = 100_000
+    MAX_NUMBER_OF_LEAVES = 200_000
+
+    def num_leaves(self, epoch_hash: int) -> int:
+        from ..utils.chacha import ChaCha20Rng
+        seed = int.from_bytes(epoch_hash.to_bytes(32, "little")[0:8], "little")
+        rng = ChaCha20Rng.seed_from_u64(seed)
+        return rng.gen_range_u64_inclusive(
+            self.MIN_NUMBER_OF_LEAVES, self.MAX_NUMBER_OF_LEAVES)
+
+    def to_leaves(self, partial: PartialSolution):
+        from ..utils.chacha import ChaCha20Rng
+        from ..params import bls12_377 as P
+        n = self.num_leaves(partial.epoch_hash)
+        rng = ChaCha20Rng.seed_from_u64(partial.id)
+        # Field::<N>::rand = uniform Fp256 (4 u64 limbs, 3 shave bits)
+        leaves = []
+        for _ in range(n):
+            v = rng.rand_field(P.R, 3)
+            leaves.append(int_to_bits_le(v, 253))
+        return leaves
+
+
 MAX_SOLUTIONS = 4                  # console/network/src/lib.rs MAX_SOLUTIONS
 
 

@@ -134,6 +134,22 @@ class ChaCha20Rng:
             if prod & _M32 <= zone:
                 return prod >> 32
 
+    def gen_range_u64_inclusive(self, low: int, high: int) -> int:
+        """rand 0.8 UniformInt::<u64>::sample_single_inclusive(low, high):
+        the `Rng::gen_range(low..=high)` path for usize/u64 — zone is the
+        range shifted to the top 64 bits, accept when the LOW half of the
+        widening multiply lands under it, result is the HIGH half."""
+        rng_size = (high - low + 1) & ((1 << 64) - 1)
+        if rng_size == 0:          # full u64 range
+            return self.next_u64()
+        lz = 64 - rng_size.bit_length()
+        zone = ((rng_size << lz) - 1) & ((1 << 64) - 1)
+        while True:
+            v = self.next_u64()
+            prod = v * rng_size
+            if prod & ((1 << 64) - 1) <= zone:
+                return low + (prod >> 64)
+
     def rand_field(self, modulus: int, shave_bits: int, num_limbs: int = 4) -> int:
         """Fp::rand: the canonical value of a uniformly-sampled Montgomery
         repr (repr < p after shaving) — i.e. repr * R^-1 mod p."""

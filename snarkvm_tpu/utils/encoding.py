@@ -1,7 +1,19 @@
-"""Address/key string encodings: base58 (keys) and bech32m (addresses/IDs)."""
+"""Address/key string encodings: base58 (keys) and bech32m (addresses/IDs),
+plus the sha256 byte-digest utility (algorithms/src/crypto_hash/sha256.rs:18)."""
 from __future__ import annotations
 
+import hashlib as _hashlib
+
 _B58 = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+
+
+def sha256(data: bytes) -> bytes:
+    return _hashlib.sha256(data).digest()
+
+
+def sha256d(data: bytes) -> bytes:
+    """Double sha256 (solution IDs, parameter checksums)."""
+    return _hashlib.sha256(_hashlib.sha256(data).digest()).digest()
 
 
 def base58_encode(data: bytes) -> str:
