@@ -82,6 +82,11 @@ class VM:
         self.previous_hash = 0
         from .restrictions import Restrictions
         self.restrictions = Restrictions.load_mainnet()
+        from collections import OrderedDict
+        # LRU of transaction ids that already passed check_transaction
+        # (vm/mod.rs:223 partially_verified_transactions)
+        self._partially_verified = OrderedDict()
+        self._PARTIAL_CACHE_SIZE = 1 << 15
 
     # ---- transaction construction ----
     def execute(self, private_key, program_id: str, function_name: str,
@@ -199,27 +204,48 @@ class VM:
              f"{deployment_or_execution_id}field"],
             [("public", "u64"), ("public", "u64"), ("public", "field")])
 
+    TRANSACTION_SPEND_LIMIT = 100_000_000   # console/network/src/lib.rs
+
     def check_transaction(self, pending: "PendingTransaction") -> None:
         """Fee sufficiency check (vm/verify.rs check_fee shape): the fee
         transition's base amount must cover the execution cost of the
         non-fee transitions. Also rejects restricted transitions
-        (vm/verify.rs:305 restrictions gate). Raises ValueError."""
+        (vm/verify.rs:305 restrictions gate) and over-limit spends
+        (TRANSACTION_SPEND_LIMIT). Raises ValueError.
+
+        Transactions that already passed are remembered in an LRU
+        (vm/mod.rs:223 partially_verified_transactions), so block
+        re-validation (check_next_block re-speculation) skips the
+        expensive checks — restrictions are ALWAYS re-checked because
+        they are height-dependent."""
         from . import cost as C
         if self.restrictions.contains_restricted_transitions(
                 pending.transaction.transitions, self.block_height + 1):
             raise ValueError("transaction contains a restricted transition")
+        txid = pending.transaction.id()
+        if txid in self._partially_verified:
+            self._partially_verified.move_to_end(txid)
+            return
         body = [t for t in pending.transaction.transitions
                 if not (t.program_id == "credits.aleo"
                         and t.function_name.startswith("fee_"))]
         fee_ts = [t for t in pending.transaction.transitions if t not in body]
         required, _ = C.execution_cost(self.process, body) if body else (0, (0, 0))
+        if pending.transaction.kind == "execute" and \
+                required > self.TRANSACTION_SPEND_LIMIT:
+            raise ValueError(
+                f"execution cost {required} exceeds the transaction spend "
+                f"limit {self.TRANSACTION_SPEND_LIMIT}")
         if not fee_ts:
             if required > 0:
                 raise ValueError(f"transaction is missing a fee (requires {required})")
-            return
-        amount = pending.transaction.fee_amount or 0
-        if amount < required:
-            raise ValueError(f"fee {amount} below required {required}")
+        else:
+            amount = pending.transaction.fee_amount or 0
+            if amount < required:
+                raise ValueError(f"fee {amount} below required {required}")
+        self._partially_verified[txid] = True
+        if len(self._partially_verified) > self._PARTIAL_CACHE_SIZE:
+            self._partially_verified.popitem(last=False)
 
     def execution_cost(self, pending: "PendingTransaction"):
         """(total, (storage, finalize)) for an execute transaction

@@ -80,3 +80,36 @@ class TestFeeTransitions:
         bal = vm.store.mapping("credits.aleo", "account").get_confirmed(
             _key_of(literal_from_str(_addr(pk))))
         assert bal.value.value == 10_000_000 - 100 - p.transaction.fee_amount - 1_000
+
+
+class TestVerificationCache:
+    def test_partially_verified_lru(self, funded_vm):
+        vm, pk = funded_vm
+        dest = _addr(account.PrivateKey.new(rng))
+        p = vm.execute(pk, "credits.aleo", "transfer_public", [dest, "100u64"],
+                       [("public", "address"), ("public", "u64")], priority_fee=0)
+        vm.check_transaction(p)
+        txid = p.transaction.id()
+        assert txid in vm._partially_verified
+        # a second check (block re-validation) hits the cache: even if the
+        # fee field is now wrong, the heavy checks are skipped
+        p.transaction.fee_amount = 0
+        vm.check_transaction(p)
+        # but restrictions are still height-gated and always re-checked
+        from snarkvm_tpu.synthesizer.restrictions import Restrictions, BlockRange
+        vm.restrictions = Restrictions(
+            {}, {("credits.aleo", "transfer_public"): BlockRange("full")}, {})
+        with pytest.raises(ValueError, match="restricted"):
+            vm.check_transaction(p)
+
+    def test_spend_limit_enforced(self, funded_vm):
+        vm, pk = funded_vm
+        dest = _addr(account.PrivateKey.new(rng))
+        p = vm.execute(pk, "credits.aleo", "transfer_public", [dest, "100u64"],
+                       [("public", "address"), ("public", "u64")], priority_fee=0)
+        vm.TRANSACTION_SPEND_LIMIT = 10     # force the limit below the cost
+        try:
+            with pytest.raises(ValueError, match="spend limit"):
+                vm.check_transaction(p)
+        finally:
+            del vm.TRANSACTION_SPEND_LIMIT
