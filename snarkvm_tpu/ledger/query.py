@@ -162,6 +162,23 @@ def state_path_to_json(sp: "LedgerStatePath") -> dict:
     }
 
 
+class AsyncRESTQuery(RESTQuery):
+    """The `async` feature variant (ledger/query/src/query.rs:86-133):
+    the same two endpoints awaited off the event loop. The reference uses
+    reqwest's async client; here the blocking urllib call is pushed onto
+    the default executor so provers can overlap state-path fetches with
+    witness generation."""
+
+    async def current_state_root_async(self) -> int:
+        import asyncio
+        return await asyncio.to_thread(self.current_state_root)
+
+    async def get_state_path_for_commitment_async(self, commitment: int):
+        import asyncio
+        return await asyncio.to_thread(
+            self.get_state_path_for_commitment, commitment)
+
+
 class Query:
     """ledger/query.rs analog over a Ledger instance (Query::VM)."""
 

@@ -102,3 +102,23 @@ def test_state_path_json_round_trip(ledger_with_record):
     sp2 = state_path_from_json(json.loads(json.dumps(state_path_to_json(sp))))
     assert sp2.verify()
     assert sp2.block_hash == sp.block_hash
+
+
+def test_async_rest_query(ledger_with_record):
+    import asyncio
+    from snarkvm_tpu.ledger.query import AsyncRESTQuery
+    led, commitment = ledger_with_record
+    srv = _serve(led)
+    try:
+        q = AsyncRESTQuery(f"http://127.0.0.1:{srv.server_port}", "mainnet")
+
+        async def go():
+            root = await q.current_state_root_async()
+            sp = await q.get_state_path_for_commitment_async(commitment)
+            return root, sp
+
+        root, sp = asyncio.run(go())
+        assert root == led.latest_state_root
+        assert sp.verify() and sp.commitment == commitment
+    finally:
+        srv.shutdown()
