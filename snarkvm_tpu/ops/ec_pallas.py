@@ -580,7 +580,20 @@ def _double_kernel(x1, y1, z1, pp, xo, yo, zo):
 
 def _kernel_flavor() -> str:
     import os
-    return os.environ.get("SNARKVM_TPU_EC_KERNEL", "rcb")
+    # rcb_cios measures ~11x faster than the fw-field-op rcb at block=1024
+    # (the unrolled CIOS keeps everything in vregs; the fw indicator-dot
+    # variant round-trips through VMEM) — see ROADMAP perf notes.
+    return os.environ.get("SNARKVM_TPU_EC_KERNEL", "rcb_cios")
+
+
+def _pick_block(B: int) -> int:
+    """Largest lane block that divides B. Grid-step dispatch overhead
+    dominates below ~512 lanes (measured: block 128 -> 9.4 M adds/s,
+    block 1024 -> 102.5 M adds/s on v5e); 2048 regresses (VMEM spills)."""
+    for blk in (1024, 512, 256, 128):
+        if B % blk == 0:
+            return blk
+    return B
 
 
 @functools.lru_cache(maxsize=None)
@@ -667,11 +680,13 @@ def _n_plane(B: int):
     return jnp.asarray(_n_plane_np(B))
 
 
-def g1_add_traced(p, q, block: int = LANE):
+def g1_add_traced(p, q, block: int | None = None):
     """Complete projective add for use INSIDE an enclosing jit trace (the
     rcb kernel as a raw pallas_call, or the pure-jnp formulas on CPU) —
     lets whole MSM stages fuse into single dispatches."""
     B = p["X"].shape[1]
+    if block is None:
+        block = _pick_block(B)
     pp, nn = _p_plane(B), _n_plane(B)
     if jax.default_backend() == "cpu":
         x, y, z = _rcb_add_rows(p["X"], p["Y"], p["Z"],
@@ -680,7 +695,7 @@ def g1_add_traced(p, q, block: int = LANE):
     bs = lambda: pl.BlockSpec((L, block), lambda i: (0, i),
                               memory_space=pltpu.VMEM)
     x, y, z = pl.pallas_call(
-        _add_kernel_rcb,
+        _add_kernel_rcb_cios,
         grid=(B // block,),
         in_specs=[bs() for _ in range(8)],
         out_specs=(bs(), bs(), bs()),
@@ -690,13 +705,15 @@ def g1_add_traced(p, q, block: int = LANE):
     return {"X": x, "Y": y, "Z": z}
 
 
-def g1_add_lm(p, q, block: int = LANE):
+def g1_add_lm(p, q, block: int | None = None):
     """p, q: dicts {"X","Y","Z"} of [L, B] (B % block == 0). Complete add.
 
     COORDINATE MODEL IS FLAVOR-DEPENDENT: the default "rcb" flavor uses
     homogeneous projective coordinates with identity (0:1:0); the legacy
     "fw"/"unrolled" flavors use Jacobian with identity Z=0."""
     B = p["X"].shape[1]
+    if block is None:
+        block = _pick_block(B)
     flavor = _kernel_flavor()
     args = [p["X"], p["Y"], p["Z"], q["X"], q["Y"], q["Z"], _p_plane(B)]
     if flavor in ("fw", "rcb", "rcb_cios", "rcb_mm2"):
@@ -705,11 +722,13 @@ def g1_add_lm(p, q, block: int = LANE):
     return {"X": x, "Y": y, "Z": z}
 
 
-def g1_double_lm(p, block: int = LANE):
+def g1_double_lm(p, block: int | None = None):
     flavor = _kernel_flavor()
     if flavor.startswith("rcb"):
         return g1_add_lm(p, p, block)        # complete: doubling is the same kernel
     B = p["X"].shape[1]
+    if block is None:
+        block = _pick_block(B)
     args = [p["X"], p["Y"], p["Z"], _p_plane(B)]
     if flavor == "fw":
         args.append(_n_plane(B))
@@ -906,7 +925,7 @@ def _msm_prep_fn(W: int, c: int, n: int, B: int, nb: int, nb_pad: int):
 
 @functools.lru_cache(maxsize=None)
 def _msm_accum_fn(W: int, nb: int, nb_pad: int, B: int, c: int,
-                  num_bits: int = 253, block: int = LANE):
+                  num_bits: int = 253, block: int | None = None):
     """Jitted bucket accumulation with REPLICATED buckets: window w only
     uses nb_w = 2^(window bit width) buckets; the remaining lanes of its
     segment hold R_w = nb_pad/nb_w round-robin replicas per bucket, so a
@@ -985,7 +1004,7 @@ def _msm_accum_fn(W: int, nb: int, nb_pad: int, B: int, c: int,
 
 
 @functools.lru_cache(maxsize=None)
-def _msm_suffix_fn(W: int, nb: int, nb_pad: int, block: int = LANE):
+def _msm_suffix_fn(W: int, nb: int, nb_pad: int, block: int | None = None):
     """Jitted segmented suffix-sum + tree-reduce: window totals at the
     head lane of each segment, gathered to [W] lanes."""
     lanes = W * nb_pad
