@@ -63,6 +63,24 @@ def _load_package(args):
     return path, text, Stack(prog)
 
 
+def is_build_required(path: str) -> bool:
+    """Package staleness check (vm/package/mod.rs is_build_required):
+    rebuild when build/main.avm is missing or older than main.aleo, or
+    when the stored bytecode no longer matches the source program."""
+    avm = os.path.join(path, "build", "main.avm")
+    src = os.path.join(path, "main.aleo")
+    if not os.path.exists(avm):
+        return True
+    if os.path.getmtime(avm) < os.path.getmtime(src):
+        return True
+    try:
+        from .formats import program_io
+        ast = program_io.program_from_text(open(src).read())
+        return open(avm, "rb").read() != program_io.program_to_bytes(ast)
+    except Exception:
+        return True
+
+
 def cmd_build(args):
     from .polycommit import kzg
     from .synthesizer import deploy as D
@@ -70,6 +88,9 @@ def cmd_build(args):
     from .formats.io import Writer
 
     path, text, stack = _load_package(args)
+    if not getattr(args, "force", False) and not is_build_required(path):
+        print(f"✅ '{stack.program.id}' is up to date (use --force to rebuild)")
+        return
     build = os.path.join(path, "build")
     os.makedirs(build, exist_ok=True)
     rng = random.Random(0)
@@ -155,6 +176,9 @@ def main(argv=None):
     for name, fn in (("build", cmd_build), ("clean", cmd_clean)):
         p = sub.add_parser(name)
         p.add_argument("--path", default=".")
+        if name == "build":
+            p.add_argument("--force", action="store_true",
+                           help="rebuild even when artifacts are fresh")
         p.set_defaults(fn=fn)
 
     for name, fn in (("run", cmd_run), ("execute", cmd_execute)):

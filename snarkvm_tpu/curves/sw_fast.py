@@ -114,6 +114,123 @@ def mul_int(j, k: int):
     return acc
 
 
+# ---------------------------------------------------------------------------
+# GLV endomorphism scalar multiplication (curves/src/bls12_377/g1.rs:108
+# glv_endomorphism / mul_projective). BLS12-377 G1 carries the cube-root
+# endomorphism phi(x, y) = (beta*x, y) with phi(P) = lambda*P; decomposing
+# k = k1 + k2*lambda with |k1|,|k2| ~ sqrt(r) halves the doubling count.
+# The constants are DERIVED here (quadratic formula for the cube roots,
+# lattice reduction for the basis) rather than transcribed.
+# ---------------------------------------------------------------------------
+
+import functools as _ft
+
+
+def _sqrt_mod(a: int, p: int) -> int:
+    """Tonelli-Shanks (works for any odd prime p)."""
+    a %= p
+    if a == 0:
+        return 0
+    assert pow(a, (p - 1) // 2, p) == 1, "not a quadratic residue"
+    if p % 4 == 3:
+        return pow(a, (p + 1) // 4, p)
+    q, s = p - 1, 0
+    while q % 2 == 0:
+        q //= 2
+        s += 1
+    z = 2
+    while pow(z, (p - 1) // 2, p) != p - 1:
+        z += 1
+    m, c, t, r = s, pow(z, q, p), pow(a, q, p), pow(a, (q + 1) // 2, p)
+    while t != 1:
+        t2, i = t, 0
+        while t2 != 1:
+            t2 = t2 * t2 % p
+            i += 1
+        b = pow(c, 1 << (m - i - 1), p)
+        m, c = i, b * b % p
+        t, r = t * c % p, r * b % p
+    return r
+
+
+@_ft.cache
+def _glv_constants():
+    """(beta in Fq, lambda in Fr, (a1, b1), (a2, b2)) with
+    phi(G) == lambda*G and a + b*lambda = 0 mod r for both basis rows."""
+    R = P.R
+    # primitive cube roots of unity: x = (-1 +- sqrt(-3)) / 2
+    inv2q = pow(2, -1, Q)
+    inv2r = pow(2, -1, R)
+    sq_q = _sqrt_mod(Q - 3, Q)
+    sq_r = _sqrt_mod(R - 3, R)
+    betas = [(-1 + sq_q) * inv2q % Q, (-1 - sq_q) * inv2q % Q]
+    lams = [(-1 + sq_r) * inv2r % R, (-1 - sq_r) * inv2r % R]
+    G = from_affine((P.G1_GENERATOR_X, P.G1_GENERATOR_Y))
+    gx, gy = to_affine(G)
+    beta = lam = None
+    for b in betas:
+        phi_g = from_affine((gx * b % Q, gy))
+        for l in lams:
+            if to_affine(mul_int(G, l)) == to_affine(phi_g):
+                beta, lam = b, l
+                break
+        if beta is not None:
+            break
+    assert beta is not None, "no (beta, lambda) pairing found"
+    # lattice basis via extended Euclid on (r, lambda): rows (r_i, -t_i)
+    # satisfy r_i - t_i*lambda = 0 mod r; stop at the first remainder
+    # below sqrt(r) and take it with its predecessor (classic GLV).
+    rs, ts = [R, lam], [0, 1]
+    while rs[-1] * rs[-1] >= R:
+        qt = rs[-2] // rs[-1]
+        rs.append(rs[-2] - qt * rs[-1])
+        ts.append(ts[-2] - qt * ts[-1])
+    a1, b1 = rs[-1], -ts[-1]
+    a2, b2 = rs[-2], -ts[-2]
+    assert (a1 + b1 * lam) % R == 0 and (a2 + b2 * lam) % R == 0
+    return beta, lam, (a1, b1), (a2, b2)
+
+
+def glv_endomorphism(j):
+    """phi in Jacobian coordinates: (X, Y, Z) -> (beta*X, Y, Z)."""
+    beta, _, _, _ = _glv_constants()
+    return (j[0] * beta % Q, j[1], j[2])
+
+
+def glv_decompose(k: int):
+    """k mod r -> (k1, k2) with k = k1 + k2*lambda (mod r), both ~128 bits."""
+    R = P.R
+    _, lam, (a1, b1), (a2, b2) = _glv_constants()
+    k %= R
+    # round(b2*k/r), round(-b1*k/r) via the Babai nearest-plane step
+    c1 = (b2 * k + R // 2) // R
+    c2 = (-b1 * k + R // 2) // R
+    k1 = k - c1 * a1 - c2 * a2
+    k2 = -c1 * b1 - c2 * b2
+    assert (k1 + k2 * lam) % R == k
+    return k1, k2
+
+
+def glv_mul(j, k: int):
+    """k*P via the endomorphism split: ~halves the doublings vs mul_int
+    (the single-scalar path; Pippenger MSM gains nothing from GLV since
+    bucket addition counts are digit-invariant — ROADMAP L2 note)."""
+    k1, k2 = glv_decompose(k)
+    p1 = j if k1 >= 0 else neg(j)
+    p2 = glv_endomorphism(j)
+    if k2 < 0:
+        p2 = neg(p2)
+    k1, k2 = abs(k1), abs(k2)
+    acc = INF
+    for bit in range(max(k1.bit_length(), k2.bit_length()) - 1, -1, -1):
+        acc = jac_double(acc)
+        if (k1 >> bit) & 1:
+            acc = jac_add(acc, p1)
+        if (k2 >> bit) & 1:
+            acc = jac_add(acc, p2)
+    return acc
+
+
 def msm(points_affine, scalars, c: int = 8):
     """Host Pippenger over affine int points; returns Jacobian tuple."""
     n = len(points_affine)

@@ -134,6 +134,40 @@ class Transaction:
         return MerkleTree(TRANSACTION_DEPTH, _BHP, leaves).root
 
 
+@dataclass
+class ConfirmedTransaction:
+    """Accepted/Rejected x Deploy/Execute
+    (block/src/transactions/confirmed/mod.rs:28). `transaction` is what
+    the block actually carries: the full transaction when accepted, the
+    FEE-ONLY transaction when rejected (the body is preserved in
+    `rejected` for the rejected-ID commitment)."""
+    variant: str          # accepted_deploy|accepted_execute|rejected_deploy|rejected_execute
+    index: int            # position within the block's confirmed list
+    transaction: "Transaction"
+    rejected: "Transaction | None" = None     # original (unconfirmed) tx
+
+    @property
+    def is_accepted(self) -> bool:
+        return self.variant.startswith("accepted")
+
+    def to_unconfirmed_id(self) -> int:
+        """confirmed/mod.rs to_unconfirmed_transaction_id: the original
+        transaction's id for rejected entries, else the confirmed id."""
+        return (self.rejected.id() if self.rejected is not None
+                else self.transaction.id())
+
+
+def fee_only_transaction(tx: "Transaction") -> "Transaction":
+    """Rebuild a rejected transaction as its fee-only form
+    (Transaction::from_fee, block/src/transaction/mod.rs): just the
+    credits.aleo/fee_* transition survives into the block."""
+    fee_ts = [t for t in tx.transitions
+              if t.program_id == "credits.aleo"
+              and t.function_name.startswith("fee_")]
+    assert fee_ts, "rejected transaction has no fee transition"
+    return Transaction("fee", fee_ts, fee_amount=tx.fee_amount)
+
+
 def transactions_root(transactions) -> int:
     leaves = [int_to_bits_le(tx.id(), 253) for tx in transactions]
     if not leaves:

@@ -221,7 +221,7 @@ class Ledger:
         state = F.FinalizeGlobalState.new(
             next_round, next_height, next_cumulative_weight,
             next_cumulative_proof_target, prev.hash())
-        accepted, rejected = self.vm.speculate(candidate_transactions, state)
+        accepted, rejected, aborted = self.vm.speculate(candidate_transactions, state)
         self.vm.abort_speculation()  # dry run — advance commits for real
 
         md = Metadata(
@@ -234,7 +234,27 @@ class Ledger:
             last_coinbase_timestamp=next_last_coinbase_timestamp,
             timestamp=next_timestamp,
         )
-        txs = [candidate_transactions[i].transaction for i in accepted]
+        # confirmed list in speculation order: accepted txs in full,
+        # rejected txs as fee-only (fee charged; finalize.rs Rejected)
+        from .block import ConfirmedTransaction, fee_only_transaction
+        confirmed = []
+        txs = []
+        for i, p in enumerate(candidate_transactions):
+            if i in accepted:
+                tx = p.transaction
+                variant = ("accepted_deploy" if tx.kind == "deploy"
+                           else "accepted_execute")
+                confirmed.append(ConfirmedTransaction(
+                    variant, len(txs), tx))
+                txs.append(tx)
+            elif i in rejected:
+                orig = p.transaction
+                fee_tx = fee_only_transaction(orig)
+                variant = ("rejected_deploy" if orig.kind == "deploy"
+                           else "rejected_execute")
+                confirmed.append(ConfirmedTransaction(
+                    variant, len(txs), fee_tx, rejected=orig))
+                txs.append(fee_tx)
         header = Header(
             previous_state_root=self.latest_state_root,
             transactions_root=transactions_root(txs),
@@ -248,9 +268,13 @@ class Ledger:
                       transactions=txs,
                       aborted_transaction_ids=[
                           candidate_transactions[i].transaction.id()
-                          for i in rejected])
+                          for i in aborted])
+        block.confirmed = confirmed
         block.ratifications = ratifies
         block.solutions = list(valid)
+        # over-limit / stale solutions are listed, not silently dropped
+        # (Block.aborted_solution_ids, block/src/lib.rs:78-83)
+        block.aborted_solution_ids = [s.partial.id for s in aborted]
         block.subdag = subdag
         block._pending = list(candidate_transactions)
         return block
@@ -343,10 +367,16 @@ class Ledger:
             state = F.FinalizeGlobalState.new(
                 md.round, md.height, md.cumulative_weight,
                 md.cumulative_proof_target, prev.hash())
-            accepted, _ = self.vm.speculate(pending, state)
+            accepted, rejected, _ = self.vm.speculate(pending, state)
             self.vm.abort_speculation()
-            accepted_ids = [pending[i].transaction.id() for i in accepted]
-            if accepted_ids != [t.id() for t in block.transactions]:
+            from .block import fee_only_transaction
+            expect_ids = []
+            for i, p in enumerate(pending):
+                if i in accepted:
+                    expect_ids.append(p.transaction.id())
+                elif i in rejected:
+                    expect_ids.append(fee_only_transaction(p.transaction).id())
+            if expect_ids != [t.id() for t in block.transactions]:
                 raise ValueError("speculation result mismatch")
 
     # ---- advance (advance.rs:96) ----
@@ -354,7 +384,13 @@ class Ledger:
         self.check_next_block(block, pending)
         md = block.header.metadata
         pending = pending if pending is not None else getattr(block, "_pending", [])
+        from .block import fee_only_transaction
         accepted_map = {p.transaction.id(): p for p in pending}
+        for p in list(pending):
+            try:
+                accepted_map[fee_only_transaction(p.transaction).id()] = p
+            except AssertionError:
+                pass    # feeless tx: only its full id can match
         to_run = [accepted_map[t.id()] for t in block.transactions
                   if t.id() in accepted_map]
         if to_run:

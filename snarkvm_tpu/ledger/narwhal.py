@@ -186,6 +186,28 @@ class Subdag:
         return MerkleTree(16, BHPHasher(1024, 512), leaves).root
 
 
+def decouple_transmissions(subdag: Subdag, transmissions: dict):
+    """ledger/src/helpers/bft.rs:30 — split a committed subdag's
+    transmissions (in commit order, deduplicated) into (ratifications,
+    solutions, transactions, aborted_transmission_ids). `transmissions`
+    maps TransmissionID -> Transmission; ids the caller cannot supply
+    (already garbage-collected) are reported aborted."""
+    ratifications, solutions, transactions, aborted = [], [], [], []
+    for tid in subdag.transmission_ids():
+        tr = transmissions.get(tid)
+        if tr is None:
+            aborted.append(tid)
+            continue
+        payload = tr.payload.value if isinstance(tr.payload, Data) else tr.payload
+        if tid.kind == "ratification":
+            ratifications.append(payload)
+        elif tid.kind == "solution":
+            solutions.append(payload)
+        else:
+            transactions.append(payload)
+    return ratifications, solutions, transactions, aborted
+
+
 def weighted_median(timestamps_and_stake) -> int:
     """subdag/src/lib.rs:84 — smallest timestamp whose accumulated stake
     reaches half the total."""

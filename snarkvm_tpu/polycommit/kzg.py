@@ -327,6 +327,71 @@ def commit(srs: UniversalSRS, poly: Poly, degree_bound: int | None = None,
     return g1.to_affine(comm), randomness
 
 
+_LAGRANGE_CACHE: dict = {}
+
+
+def lagrange_basis_points(srs: UniversalSRS, n: int):
+    """Lagrange-basis SRS over the size-n domain: L_i(beta)*G for the
+    i-th Lagrange polynomial (kzg10/mod.rs:159 commit_lagrange uses
+    precomputed `lagrange_bases_at_beta_g`; here they are DERIVED from
+    the power points by a group-valued inverse NTT — each butterfly's
+    twiddle scaling is an EC scalar mul, so results are cached per
+    (srs, n))."""
+    key = (id(srs), n)
+    if key in _LAGRANGE_CACHE:
+        return _LAGRANGE_CACHE[key]
+    assert n & (n - 1) == 0 and n - 1 <= srs.max_degree
+    from ..snark.poly import domain_params
+    w, w_inv, n_inv = domain_params(n)
+    pts = [g1.from_affine(p) if p is not None else g1.INF
+           for p in srs.powers_of_beta_g[:n]]
+
+    def ec_intt(vals, root_inv):
+        m = len(vals)
+        if m == 1:
+            return vals
+        ev = ec_intt(vals[0::2], root_inv * root_inv % R)
+        od = ec_intt(vals[1::2], root_inv * root_inv % R)
+        out = [None] * m
+        tw = 1
+        for i in range(m // 2):
+            t = g1.mul_int(od[i], tw)
+            out[i] = g1.jac_add(ev[i], t)
+            out[i + m // 2] = g1.jac_add(ev[i], g1.neg(t))
+            tw = tw * root_inv % R
+        return out
+
+    basis = [g1.mul_int(p, n_inv) for p in ec_intt(pts, w_inv)]
+    basis = [g1.to_affine(b) for b in basis]
+    _LAGRANGE_CACHE[key] = basis
+    return basis
+
+
+def commit_lagrange(srs: UniversalSRS, evals, hiding_bound: int | None = None,
+                    rng=None):
+    """KZG10::commit_lagrange (kzg10/mod.rs:159): commit a polynomial
+    given in EVALUATION form over the size-len(evals) domain without an
+    iFFT — MSM against the Lagrange-basis points."""
+    n = len(evals)
+    basis = lagrange_basis_points(srs, n)
+    from ..utils import native
+    pairs = [(b, e % R) for b, e in zip(basis, evals) if e % R and b is not None]
+    if not pairs:
+        comm = g1.INF
+    else:
+        pts, sc = zip(*pairs)
+        try:
+            comm = native.msm_g1(list(pts), list(sc))
+        except Exception:
+            comm = g1.msm(list(pts), list(sc))
+    randomness = Randomness.empty()
+    if hiding_bound is not None:
+        assert rng is not None
+        randomness = Randomness.rand(hiding_bound, rng)
+        comm = g1.jac_add(comm, _msm_srs(srs, "gamma", 0, randomness.blinding.c))
+    return g1.to_affine(comm), randomness
+
+
 def open_single(srs: UniversalSRS, poly: Poly, point: int, randomness: Randomness):
     """KZG10::open — returns (w affine, random_v or None)."""
     witness, _ = poly.divide_by_linear(point)

@@ -112,6 +112,86 @@ class Trace:
         return proof, ordered_vks
 
 
+class CallStack:
+    """The 6 execution modes of process/src/stack/mod.rs:82-89. The mode
+    decides what the dual-execution driver materializes:
+      AUTHORIZE / SYNTHESIZE / CHECK_DEPLOYMENT / EVALUATE / EXECUTE /
+      PACKAGE_RUN.
+    Console-only modes (AUTHORIZE, EVALUATE) skip circuit synthesis;
+    EXECUTE also proves; CHECK_DEPLOYMENT runs on sampled inputs with
+    constraint limits (deploy.py); PACKAGE_RUN stops at assignments
+    (cli.py run)."""
+    AUTHORIZE = "authorize"
+    SYNTHESIZE = "synthesize"
+    CHECK_DEPLOYMENT = "check_deployment"
+    EVALUATE = "evaluate"
+    EXECUTE = "execute"
+    PACKAGE_RUN = "package_run"
+
+
+class Authorization:
+    """stack/authorization/mod.rs:28 — the signed, yet-unproven call
+    tree: a FIFO of Requests plus the transitions materialized while
+    authorizing (console semantics only). `Process::execute` later
+    replays the queue through the circuit layer to prove it."""
+
+    def __init__(self, requests=None, input_types=None):
+        self.requests = list(requests or [])
+        self.input_types = list(input_types or [])
+        self.transitions = []
+
+    def push(self, request: Request, types) -> None:
+        self.requests.append(request)
+        self.input_types.append(types)
+
+    def next(self) -> Request:
+        return self.requests[0]
+
+    def is_fee(self) -> bool:
+        r = self.requests[0]
+        return (r.program_id == "credits.aleo"
+                and r.function_name in ("fee_public", "fee_private"))
+
+    def to_execution_id(self) -> int:
+        from ..console import network as N
+        from ..console.types import int_to_bits_le
+        from ..params import bls12_377 as P
+        bits = []
+        for t in self.transitions:
+            bits += int_to_bits_le(t.id() % P.R, 253)
+        if not bits:
+            bits = int_to_bits_le(0, 253)
+        return N.hash_bhp(1024, bits)
+
+
+def authorize(stack: Stack, private_key, function_name: str, inputs,
+              input_types, rng) -> Authorization:
+    """Process::authorize (process/src/authorize.rs:21): sign the request
+    and run the call tree in CallStack::AUTHORIZE mode (console only) to
+    materialize the transitions without proving."""
+    request = Request.sign(private_key, stack.program.id, function_name,
+                           list(inputs), input_types, rng)
+    auth = Authorization([request], [input_types])
+    signer = request.signer
+    stack.evaluate_function(function_name, list(request.inputs),
+                            signer=signer, caller=signer, tvk=request.tvk)
+    return auth
+
+
+def execute_authorization(stack: Stack, auth: Authorization,
+                          verify_in_circuit: bool = False) -> "Trace":
+    """Process::execute (process/src/execute.rs:21): replay the
+    authorization's requests through dual execution (CallStack::EXECUTE),
+    accumulating a Trace ready for prove_execution."""
+    trace = Trace()
+    for request, types in zip(auth.requests, auth.input_types):
+        tt = execute_function(stack, request, types,
+                              verify_in_circuit=verify_in_circuit)
+        auth.transitions.append(tt.transition)
+        trace.insert(tt)
+    return trace
+
+
 def execute_function(stack: Stack, request: Request, input_types,
                      verify_in_circuit: bool = False):
     """Stack::execute_function analog: dual-execute with request context.

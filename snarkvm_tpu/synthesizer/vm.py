@@ -261,16 +261,27 @@ class VM:
         return C.deployment_cost(deployment)
 
     # ---- speculate / finalize (vm/finalize.rs) ----
+    @staticmethod
+    def _is_fee_future(fut) -> bool:
+        pid, fname = fut[0], fut[1]
+        return pid == "credits.aleo" and fname in ("fee_public", "fee_private")
+
     def speculate(self, pending, state: F.FinalizeGlobalState | None = None):
+        """vm/finalize.rs atomic_speculate: per-tx checkpoint/rewind.
+
+        Returns (accepted, rejected, aborted) index lists:
+          * accepted — all finalize futures succeeded;
+          * rejected — the BODY halted but the fee finalize succeeded, so
+            the transaction enters the block as a fee-only
+            ConfirmedTransaction::Rejected* and the fee IS charged
+            (finalize.rs: Rejected new_execution/new_deployment);
+          * aborted  — the tx can't even pay (fee finalize failed or no
+            fee attached): excluded from the block entirely
+            (Block.aborted_transaction_ids)."""
         state = state or F.FinalizeGlobalState(block_height=self.block_height + 1)
-        flat = []
-        spans = []
-        for p in pending:
-            spans.append((len(flat), len(flat) + len(p.futures)))
-            flat.extend(p.futures)
         # run ALL futures of one tx under one checkpoint
         self.store.maps.start_atomic()
-        accepted, rejected = [], []
+        accepted, rejected, aborted = [], [], []
         stacks = self.process.stacks
         pending_programs = {}   # programs visible to later txs in this batch
         for i, p in enumerate(pending):
@@ -289,9 +300,22 @@ class VM:
                 self.store.maps.clear_latest_checkpoint()
             except HaltError:
                 self.store.maps.atomic_rewind()
-                rejected.append(i)
+                fee_futures = [f for f in p.futures if self._is_fee_future(f)]
+                if not fee_futures:
+                    aborted.append(i)
+                    continue
+                self.store.maps.atomic_checkpoint()
+                try:
+                    for pid, fname, args, tid in fee_futures:
+                        F.execute_finalize(stacks[pid], fname, args,
+                                           self.store, state, tid)
+                    rejected.append(i)
+                    self.store.maps.clear_latest_checkpoint()
+                except HaltError:
+                    self.store.maps.atomic_rewind()
+                    aborted.append(i)
         self._pending_programs = pending_programs
-        return accepted, rejected
+        return accepted, rejected, aborted
 
     def finalize(self):
         self.store.maps.finish_atomic()
@@ -307,9 +331,15 @@ class VM:
 
     # ---- block production (ledger/src/advance.rs shape) ----
     def advance_to_next_block(self, pending, timestamp: int | None = None) -> Block:
-        accepted, rejected = self.speculate(pending)
+        accepted, rejected, aborted = self.speculate(pending)
         self.finalize()
-        txs = [pending[i].transaction for i in accepted]
+        from ..ledger.block import fee_only_transaction
+        txs = []
+        for i, p in enumerate(pending):
+            if i in accepted:
+                txs.append(p.transaction)
+            elif i in rejected:
+                txs.append(fee_only_transaction(p.transaction))
         self.block_height += 1
         prev = self.blocks[-1] if self.blocks else None
         md = Metadata(
@@ -324,7 +354,7 @@ class VM:
             metadata=md,
         )
         block = Block(previous_hash=self.previous_hash, header=header, transactions=txs,
-                      aborted_transaction_ids=[pending[i].transaction.id() for i in rejected])
+                      aborted_transaction_ids=[pending[i].transaction.id() for i in aborted])
         self.previous_hash = block.hash()
         self.blocks.append(block)
         return block

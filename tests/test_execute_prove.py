@@ -65,3 +65,32 @@ def test_execute_with_in_circuit_request_verify():
     assert tt.builder.is_satisfied()
     assert tt.builder.num_constraints > 5000  # request verification dominates
     assert tt.transition.outputs[0][1] == 16
+
+
+def test_authorize_then_execute_authorization():
+    """Process::authorize -> Authorization -> Process::execute
+    (process/src/authorize.rs:21 + execute.rs:21): the console-only
+    authorization materializes the call, and the replay proves it."""
+    stack = Stack(parse_program(PROGRAM))
+    srs = kzg.test_srs(64)
+    sk = account.PrivateKey.new(rng)
+
+    types = [("public", "field"), ("private", "field")]
+    auth = E.authorize(stack, sk, "combine",
+                       [Plaintext.literal("field", 4),
+                        Plaintext.literal("field", 9)], types, rng)
+    assert len(auth.requests) == 1
+    assert not auth.is_fee()
+    assert auth.next().function_name == "combine"
+
+    trace = E.execute_authorization(stack, auth)
+    assert len(auth.transitions) == 1
+    assert auth.to_execution_id() != 0
+    proof, vks = trace.prove_execution(srs, rng)
+    assert E.verify_execution(srs, proof, vks)
+
+    # CallStack mode constants exist and are distinct
+    modes = {E.CallStack.AUTHORIZE, E.CallStack.SYNTHESIZE,
+             E.CallStack.CHECK_DEPLOYMENT, E.CallStack.EVALUATE,
+             E.CallStack.EXECUTE, E.CallStack.PACKAGE_RUN}
+    assert len(modes) == 6

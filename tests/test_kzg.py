@@ -99,3 +99,31 @@ def test_srs_file_roundtrip(tmp_path):
     back = srs_io.read_neg_powers_file(npath)
     for k, pt in negmap.items():
         assert back[k] == (pt[0].c, pt[1].c)
+
+
+def test_commit_lagrange_matches_coefficient_commit():
+    """kzg10/mod.rs:159 commit_lagrange: evaluation-form commit equals
+    the coefficient-form commit of the interpolated polynomial."""
+    import random
+    from snarkvm_tpu.polycommit import kzg
+    from snarkvm_tpu.snark.poly import Poly, interpolate
+
+    rng = random.Random(321)
+    srs = kzg.test_srs(64)
+    n = 16
+    evals = [rng.randrange(kzg.R) for _ in range(n)]
+    com_l, _ = kzg.commit_lagrange(srs, evals)
+    poly = interpolate(evals)
+    com_c, _ = kzg.commit(srs, poly)
+    assert com_l == com_c
+    # sparse / zero edge cases
+    assert kzg.commit_lagrange(srs, [0] * n)[0] is None or \
+        kzg.commit_lagrange(srs, [0] * n)[0] == kzg.commit(srs, Poly([0]))[0]
+    one = [0] * n
+    one[3] = 7
+    com_l1, _ = kzg.commit_lagrange(srs, one)
+    com_c1, _ = kzg.commit(srs, interpolate(one))
+    assert com_l1 == com_c1
+    # hiding variant still verifies as a commitment pair
+    com_h, r = kzg.commit_lagrange(srs, evals, hiding_bound=1, rng=rng)
+    assert com_h != com_l and r.is_hiding()

@@ -157,3 +157,26 @@ def test_committee_rejects_invalid():
     bad[12345] = (MIN_VALIDATOR_STAKE, True, 101)
     with pytest.raises(AssertionError):
         Committee(0, bad)  # commission > 100
+
+
+def test_decouple_transmissions():
+    from snarkvm_tpu.ledger.narwhal import (
+        decouple_transmissions, Subdag, BatchHeader, BatchCertificate)
+    rng2 = random.Random(11)
+    tids = [TransmissionID("transaction", 1, 0),
+            TransmissionID("solution", 2, 0),
+            TransmissionID("ratification", 3, 0),
+            TransmissionID("transaction", 4, 0)]
+    hdr1 = BatchHeader(author=1, round=3, timestamp=10, committee_id=0,
+                       transmission_ids=tids[:2], previous_certificate_ids=[])
+    hdr2 = BatchHeader(author=2, round=4, timestamp=11, committee_id=0,
+                       transmission_ids=tids[1:], previous_certificate_ids=[])
+    sub = Subdag({3: [BatchCertificate(hdr1, [])],
+                  4: [BatchCertificate(hdr2, [])]})
+    tr = {tids[0]: Transmission("transaction", b"t1"),
+          tids[1]: Transmission("solution", b"s1"),
+          tids[2]: Transmission("ratification", b"r1")}
+    # tids[3] missing -> aborted
+    rats, sols, txs, aborted = decouple_transmissions(sub, tr)
+    assert txs == [b"t1"] and sols == [b"s1"] and rats == [b"r1"]
+    assert aborted == [tids[3]]

@@ -60,3 +60,30 @@ def test_pairing_bilinear():
     # non-degenerate + product check: e(aP,Q) * e(-aP,Q) == 1
     pa = sw.G1.mul(g1, a)
     assert pairing.product_of_pairings([(pa, g2), (sw.G1.affine_neg(pa), g2)]).is_one()
+
+
+def test_glv_mul_matches_double_and_add():
+    """GLV endomorphism split (g1.rs:108 glv_endomorphism/mul_projective)."""
+    import random
+    from snarkvm_tpu.curves import sw_fast as g1f
+    from snarkvm_tpu.params import bls12_377 as P
+
+    rng = random.Random(55)
+    G = g1f.from_affine((P.G1_GENERATOR_X, P.G1_GENERATOR_Y))
+    beta, lam, (a1, b1), (a2, b2) = g1f._glv_constants()
+    # phi really is the lambda endomorphism
+    assert pow(beta, 3, P.Q) == 1 and beta != 1
+    assert pow(lam, 3, P.R) == 1 and lam != 1
+    assert g1f.to_affine(g1f.glv_endomorphism(G)) == g1f.to_affine(g1f.mul_int(G, lam))
+    # basis rows are short
+    assert abs(a1) < 1 << 130 and abs(b1) < 1 << 130
+    # decomposition halves are ~128 bits and recompose
+    for k in [0, 1, 2, P.R - 1, P.R // 2] + [rng.randrange(P.R) for _ in range(6)]:
+        k1, k2 = g1f.glv_decompose(k)
+        assert abs(k1) < 1 << 130 and abs(k2) < 1 << 130
+        assert g1f.to_affine(g1f.glv_mul(G, k)) == g1f.to_affine(g1f.mul_int(G, k))
+    # random points too
+    for _ in range(3):
+        Pj = g1f.mul_int(G, rng.randrange(P.R))
+        k = rng.randrange(P.R)
+        assert g1f.to_affine(g1f.glv_mul(Pj, k)) == g1f.to_affine(g1f.mul_int(Pj, k))
