@@ -50,6 +50,13 @@ def cmd_new(args):
         json.dump(manifest, f, indent=2)
     with open(os.path.join(path, "main.aleo"), "w") as f:
         f.write(TEMPLATE.format(name=args.name))
+    # README scaffold (vm/file/README.md template analog)
+    with open(os.path.join(path, "README.md"), "w") as f:
+        f.write(f"# {args.name}.aleo\n\n"
+                "## Build\n```\nsnarkvm-tpu build\n```\n\n"
+                "## Run\n```\nsnarkvm-tpu run hello 3u32 4u32\n```\n\n"
+                "## Execute (prove + verify)\n"
+                "```\nsnarkvm-tpu execute hello 3u32 4u32\n```\n")
     print(f"✅ Created package '{args.name}' at {path}")
 
 

@@ -194,11 +194,11 @@ class Ledger:
 
         # solutions: validate against the PREVIOUS epoch hash + proof target
         epoch_hash = self.latest_epoch_hash()
-        valid, aborted = [], []
+        valid, aborted_sols = [], []
         for sol in candidate_solutions:
             ok = (len(valid) < MAX_SOLUTIONS
                   and self.puzzle.check_solution(sol, epoch_hash, pm.proof_target))
-            (valid if ok else aborted).append(sol)
+            (valid if ok else aborted_sols).append(sol)
         combined = sum(s.target for s in valid)
         solutions_root = solutions_accumulator(valid)
 
@@ -274,7 +274,7 @@ class Ledger:
         block.solutions = list(valid)
         # over-limit / stale solutions are listed, not silently dropped
         # (Block.aborted_solution_ids, block/src/lib.rs:78-83)
-        block.aborted_solution_ids = [s.partial.id for s in aborted]
+        block.aborted_solution_ids = [s.partial.id for s in aborted_sols]
         block.subdag = subdag
         block._pending = list(candidate_transactions)
         return block
@@ -437,6 +437,85 @@ class Ledger:
         self.vm.blocks = self.blocks
         self.vm.previous_hash = block.hash()
         self._state_roots.append(self._compute_state_root())
+
+    # ---- get / find / contains / iterators ----------------------------
+    # (ledger/src/{get,find,contains,iterators}.rs accessor surface)
+
+    def get_block_by_hash(self, block_hash: int) -> Block:
+        for b in self.blocks:
+            if b.hash() == block_hash:
+                return b
+        raise KeyError(f"block hash {block_hash} not found")
+
+    def get_transaction(self, tx_id: int):
+        for b in self.blocks:
+            for tx in b.transactions:
+                if tx.id() == tx_id:
+                    return tx
+        raise KeyError(f"transaction {tx_id} not found")
+
+    def get_transition(self, transition_id: int):
+        for b in self.blocks:
+            for tx in b.transactions:
+                for t in tx.transitions:
+                    if t.id() == transition_id:
+                        return t
+        raise KeyError(f"transition {transition_id} not found")
+
+    def get_program(self, program_id: str):
+        return self.vm.process.get_stack(program_id).program
+
+    def find_block_height_from_hash(self, block_hash: int) -> int:
+        return self.get_block_by_hash(block_hash).header.metadata.height
+
+    def find_block_height_from_state_root(self, state_root: int) -> int:
+        for h, r in enumerate(self._state_roots):
+            if r == state_root:
+                return h
+        raise KeyError(f"state root {state_root} not found")
+
+    def find_transaction_id_from_transition_id(self, transition_id: int):
+        for b in self.blocks:
+            for tx in b.transactions:
+                if any(t.id() == transition_id for t in tx.transitions):
+                    return tx.id()
+        raise KeyError(f"transition {transition_id} not found")
+
+    def contains_block_height(self, height: int) -> bool:
+        return 0 <= height < len(self.blocks)
+
+    def contains_block_hash(self, block_hash: int) -> bool:
+        return any(b.hash() == block_hash for b in self.blocks)
+
+    def contains_state_root(self, state_root: int) -> bool:
+        return state_root in self._state_roots
+
+    def contains_transaction_id(self, tx_id: int) -> bool:
+        return any(tx.id() == tx_id for b in self.blocks
+                   for tx in b.transactions)
+
+    def contains_serial_number(self, sn: int) -> bool:
+        return sn in self.spent_serial_numbers
+
+    def contains_commitment(self, commitment: int) -> bool:
+        return commitment in self.commitments
+
+    def contains_program_id(self, program_id: str) -> bool:
+        return program_id in self.vm.process.stacks
+
+    def transaction_ids(self):
+        for b in self.blocks:
+            for tx in b.transactions:
+                yield tx.id()
+
+    def serial_numbers(self):
+        yield from self.spent_serial_numbers
+
+    def commitments_iter(self):
+        yield from self.commitments
+
+    def program_ids(self):
+        yield from self.vm.process.stacks
 
     @classmethod
     def load(cls, validator_keys, rng, store_path: str,

@@ -44,6 +44,37 @@ class Deployment:
     program_text: str
     verifying_keys: list     # [(function_name, vk, certificate)]
 
+    def to_deployment_id(self) -> int:
+        """Deployment ID: BHP-1024 over the program-ID field, the program
+        bytecode bits, and the per-function verifying-key commitments
+        (transaction/deployment/mod.rs to_deployment_id analog — the
+        reference Merkleizes its byte form; same binding properties)."""
+        from ..console import network as N
+        from ..console.types import Identifier, bytes_to_bits_le
+        bits = Identifier(self.program_id.split(".")[0]).to_bits_le()
+        bits += bytes_to_bits_le(self.program_text.encode())
+        for fname, _vk, _cert in self.verifying_keys:
+            bits += Identifier(fname).to_bits_le()
+        return N.hash_bhp(1024, bits)
+
+
+@dataclass
+class ProgramOwner:
+    """console/program/src/owner: the deployer's address plus a Schnorr
+    signature over the deployment ID — deploy transactions carry this so
+    the network can attribute (and fee-charge) the namespace."""
+    address: tuple               # (x, y) point
+    signature: object
+
+    @classmethod
+    def new(cls, private_key, deployment_id: int, rng) -> "ProgramOwner":
+        from ..console import account
+        sig = account.Signature.sign(private_key, [deployment_id], rng)
+        return cls(private_key.to_address(), sig)
+
+    def verify(self, deployment_id: int) -> bool:
+        return self.signature.verify(self.address, [deployment_id])
+
 
 def deploy(srs: kzg.UniversalSRS, stack: Stack, rng,
            max_constraints: int = N.MAX_DEPLOYMENT_CONSTRAINTS,

@@ -183,7 +183,12 @@ class VM:
                                   program_text=program_text)
         else:
             deployment = D.Deployment(prog.id, program_text, [])
+        # ProgramOwner: the deployer signs the deployment ID
+        # (console/program owner; vm/deploy.rs attaches it to the tx)
+        owner = D.ProgramOwner.new(private_key, deployment.to_deployment_id(),
+                                   rng or self.rng)
         tx = Transaction("deploy", [], payload=deployment)
+        tx.owner = owner
         pending = PendingTransaction(tx, [])
         pending.deployment = deployment
         if priority_fee is not None:
@@ -226,6 +231,12 @@ class VM:
         if txid in self._partially_verified:
             self._partially_verified.move_to_end(txid)
             return
+        if pending.transaction.kind == "deploy":
+            owner = getattr(pending.transaction, "owner", None)
+            deployment = getattr(pending, "deployment", None)
+            if owner is not None and deployment is not None and \
+                    not owner.verify(deployment.to_deployment_id()):
+                raise ValueError("invalid program owner signature")
         body = [t for t in pending.transaction.transitions
                 if not (t.program_id == "credits.aleo"
                         and t.function_name.startswith("fee_"))]

@@ -84,3 +84,31 @@ class TestDeployTransactions:
         block = led.prepare_advance_to_next_beacon_block([p])
         led.advance_to_next_block(block, [p])
         assert "counter2.aleo" in led.vm.process.stacks
+
+
+def test_program_owner_signature():
+    """ProgramOwner (console/program owner): deploy txs carry the
+    deployer's signature over the deployment ID; tampering fails."""
+    import random as _r
+    from snarkvm_tpu.console import account
+    from snarkvm_tpu.synthesizer.vm import VM
+    from snarkvm_tpu.synthesizer.deploy import ProgramOwner
+
+    rng = _r.Random(31)
+    vm = VM(rng)
+    pk = account.PrivateKey.new(rng)
+    prog = "program owned.aleo;\n\nfunction noop:\n    input r0 as u8.private;\n    output r0 as u8.private;\n"
+    p = vm.deploy_transaction(pk, prog)
+    owner = p.transaction.owner
+    did = p.deployment.to_deployment_id()
+    assert owner.verify(did)
+    vm.check_transaction(p)   # owner check passes (feeless dev deploy)
+    # wrong deployment id -> fails
+    assert not owner.verify(did + 1)
+    # forged owner (different key) -> check_transaction raises
+    other = account.PrivateKey.new(rng)
+    p.transaction.owner = ProgramOwner.new(other, did + 1, rng)
+    vm._partially_verified.clear()
+    import pytest as _pt
+    with _pt.raises(ValueError, match="owner"):
+        vm.check_transaction(p)

@@ -137,3 +137,32 @@ class TestSolutionsAndRewards:
 
     def test_staking_rewards_grow_committee_stake(self, ledger):
         assert ledger.committee.total_stake > 4 * 10_000_000_000_000
+
+
+class TestAccessors:
+    """ledger/src/{get,find,contains,iterators}.rs accessor surface."""
+
+    def test_get_find_contains_iterators(self, ledger):
+        b1 = ledger.get_block(1)
+        assert ledger.get_block_by_hash(b1.hash()) is b1
+        assert ledger.find_block_height_from_hash(b1.hash()) == 1
+        assert ledger.contains_block_hash(b1.hash())
+        assert ledger.contains_block_height(1)
+        assert not ledger.contains_block_height(10**6)
+        assert ledger.contains_state_root(ledger.latest_state_root)
+        assert ledger.contains_program_id("credits.aleo")
+        assert "credits.aleo" in list(ledger.program_ids())
+        assert ledger.get_program("credits.aleo").id == "credits.aleo"
+        # transactions recorded earlier in this module's block tests
+        txids = list(ledger.transaction_ids())
+        if txids:
+            tx = ledger.get_transaction(txids[0])
+            assert tx.id() == txids[0]
+            tid = tx.transitions[0].id()
+            assert ledger.get_transition(tid).id() == tid
+            assert ledger.find_transaction_id_from_transition_id(tid) == txids[0]
+        import pytest as _pt
+        with _pt.raises(KeyError):
+            ledger.get_block_by_hash(123456789)
+        with _pt.raises(KeyError):
+            ledger.get_transaction(987654321)
