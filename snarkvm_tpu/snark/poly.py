@@ -274,6 +274,15 @@ def domain_elements(n: int, mod: int = MOD):
     return out
 
 
+def sample_element_outside_domain(n: int, rng, mod: int = MOD) -> int:
+    """EvaluationDomain::sample_element_outside_domain (fft/domain.rs:108):
+    rejection-sample a field element with v^n != 1."""
+    while True:
+        v = rng.randrange(mod)
+        if evaluate_vanishing(n, v, mod) != 0:
+            return v
+
+
 def evaluate_vanishing(n: int, x: int, mod: int = MOD) -> int:
     return (pow(x, n, mod) - 1) % mod
 
