@@ -19,6 +19,46 @@ import sqlite3
 from .store import AtomicMap
 
 
+def _mapids():
+    """The reference's full RocksDB keyspace catalog
+    (ledger/store/src/helpers/rocksdb/internal/id.rs:20-210): u16-prefix
+    map families. The SQLite backend uses these names as map_id prefixes
+    so a datum lives under the same logical family as in the reference."""
+    families = {
+        "BFT": ["Transmissions", "AbortedTransmissionIDs"],
+        "Block": ["StateRoot", "ReverseStateRoot", "ID", "ReverseID",
+                  "Header", "Authority", "Certificate", "Ratifications",
+                  "Solutions", "PuzzleCommitments", "AbortedSolutionIDs",
+                  "AbortedSolutionHeights", "Transactions",
+                  "AbortedTransactionIDs", "RejectedOrAbortedTransactionID",
+                  "ConfirmedTransactions", "RejectedDeploymentOrExecution"],
+        "Committee": ["CurrentRound", "RoundToHeight", "Committee"],
+        "Deployment": ["ID", "Edition", "ReverseID", "Owner", "Program",
+                       "VerifyingKey", "Certificate"],
+        "Execution": ["ID", "ReverseID", "Inclusion"],
+        "Fee": ["Fee", "ReverseFee"],
+        "TransitionInput": ["ID", "ReverseID", "Constant", "Public",
+                            "Private", "Record", "RecordTag", "ExternalRecord"],
+        "TransitionOutput": ["ID", "ReverseID", "Constant", "Public",
+                             "Private", "Record", "RecordNonce",
+                             "ExternalRecord", "Future"],
+        "Transaction": ["ID"],
+        "Transition": ["Locator", "TPK", "ReverseTPK", "TCM", "ReverseTCM",
+                       "SCM"],
+        "Program": ["ProgramID", "KeyValueID"],
+    }
+    out = {}
+    prefix = 0
+    for fam, names in families.items():
+        for name in names:
+            out[f"{fam}::{name}"] = prefix
+            prefix += 1
+    return out
+
+
+MAP_ID = _mapids()
+
+
 class _SqlDict:
     """dict-like confirmed view over (map_id, key) rows."""
 
@@ -112,6 +152,12 @@ class DbNestedMap:
         if isinstance(outer_key, tuple):
             return "\x1f".join(str(p) for p in outer_key).encode()
         return str(outer_key).encode()
+
+    def family(self, name: str) -> DbAtomicMap:
+        """Map addressed by the reference keyspace catalog, e.g.
+        family("TransitionInput::Record") (rocksdb internal/id.rs MapID)."""
+        prefix = MAP_ID[name]
+        return self.map(("__mapid__", prefix, name))
 
     def map(self, outer_key) -> DbAtomicMap:
         mid = self._map_id(outer_key)

@@ -87,14 +87,29 @@ class FusedPlanML:
             self.levels.append((N1, n2, batch, w_col, post))
             rem, w_l, batch = n2, pow(w_l, N1, R_MOD), batch * N1
 
-    def apply(self, x_lm):
-        """x_lm [16, n] -> NTT, natural order."""
+    def _consts(self):
+        """(posts_tuple, perm) as runtime arrays. Passing these as jit
+        ARGUMENTS (not closure captures) keeps the 16MB twiddle tensors
+        out of the compiled module — closure-captured device arrays get
+        embedded as HLO constants, bloating the MLIR shipped to the
+        compiler to ~35MB and the compile to many minutes."""
+        posts = tuple(p for (_, _, _, _, p) in self.levels if p is not None)
+        return posts, jnp.asarray(self.perm)
+
+    def _run(self, x_lm, posts, perm):
         n = self.n
         x = x_lm.reshape(L, n, 1)
+        post_ix = []
+        k = 0
+        for (_, _, _, _, p) in self.levels:
+            post_ix.append(k if p is not None else -1)
+            if p is not None:
+                k += 1
 
         def rec(x, li):
             # x: [L, m, B] — transform axis 1, batch axis 2
-            N1, n2, batch, w_col, post = self.levels[li]
+            N1, n2, batch, w_col, _ = self.levels[li]
+            post = posts[post_ix[li]] if post_ix[li] >= 0 else None
             m, B = x.shape[1], x.shape[2]
             assert m == N1 * n2 and B == batch
             if n2 == 1:
@@ -108,4 +123,16 @@ class FusedPlanML:
             return jnp.swapaxes(X, 1, 2).reshape(L, N1 * n2, B)
 
         y = rec(x, 0).reshape(L, n)
-        return y[:, jnp.asarray(self.perm)]
+        return jnp.take(y, perm, axis=1)
+
+    def apply(self, x_lm):
+        """x_lm [16, n] -> NTT, natural order (traceable under jit; the
+        plan tensors ride as arguments via the cached jitted runner)."""
+        posts, perm = self._consts()
+        return self._run(x_lm, posts, perm)
+
+    def jitted(self):
+        """One-arg jitted transform with plan tensors as runtime args."""
+        posts, perm = self._consts()
+        run = jax.jit(self._run)
+        return lambda x: run(x, posts, perm)

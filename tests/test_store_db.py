@@ -92,3 +92,25 @@ class TestLedgerOnDb:
         v = maps.map(("credits.aleo", "account")).get_confirmed(
             _key_of(literal_from_str(dest)))
         assert v is not None and v.value.value == 77
+
+
+def test_mapid_catalog_and_family(tmp_path):
+    """The rocksdb keyspace catalog (internal/id.rs MapID families)."""
+    from snarkvm_tpu.ledger.store_db import MAP_ID, DbNestedMap
+
+    # full family inventory present with unique u16 prefixes
+    assert len(MAP_ID) == len(set(MAP_ID.values()))
+    for key in ("BFT::Transmissions", "Block::StateRoot",
+                "Block::RejectedDeploymentOrExecution",
+                "Committee::CurrentRound", "Deployment::Owner",
+                "Execution::Inclusion", "Fee::ReverseFee",
+                "TransitionInput::RecordTag", "TransitionOutput::Future",
+                "Transaction::ID", "Transition::SCM", "Program::KeyValueID"):
+        assert key in MAP_ID
+    db = DbNestedMap(str(tmp_path / "kv.db"))
+    m = db.family("Transition::TPK")
+    db.start_atomic()
+    m.insert(b"k", 123)
+    db.finish_atomic()
+    assert db.family("Transition::TPK").get_confirmed(b"k") == 123
+    assert db.family("Transition::TCM").get_confirmed(b"k") is None
