@@ -23,13 +23,14 @@ MAX_LG_SUB = 7          # in-VMEM sub-transform <= 2^7 (N=256 with 128
 
 
 def _split(lg: int):
-    """Chunk lg into factors <= MAX_LG_SUB, biggest first."""
-    out = []
-    while lg > MAX_LG_SUB:
-        out.append(MAX_LG_SUB)
-        lg -= MAX_LG_SUB
-    out.append(lg)
-    return out
+    """Chunk lg into BALANCED factors <= MAX_LG_SUB (a trailing tiny
+    leaf like [7,7,7,1] would burn grid-dispatch overhead on a 2-point
+    kernel; [6,6,5,5] keeps every level's kernel meaty)."""
+    if lg == 0:
+        return [0]
+    k = -(-lg // MAX_LG_SUB)
+    base, rem = divmod(lg, k)
+    return [base + 1] * rem + [base] * (k - rem)
 
 
 def _out_perm(n: int, chunks) -> np.ndarray:

@@ -166,8 +166,27 @@ def butterfly(even, odd, tw, spec: FpSpec, block: int = 512):
 
 def ntt_limb_major(x_lm, domain, inverse: bool = False):
     """x_lm: [L, n] Montgomery limb-major input; returns [L, n] NTT output
-    (natural order). Small stages (< 128 lanes per half) fall back to the
-    row-major path; large stages run the Pallas butterfly."""
+    (natural order).
+
+    On TPU with Fr domains of >= 2^10 points this dispatches to the FUSED
+    constant-geometry engine (ntt_fused_plan.py: whole sub-transforms in
+    VMEM, 417 vs 164 Mbutterfly/s at 2^18); set SNARKVM_TPU_NTT=radix2 to
+    force the per-stage butterfly network below."""
+    import os
+    if (domain.spec.name == "fr" and domain.n >= 1024
+            and jax.default_backend() != "cpu"
+            and os.environ.get("SNARKVM_TPU_NTT", "fused") == "fused"):
+        from .ntt_fused_plan import FusedPlanML
+        key = ("_fused_plan_inv" if inverse else "_fused_plan_fwd")
+        plan = getattr(domain, key, None)
+        if plan is None:
+            plan = FusedPlanML(
+                domain.n,
+                domain.group_gen_inv if inverse else domain.group_gen,
+                inverse)
+            setattr(domain, key, plan)
+        posts, perm = plan._consts()
+        return plan._run(x_lm, posts, perm)
     from ..fields import limb as limb_mod
 
     spec = domain.spec
