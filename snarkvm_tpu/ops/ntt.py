@@ -107,6 +107,12 @@ class Domain:
         return np.asarray(self._power_plane(self.generator_inv, self.size_inv))
 
     @functools.cached_property
+    def _coset_inv_powers_only(self):
+        """generator_inv^i WITHOUT the n^-1 factor (the fused-engine ifft
+        already folds n^-1 into its leaf DFT scale)."""
+        return np.asarray(self._power_plane(self.generator_inv, 1))
+
+    @functools.cached_property
     def _size_inv_mont(self):
         return limb.int_to_limbs_py(self.size_inv * self.spec.R % self.spec.p, self.spec.L)
 
@@ -149,24 +155,52 @@ class Domain:
         return x
 
     @functools.cached_property
+    def _use_fused(self) -> bool:
+        """Dispatch DPoly/Varuna transforms to the fused constant-geometry
+        Pallas engine (ops/ntt_fused_plan.py, 2.5x the per-stage butterfly
+        network) on TPU for Fr domains of >= 2^10 points."""
+        import os
+        return (self.spec.name == "fr" and self.n >= 1024
+                and jax.default_backend() != "cpu"
+                and os.environ.get("SNARKVM_TPU_NTT", "fused") == "fused")
+
+    @functools.cached_property
     def _jitted(self):
         # materialize all host-side constants eagerly (outside any trace)
         self._bitrev, self._fwd_twiddles, self._inv_twiddles
         self._coset_powers, self._coset_inv_powers_scaled, self._size_inv_mont
 
+        def fused(x, inverse):
+            from . import pallas_field as pf
+            return pf.ntt_limb_major(jnp.swapaxes(x, -1, -2), self,
+                                     inverse=inverse).swapaxes(-1, -2)
+
         def fft(c):
+            if self._use_fused and c.ndim == 2:
+                return fused(c, False)
             return self._core(c, self._fwd_twiddles)
 
         def ifft(e):
+            if self._use_fused and e.ndim == 2:
+                return fused(e, True)
             x = self._core(e, self._inv_twiddles)
             sinv = jnp.asarray(self._size_inv_mont)
             return limb.mont_mul(x, jnp.broadcast_to(sinv, x.shape), self.spec)
 
         def coset_fft(c):
             shifted = limb.mont_mul(c, jnp.asarray(self._coset_powers), self.spec)
+            if self._use_fused and c.ndim == 2:
+                return fused(shifted, False)
             return self._core(shifted, self._fwd_twiddles)
 
         def coset_ifft(e):
+            if self._use_fused and e.ndim == 2:
+                # fused ifft already applies n^-1; the coset post-scale
+                # table has n^-1 folded in, so scale by generator powers
+                # WITHOUT the extra n^-1 here
+                x = fused(e, True)
+                return limb.mont_mul(
+                    x, jnp.asarray(self._coset_inv_powers_only), self.spec)
             x = self._core(e, self._inv_twiddles)
             return limb.mont_mul(x, jnp.asarray(self._coset_inv_powers_scaled), self.spec)
 

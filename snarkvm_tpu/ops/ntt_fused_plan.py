@@ -78,13 +78,15 @@ class FusedPlanML:
                         t = t * base % R_MOD
                 arr = _mont_limbs_np(vals).reshape(L, N1, n2)
                 # pre-tile the level's batch repeat so the kernel block
-                # layout is [L, N1, n2*batch]
+                # layout is [L, N1, n2*batch]. Stored as NUMPY: building
+                # a plan lazily inside a jit trace must not capture
+                # tracers (jnp.asarray under an ambient trace returns a
+                # Tracer, which would leak through the plan cache).
                 arr = np.repeat(arr[:, :, :, None], batch, axis=3)
-                post = jnp.asarray(arr.reshape(L, N1, n2 * batch))
+                post = arr.reshape(L, N1, n2 * batch)
             elif s_here != 1:
                 arr = _mont_limbs_np([s_here] * N1).reshape(L, N1, 1)
-                arr = np.repeat(arr, batch, axis=2)
-                post = jnp.asarray(arr)
+                post = np.repeat(arr, batch, axis=2)
             self.levels.append((N1, n2, batch, w_col, post))
             rem, w_l, batch = n2, pow(w_l, N1, R_MOD), batch * N1
 
@@ -94,7 +96,8 @@ class FusedPlanML:
         out of the compiled module — closure-captured device arrays get
         embedded as HLO constants, bloating the MLIR shipped to the
         compiler to ~35MB and the compile to many minutes."""
-        posts = tuple(p for (_, _, _, _, p) in self.levels if p is not None)
+        posts = tuple(jnp.asarray(p) for (_, _, _, _, p) in self.levels
+                      if p is not None)
         return posts, jnp.asarray(self.perm)
 
     def _run(self, x_lm, posts, perm):
