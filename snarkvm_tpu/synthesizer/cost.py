@@ -121,7 +121,14 @@ def finalize_register_types(stack: Stack, fin) -> dict:
         dest = cmd.destinations[0]
         if op in ("get", "get.or_use"):
             mapping = cmd.operands[0].split("[")[0]
-            m = stack.program.mappings.get(mapping)
+            if "/" in mapping:
+                # external read locator (command/get.rs): resolve the
+                # value type in the imported program's mapping table
+                ext_pid, ext_map = mapping.split("/", 1)
+                ext = stack.external.get(ext_pid)
+                m = ext.program.mappings.get(ext_map) if ext else None
+            else:
+                m = stack.program.mappings.get(mapping)
             if m is None:
                 raise HaltError(f"no mapping {mapping}")
             types[dest] = m.value_type.split(".")[0]

@@ -79,6 +79,7 @@ class FinalizeRegisters:
         self.transition_id = transition_id
         self.function_name = function_name
         self.regs = {}
+        self.awaited = set()    # future registers awaited so far
 
     def load(self, operand):
         if operand == "block.height":
@@ -141,9 +142,31 @@ def execute_finalize(stack: Stack, finalize_name: str, inputs, store: FinalizeSt
             else:
                 pc += 1
             continue
+        if op == "await":
+            # runtime await accounting (process finalize rules): each
+            # future input must be awaited EXACTLY once along the taken
+            # control path — double-awaits and missed futures reject the
+            # transaction (the branch_with_future corpus pins this).
+            reg = cmd.operands[0]
+            if reg in regs.awaited:
+                raise HaltError(f"future {reg} awaited more than once")
+            regs.awaited.add(reg)
         _execute_finalize_command(stack, regs, cmd)
         pc += 1
+    future_inputs = {i.register for i in fin.inputs
+                     if i.value_type.endswith(".future")}
+    if regs.awaited != future_inputs:
+        missing = future_inputs - regs.awaited
+        raise HaltError(
+            f"finalize '{finalize_name}' did not await {sorted(missing)}")
     return regs
+
+
+def _sqrt_fr(v: int):
+    """Square root in Fr, or None (console Field sqrt semantics)."""
+    from ..fields.scalar import Fr as _Fr
+    s = _Fr(v % R).sqrt()
+    return None if s is None else s.v
 
 
 def _split_mapping_access(token: str):
@@ -153,18 +176,29 @@ def _split_mapping_access(token: str):
     return name, rest[:-1]
 
 
+def _resolve_mapping_owner(prog_id: str, mapping: str):
+    """'users' -> own program; 'registry.aleo/users' -> external read
+    (command/get.rs: reads may cross programs, writes may not —
+    _validate_program rejects external set/remove at deploy)."""
+    if "/" in mapping:
+        return mapping.split("/", 1)
+    return prog_id, mapping
+
+
 def _execute_finalize_command(stack: Stack, regs: FinalizeRegisters, cmd):
     op = cmd.opcode
     prog_id = stack.program.id
     if op == "contains":
         mapping, key_op = _split_mapping_access(cmd.operands[0])
-        m = regs.store.mapping(prog_id, mapping)
+        pid, mapping = _resolve_mapping_owner(prog_id, mapping)
+        m = regs.store.mapping(pid, mapping)
         found = m.contains_speculative(_key_of(regs.load(key_op)))
         regs.store_reg(cmd.destinations[0], Literal("boolean", found))
         return
     if op == "get":
         mapping, key_op = _split_mapping_access(cmd.operands[0])
-        m = regs.store.mapping(prog_id, mapping)
+        pid, mapping = _resolve_mapping_owner(prog_id, mapping)
+        m = regs.store.mapping(pid, mapping)
         v = m.get_speculative(_key_of(regs.load(key_op)))
         if v is None:
             raise HaltError(f"missing key in mapping {mapping}")
@@ -172,8 +206,9 @@ def _execute_finalize_command(stack: Stack, regs: FinalizeRegisters, cmd):
         return
     if op == "get.or_use":
         mapping, key_op = _split_mapping_access(cmd.operands[0])
+        pid, mapping = _resolve_mapping_owner(prog_id, mapping)
         default_op = cmd.operands[1]
-        m = regs.store.mapping(prog_id, mapping)
+        m = regs.store.mapping(pid, mapping)
         v = m.get_speculative(_key_of(regs.load(key_op)))
         if v is None:
             v = _as_plaintext(regs.load(default_op))
@@ -219,6 +254,32 @@ def _execute_finalize_command(stack: Stack, regs: FinalizeRegisters, cmd):
             out = Literal(dest_type, v)
         elif dest_type == "scalar":
             out = Literal("scalar", rng.rand_field(P.S, 5))
+        elif dest_type in ("group", "address"):
+            # Uniform for twisted-Edwards projective (templates/
+            # twisted_edwards_extended/projective.rs rand): sample x,
+            # pick the greater/lesser y by a random bool, retry until
+            # on-curve, clear the cofactor.
+            from ..curves import edwards as ed
+            pt = None
+            while pt is None:
+                x = rng.rand_field(R, 3)
+                greatest = rng.gen_bool()
+                x2 = x * x % R
+                num = (P.EDWARDS_A * x2 - 1) % R
+                den = (P.EDWARDS_D * x2 - 1) % R
+                try:
+                    y2 = num * pow(den, -1, R) % R
+                except ValueError:
+                    continue
+                y = _sqrt_fr(y2)
+                if y is None:
+                    continue
+                negy = (R - y) % R
+                y_sel = y if (y < negy) ^ greatest else negy
+                cand = (x, y_sel)
+                pt = cand if ed.is_on_curve(cand) else None
+            g = ed.mul(pt, 4)        # cofactor clearing
+            out = Literal(dest_type, g)
         else:
             raise HaltError(f"rand.chacha unsupported type {dest_type}")
         regs.store_reg(cmd.destinations[0], out)

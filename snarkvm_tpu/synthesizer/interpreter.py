@@ -543,4 +543,16 @@ def hash_many_instruction(opcode: str, value, num_outputs: int):
 # ---------------------------------------------------------------------------
 
 def plaintext_eq(a, b) -> bool:
+    # futures compare structurally: same (program, function) and equal
+    # argument lists (data/future equality; finalize asserts compare the
+    # futures threaded through nested await trees)
+    a_fut = getattr(a, "kind", None) == "future"
+    b_fut = getattr(b, "kind", None) == "future"
+    if a_fut or b_fut:
+        if not (a_fut and b_fut):
+            return False
+        pa, fa, aa = a.value
+        pb, fb, ab = b.value
+        return (pa == pb and fa == fb and len(aa) == len(ab)
+                and all(plaintext_eq(x, y) for x, y in zip(aa, ab)))
     return _plaintext_of(a).to_bits_le() == _plaintext_of(b).to_bits_le()

@@ -44,8 +44,15 @@ class Registers:
                         v = _access_member(v, member)
                     else:
                         idx = literal_from_str(index).value
-                        assert isinstance(v, Plaintext) and v.kind == "array"
-                        v = v.value[idx]
+                        if getattr(v, "kind", None) == "future":
+                            # future argument access fN[idx] (finalize
+                            # operand form, logic/command/await + operand
+                            # access.rs): index into the future's args
+                            v = v.value[2][idx]
+                        else:
+                            assert isinstance(v, Plaintext) and v.kind == "array", \
+                                f"indexed access on non-array {operand}"
+                            v = v.value[idx]
                 return v
         if operand == "self.signer":
             return Literal("address", self.signer)
@@ -90,10 +97,110 @@ _UNARY = {
 }
 
 
+def _validate_program(program: Program, external: dict) -> None:
+    """Deploy-time structural checks (Stack::new / Program wf-rules the
+    reference enforces; mirrored against the synthesizer/tests
+    vm/execute_and_finalize *_fail corpus):
+      * async requires a finalize block; at most one async; no call after
+        async; the last output of an async function is its OWN future;
+      * every future produced by calls must be consumed by the async;
+      * finalize must await every future input;
+      * mapping references resolve: local mappings defined; external
+        locators imported + defined remotely + read-only."""
+    pid = program.id
+
+    def future_outputs_of(callee_locator: str):
+        """Does calling `callee` yield a future? -> bool."""
+        if "/" in callee_locator:
+            cp, cf = callee_locator.split("/")
+            cprog = external[cp].program if cp in external else None
+        else:
+            cprog, cf = program, callee_locator
+        if cprog is None:
+            return False
+        fn = cprog.functions.get(cf)
+        return fn is not None and fn.finalize_name is not None
+
+    for fname, fn in program.functions.items():
+        asyncs = [i for i in fn.instructions if i.opcode == "async"]
+        if len(asyncs) > 1:
+            raise HaltError(
+                f"Function '{fname}' can contain at most one 'async' instruction")
+        seen_async = False
+        future_regs = []
+        for inst in fn.instructions:
+            if inst.opcode == "async":
+                seen_async = True
+                if fn.finalize_name is None or fname not in program.finalizes:
+                    raise HaltError(
+                        f"'{pid}/{fname}' does not have a finalize block")
+            elif inst.opcode == "call":
+                if seen_async:
+                    raise HaltError(
+                        "The 'call' can only be invoked before an 'async' instruction")
+                if future_outputs_of(inst.operands[0]) and inst.destinations:
+                    future_regs.append(inst.destinations[-1])
+        if future_regs and not asyncs:
+            raise HaltError(
+                f"Function '{pid}/{fname}' must contain a finalize block, "
+                f"since it calls an async function")
+        if asyncs:
+            consumed = set(asyncs[0].operands[1:])
+            missing = [r for r in future_regs if r not in consumed]
+            if missing:
+                raise HaltError(
+                    f"Function '{fname}' contains futures, but the 'async' "
+                    f"instruction does not consume all of the ones produced")
+            if not fn.outputs or not fn.outputs[-1].value_type.endswith(".future") \
+                    or fn.outputs[-1].value_type != f"{pid}/{fname}.future":
+                raise HaltError(
+                    f"The last output of function '{fname}' must be a future "
+                    f"associated with itself")
+
+    for fin_name, fin in program.finalizes.items():
+        future_inputs = {i.register for i in fin.inputs
+                        if i.value_type.endswith(".future")}
+        awaited = {c.operands[0] for c in fin.commands if c.opcode == "await"}
+        if not future_inputs <= awaited:
+            raise HaltError(
+                f"Futures in finalize '{fin_name}' are not all awaited.")
+        for cmd in fin.commands:
+            if cmd.opcode in ("contains", "get", "get.or_use"):
+                token = cmd.operands[0]
+            elif cmd.opcode == "set":
+                token = cmd.destinations[0]
+            elif cmd.opcode == "remove":
+                token = cmd.operands[0]
+            else:
+                continue
+            mapping = token.partition("[")[0]
+            if "/" in mapping:
+                ext_pid, ext_map = mapping.split("/")
+                if ext_pid == pid:
+                    raise HaltError(
+                        f"Locator '{mapping}' does not reference an external mapping.")
+                if cmd.opcode in ("set", "remove"):
+                    raise HaltError(
+                        f"Cannot write to the external mapping '{mapping}'")
+                if ext_pid not in program.imports:
+                    raise HaltError(
+                        f"External program '{ext_pid}' is not imported by '{pid}'.")
+                ext_stack = external.get(ext_pid)
+                if ext_stack is not None and \
+                        ext_map not in ext_stack.program.mappings:
+                    raise HaltError(
+                        f"Mapping '{ext_map}' in '{ext_pid}' is not defined.")
+            elif mapping not in program.mappings:
+                raise HaltError(
+                    f"Mapping '{mapping}' in '{pid}/{fin_name}' is not defined.")
+
+
 class Stack:
-    def __init__(self, program: Program, external=None):
+    def __init__(self, program: Program, external=None, validate: bool = True):
         self.program = program
         self.external = external or {}
+        if validate:
+            _validate_program(program, self.external)
 
     def evaluate_function(self, name: str, inputs, signer=None, caller=None,
                           tvk=None):

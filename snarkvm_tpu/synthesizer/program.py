@@ -192,6 +192,11 @@ def parse_program(text: str) -> Program:
         else:
             _parse_statement(ctx, ctx_kind, ln)
     assert prog is not None, "no program declaration"
+    # modern linkage: `finalize NAME:` blocks bind to the same-named
+    # function (the in-function "finalize ..." statement is legacy)
+    for fname, fn in prog.functions.items():
+        if fname in prog.finalizes:
+            fn.finalize_name = fname
     return prog
 
 
