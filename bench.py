@@ -102,12 +102,8 @@ def bench_msm_tpu():
         cur = g1f.jac_add(cur, g1f.jac_double(cur))
     pts = (cycle * ((n + len(cycle) - 1) // len(cycle)))[:n]
     scalars = [rng.randrange(P.R) for _ in range(n)]
-    plm = ep.g1_from_affine_lm(pts)
-    sl = np.zeros((n, 16), np.uint32)
-    for i, s in enumerate(scalars):
-        for j in range(16):
-            sl[i, j] = (s >> (16 * j)) & 0xFFFF
-    sl = jnp.asarray(sl)
+    plm = ep.g1_from_affine_lm_fast(pts)
+    sl = ep.scalars_to_limbs(scalars)
     ep.msm_g1_lm(plm, sl, n)          # compile warm-up
     # best-of-3: the axon tunnel shares the chip, timings fluctuate
     dt = min(_timed(lambda: ep.msm_g1_lm(plm, sl, n)) for _ in range(3))
