@@ -985,16 +985,28 @@ def _msm_accum_fn(W: int, nb: int, nb_pad: int, B: int, c: int,
             0, rounds, body, (ident["X"], ident["Y"], ident["Z"]))
         acc = {"X": acc[0], "Y": acc[1], "Z": acc[2]}
         # replica tree-reduce, bottom-up: fold replica j+s into j for
-        # s = 1, 2, ..., R/2 (j aligned to 2s)
-        s = 1
-        while s < nb_pad:
-            recv = (R_of > s) & (r_of % (2 * s) == 0)
-            if recv.any():
-                src2 = (np.arange(lanes) + s) % lanes
-                right = _gather_lanes(acc, jnp.asarray(src2))
-                right = _mask_identity(right, jnp.asarray(recv))
-                acc = g1_add_traced(acc, right, block)
-            s *= 2
+        # s = 1, 2, ..., maxR/2 (j aligned to 2s). ONE fori body (one
+        # Mosaic kernel instance) with a traced shift: dozens of unrolled
+        # pallas_call instances would each pay a separate slow Mosaic
+        # compile over the remote-TPU tunnel.
+        max_R = int(np.max(R_of)) if lanes else 1
+        if max_R > 1:
+            R_ofj2 = jnp.asarray(R_of)
+            r_ofj2 = jnp.asarray(r_of)
+
+            def fold_body(t, acc3):
+                s = jnp.int32(1) << t
+                recv = (R_ofj2 > s) & ((r_ofj2 & (2 * s - 1)) == 0)
+                cur = {"X": acc3[0], "Y": acc3[1], "Z": acc3[2]}
+                right = {k: jnp.roll(v, -s, axis=1) for k, v in cur.items()}
+                right = _mask_identity(right, recv)
+                out = g1_add_traced(cur, right, block)
+                return (out["X"], out["Y"], out["Z"])
+
+            acc3 = jax.lax.fori_loop(
+                0, max_R.bit_length() - 1, fold_body,
+                (acc["X"], acc["Y"], acc["Z"]))
+            acc = {"X": acc3[0], "Y": acc3[1], "Z": acc3[2]}
         # regather buckets to the contiguous layout; dead slots -> identity
         acc = _gather_lanes(acc, jnp.asarray(regather))
         acc = _mask_identity(acc, jnp.asarray(regather_valid))
@@ -1006,33 +1018,51 @@ def _msm_accum_fn(W: int, nb: int, nb_pad: int, B: int, c: int,
 @functools.lru_cache(maxsize=None)
 def _msm_suffix_fn(W: int, nb: int, nb_pad: int, block: int | None = None):
     """Jitted segmented suffix-sum + tree-reduce: window totals at the
-    head lane of each segment, gathered to [W] lanes."""
+    head lane of each segment, gathered to [W] lanes. Both phases run as
+    fori loops with traced shifts (one Mosaic kernel instance each, not
+    one per unrolled step — each extra pallas_call instance costs a slow
+    separate Mosaic compile over the remote-TPU tunnel)."""
     lanes = W * nb_pad
 
     def run(aX, aY, aZ):
         acc = {"X": aX, "Y": aY, "Z": aZ}
         lane_ids = jnp.arange(nb_pad)
+        seg_ids = jnp.tile(lane_ids, W)
         # rev[w, j] = bucket_{nb-1-j} of window w
         rev_sel = jnp.where(lane_ids < nb - 1, nb - 1 - lane_ids, 0)
         rev_src = (jnp.arange(W)[:, None] * nb_pad
                    + rev_sel[None, :]).reshape(lanes)
         rev = _mask_identity(_gather_lanes(acc, rev_src),
                              jnp.tile(lane_ids < nb - 1, W))
-        d = 1
-        while d < nb - 1:
-            shifted = _shift_lanes_right(rev, d)
-            shifted = _mask_identity(shifted, jnp.tile(lane_ids >= d, W))
-            rev = g1_add_traced(rev, shifted, block)
-            d <<= 1
+
+        # segmented Hillis-Steele prefix scan over the first nb-1 lanes
+        def scan_body(t, a3):
+            d = jnp.int32(1) << t
+            cur = {"X": a3[0], "Y": a3[1], "Z": a3[2]}
+            sh = {k: jnp.roll(v, d, axis=1) for k, v in cur.items()}
+            sh = _mask_identity(sh, seg_ids >= d)
+            out = g1_add_traced(cur, sh, block)
+            return (out["X"], out["Y"], out["Z"])
+
+        steps = max(0, (nb - 2)).bit_length()      # d = 1..2^(steps-1) < nb-1
+        r3 = jax.lax.fori_loop(0, steps, scan_body,
+                               (rev["X"], rev["Y"], rev["Z"]))
+        rev = {"X": r3[0], "Y": r3[1], "Z": r3[2]}
         rev = _mask_identity(rev, jnp.tile(lane_ids < nb - 1, W))
-        size = nb_pad
-        while size > 1:
-            half = size // 2
-            src2 = (jnp.arange(lanes) + half) % lanes
-            right = _mask_identity(_gather_lanes(rev, src2),
-                                   jnp.tile(lane_ids < (size - half), W))
-            rev = g1_add_traced(rev, right, block)
-            size = half
+
+        # segmented tree-reduce of each window's nb_pad lanes into lane 0
+        def red_body(t, a3):
+            size = jnp.int32(nb_pad) >> t
+            half = size >> 1
+            cur = {"X": a3[0], "Y": a3[1], "Z": a3[2]}
+            sh = {k: jnp.roll(v, -half, axis=1) for k, v in cur.items()}
+            sh = _mask_identity(sh, seg_ids < (size - half))
+            out = g1_add_traced(cur, sh, block)
+            return (out["X"], out["Y"], out["Z"])
+
+        r3 = jax.lax.fori_loop(0, nb_pad.bit_length() - 1, red_body,
+                               (rev["X"], rev["Y"], rev["Z"]))
+        rev = {"X": r3[0], "Y": r3[1], "Z": r3[2]}
         heads = jnp.arange(W) * nb_pad
         return _gather_lanes(rev, heads)                           # [W] lanes
 
@@ -1064,14 +1094,14 @@ def msm_g1_lm(points_lm, scalar_limbs, n: int, c: int | None = None,
     like the reference's batched.rs, instead of the O(n log n) of
     method="scan" (Hillis-Steele prefix scan over all lanes)."""
     import os
-    from .msm import default_window
+    from .msm import device_window
     from ..curves import sw_fast as g1f
 
     if method is None:
         method = os.environ.get("SNARKVM_TPU_MSM_METHOD", "rounds")
     B = points_lm["X"].shape[1]
     if c is None:
-        c = default_window(n)
+        c = int(os.environ.get("SNARKVM_TPU_MSM_C", "0")) or device_window(n)
     windows = (num_bits + c - 1) // c
     nb = 1 << c
     nb_pad = max(LANE, ((nb + LANE - 1) // LANE) * LANE)

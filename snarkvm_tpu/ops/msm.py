@@ -58,6 +58,33 @@ def default_window(n: int) -> int:
     return max(4, min(c, 16))
 
 
+def device_window(n: int, num_bits: int = 253) -> int:
+    """Window width minimizing the TPU round-scheduled MSM's EC-add count.
+
+    Device cost model (ec_pallas.msm_g1_lm): per window the bucket
+    accumulation runs ~max_bucket_count rounds over nb_pad lanes and the
+    weighted bucket reduction costs ~2*log2(nb_pad) passes over nb_pad
+    lanes. The reference's ln(n)+2 (tuned for CPU batch-affine adds)
+    over-sizes windows here: the suffix scan then dominates. Expected max
+    bucket count for n balls in 2^c bins ~= mean + 4*sqrt(mean)."""
+    # measured on v5e: ~33 M complete adds/s in-graph, ~0.3 ms fixed cost
+    # per accumulation round (gather + loop step), in EC-add-equivalents
+    fixed_per_round = 10_000.0
+    best_c, best_cost = 4, float("inf")
+    for c in range(4, 17):
+        nb = 1 << c
+        nb_pad = max(128, nb)
+        w = (num_bits + c - 1) // c
+        mean = n / nb
+        rounds = mean + 4.0 * math.sqrt(max(mean, 1.0)) + 1.0
+        accum = rounds * (fixed_per_round + w * nb_pad)
+        suffix = w * nb_pad * 2 * max(c, 7)
+        cost = accum + suffix
+        if cost < best_cost:
+            best_c, best_cost = c, cost
+    return best_c
+
+
 def msm_g1(points, scalar_limbs, c: int | None = None, num_bits: int = 253):
     """points: Jacobian G1 dict batch [n]; scalar_limbs: canonical Fr limbs
     [n, 16] uint32. Returns the MSM result as a single Jacobian point dict

@@ -29,7 +29,7 @@ def t(fn, *a):
 
 def main():
     from snarkvm_tpu.ops import ec_pallas as ep
-    from snarkvm_tpu.ops.msm import default_window
+    from snarkvm_tpu.ops.msm import device_window as default_window
     from snarkvm_tpu.curves import sw_fast as g1f
     from snarkvm_tpu.params import bls12_377 as P
 
