@@ -896,9 +896,8 @@ def _extract_digits_lm(scalar_limbs, window, c):
 
 
 
-@functools.lru_cache(maxsize=None)
-def _msm_prep_fn(W: int, c: int, n: int, B: int, nb: int, nb_pad: int):
-    """Jitted window prep: digits for all windows, per-window sort, bucket
+def _msm_prep_raw(W: int, c: int, n: int, B: int, nb: int, nb_pad: int):
+    """Window prep body: digits for all windows, per-window sort, bucket
     run starts/counts, and the global round count."""
 
     def run(slimbs):
@@ -920,12 +919,16 @@ def _msm_prep_fn(W: int, c: int, n: int, B: int, nb: int, nb_pad: int):
         countsp = jnp.pad(counts, ((0, 0), (0, nb_pad - nb)))
         return order, startp, countsp, jnp.max(counts)
 
-    return jax.jit(run)
+    return run
 
 
 @functools.lru_cache(maxsize=None)
-def _msm_accum_fn(W: int, nb: int, nb_pad: int, B: int, c: int,
-                  num_bits: int = 253, block: int | None = None):
+def _msm_prep_fn(W: int, c: int, n: int, B: int, nb: int, nb_pad: int):
+    return jax.jit(_msm_prep_raw(W, c, n, B, nb, nb_pad))
+
+
+def _msm_accum_raw(W: int, nb: int, nb_pad: int, B: int, c: int,
+                   num_bits: int = 253, block: int | None = None):
     """Jitted bucket accumulation with REPLICATED buckets: window w only
     uses nb_w = 2^(window bit width) buckets; the remaining lanes of its
     segment hold R_w = nb_pad/nb_w round-robin replicas per bucket, so a
@@ -1012,12 +1015,17 @@ def _msm_accum_fn(W: int, nb: int, nb_pad: int, B: int, c: int,
         acc = _mask_identity(acc, jnp.asarray(regather_valid))
         return acc["X"], acc["Y"], acc["Z"]
 
-    return jax.jit(run)
+    return run
 
 
 @functools.lru_cache(maxsize=None)
-def _msm_suffix_fn(W: int, nb: int, nb_pad: int, block: int | None = None):
-    """Jitted segmented suffix-sum + tree-reduce: window totals at the
+def _msm_accum_fn(W: int, nb: int, nb_pad: int, B: int, c: int,
+                  num_bits: int = 253, block: int | None = None):
+    return jax.jit(_msm_accum_raw(W, nb, nb_pad, B, c, num_bits, block))
+
+
+def _msm_suffix_raw(W: int, nb: int, nb_pad: int, block: int | None = None):
+    """Segmented suffix-sum + tree-reduce body: window totals at the
     head lane of each segment, gathered to [W] lanes. Both phases run as
     fori loops with traced shifts (one Mosaic kernel instance each, not
     one per unrolled step — each extra pallas_call instance costs a slow
@@ -1066,6 +1074,31 @@ def _msm_suffix_fn(W: int, nb: int, nb_pad: int, block: int | None = None):
         heads = jnp.arange(W) * nb_pad
         return _gather_lanes(rev, heads)                           # [W] lanes
 
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _msm_suffix_fn(W: int, nb: int, nb_pad: int, block: int | None = None):
+    return jax.jit(_msm_suffix_raw(W, nb, nb_pad, block))
+
+
+@functools.lru_cache(maxsize=None)
+def _msm_full_fn(W: int, c: int, n: int, B: int, nb: int, nb_pad: int,
+                 num_bits: int = 253, block: int | None = None):
+    """The whole device MSM pipeline (prep -> bucket accumulation ->
+    weighted reduction -> LANE-padded window sums) as ONE jit: one tunnel
+    dispatch, one XLA compile, and XLA fuses the inter-stage glue."""
+    prep = _msm_prep_raw(W, c, n, B, nb, nb_pad)
+    accum = _msm_accum_raw(W, nb, nb_pad, B, c, num_bits, block)
+    suffix = _msm_suffix_raw(W, nb, nb_pad, block)
+
+    def run(pX, pY, pZ, slimbs):
+        order, startp, countsp, rounds = prep(slimbs)
+        acc = accum(pX, pY, pZ, order, startp, countsp, rounds)
+        sums = suffix(*acc)                                # [W] lanes
+        sums = _pad_lanes(sums, LANE)
+        return sums["X"], sums["Y"], sums["Z"]
+
     return jax.jit(run)
 
 
@@ -1108,35 +1141,33 @@ def msm_g1_lm(points_lm, scalar_limbs, n: int, c: int | None = None,
 
     def window_sums_rounds(points, slimbs):
         """ALL windows at once: lanes = windows x nb_pad bucket segments,
-        with the whole pipeline fused into THREE jitted dispatches (prep,
-        bucket-accumulation fori_loop with the Pallas add inlined, and the
-        segmented suffix/reduce) — the per-call tunnel latency otherwise
-        dominates the eager driver. On CPU the eager per-round loop keeps
-        XLA compiles small (dispatch overhead is irrelevant locally)."""
+        with the whole pipeline (prep sort, bucket-accumulation fori with
+        the Pallas add inlined, segmented suffix/reduce) fused into ONE
+        jitted dispatch — per-call tunnel latency otherwise dominates. On
+        CPU the eager per-round loop keeps XLA compiles small (dispatch
+        overhead is irrelevant locally)."""
+        if jax.default_backend() != "cpu":
+            full = _msm_full_fn(windows, c, n, B, nb, nb_pad, num_bits)
+            sX, sY, sZ = full(points["X"], points["Y"], points["Z"], slimbs)
+            return {"X": sX, "Y": sY, "Z": sZ}
         prep = _msm_prep_fn(windows, c, n, B, nb, nb_pad)
         order, startp, countsp, rounds = prep(slimbs)
-        if jax.default_backend() == "cpu":
-            rounds = int(np.asarray(rounds))
-            lanes = windows * nb_pad
-            acc = _identity_lm(lanes)
-            for t in range(rounds):
-                valid = (countsp > t).reshape(lanes)
-                sel = jnp.clip(startp + t, 0, B - 1)
-                src = jnp.take_along_axis(order, sel, axis=1).reshape(lanes)
-                gathered = _mask_identity(_gather_lanes(points, src), valid)
-                acc = g1_add_lm(acc, gathered)
-            heads = []
-            for w in range(windows):
-                seg = {k: v[:, w * nb_pad : (w + 1) * nb_pad]
-                       for k, v in acc.items()}
-                heads.append(_suffix_window_total(seg, nb, nb_pad))
-            return {k: jnp.concatenate([h[k] for h in heads], axis=1)
-                    for k in ("X", "Y", "Z")}
-        accum = _msm_accum_fn(windows, nb, nb_pad, B, c, num_bits)
-        acc = accum(points["X"], points["Y"], points["Z"],
-                    order, startp, countsp, rounds)
-        suffix = _msm_suffix_fn(windows, nb, nb_pad)
-        return suffix(*acc)
+        rounds = int(np.asarray(rounds))
+        lanes = windows * nb_pad
+        acc = _identity_lm(lanes)
+        for t in range(rounds):
+            valid = (countsp > t).reshape(lanes)
+            sel = jnp.clip(startp + t, 0, B - 1)
+            src = jnp.take_along_axis(order, sel, axis=1).reshape(lanes)
+            gathered = _mask_identity(_gather_lanes(points, src), valid)
+            acc = g1_add_lm(acc, gathered)
+        heads = []
+        for w in range(windows):
+            seg = {k: v[:, w * nb_pad : (w + 1) * nb_pad]
+                   for k, v in acc.items()}
+            heads.append(_suffix_window_total(seg, nb, nb_pad))
+        return {k: jnp.concatenate([h[k] for h in heads], axis=1)
+                for k in ("X", "Y", "Z")}
 
     def window_sums_fn(points, slimbs):
         # eager driver: every EC op below is a fixed-width jitted kernel
