@@ -593,3 +593,69 @@ def check_combinations(srs, linear_combinations, labeled_comms, query_set, evalu
             acc = g1.jac_add(acc, g1.mul_int(g1.from_affine(c.commitment), coeff))
         lc_comms.append(LabeledCommitment(lc.label, g1.to_affine(acc), degree_bound))
     return batch_check(srs, lc_comms, query_set, evaluations, proofs, sponge)
+
+
+# ---------------------------------------------------------------------------
+# Committer keys (SonicKZG10::trim, sonic_pc/mod.rs:62; CommitterUnionKey,
+# sonic_pc/data_structures.rs). In this framework the SRS is a live object
+# and `commit` enforces degree bounds directly, so the keys are validating
+# VIEWS over the SRS rather than copied power tables — the union key is how
+# multi-circuit batches (varuna.rs:377-382) share one opening pass.
+# ---------------------------------------------------------------------------
+
+class CommitterKey:
+    """A trimmed view: commits are only allowed up to supported_degree and
+    only at the registered degree bounds."""
+
+    def __init__(self, srs, supported_degree: int, degree_bounds=(),
+                 supported_lagrange_sizes=()):
+        if supported_degree > srs.max_degree:
+            raise ValueError("trim beyond SRS max degree")
+        self.srs = srs
+        self.supported_degree = supported_degree
+        self.degree_bounds = frozenset(int(b) for b in degree_bounds)
+        self.lagrange_sizes = frozenset(int(s) for s in supported_lagrange_sizes)
+
+    def commit(self, poly, degree_bound=None, hiding_bound=None, rng=None):
+        if poly.degree > self.supported_degree:
+            raise ValueError(
+                f"degree {poly.degree} > supported {self.supported_degree}")
+        if degree_bound is not None and degree_bound not in self.degree_bounds:
+            raise ValueError(f"degree bound {degree_bound} not in trim set")
+        return commit(self.srs, poly, degree_bound=degree_bound,
+                      hiding_bound=hiding_bound, rng=rng)
+
+    def commit_lagrange(self, evals, hiding_bound=None, rng=None):
+        if self.lagrange_sizes and len(evals) not in self.lagrange_sizes:
+            raise ValueError(f"lagrange size {len(evals)} not in trim set")
+        return commit_lagrange(self.srs, evals, hiding_bound=hiding_bound,
+                               rng=rng)
+
+    def union(self, *others) -> "CommitterUnionKey":
+        return CommitterUnionKey([self, *others])
+
+
+def trim(srs, supported_degree: int, degree_bounds=(),
+         supported_lagrange_sizes=()) -> CommitterKey:
+    """SonicKZG10::trim (sonic_pc/mod.rs:62)."""
+    return CommitterKey(srs, supported_degree, degree_bounds,
+                        supported_lagrange_sizes)
+
+
+class CommitterUnionKey(CommitterKey):
+    """Union of per-circuit committer keys: max supported degree, union of
+    degree bounds/lagrange sizes (sonic_pc CommitterUnionKey)."""
+
+    def __init__(self, keys):
+        keys = list(keys)
+        if not keys:
+            raise ValueError("empty union")
+        srs = keys[0].srs
+        if any(k.srs is not srs for k in keys):
+            raise ValueError("union across different SRS objects")
+        super().__init__(
+            srs,
+            max(k.supported_degree for k in keys),
+            frozenset().union(*(k.degree_bounds for k in keys)),
+            frozenset().union(*(k.lagrange_sizes for k in keys)),
+        )
