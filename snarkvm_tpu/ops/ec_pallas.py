@@ -588,9 +588,9 @@ def _kernel_flavor() -> str:
 
 def _pick_block(B: int) -> int:
     """Largest lane block that divides B. Grid-step dispatch overhead
-    dominates below ~512 lanes (measured: block 128 -> 9.4 M adds/s,
-    block 1024 -> 102.5 M adds/s on v5e); 2048 regresses (VMEM spills)."""
-    for blk in (1024, 512, 256, 128):
+    dominates below ~512 lanes (in-graph marginal rates on v5e for
+    rcb_cios: block 512 -> 39.5, 1024 -> 60.2, 2048 -> 64.1 M adds/s)."""
+    for blk in (2048, 1024, 512, 256, 128):
         if B % blk == 0:
             return blk
     return B
@@ -1024,6 +1024,170 @@ def _msm_accum_fn(W: int, nb: int, nb_pad: int, B: int, c: int,
     return jax.jit(_msm_accum_raw(W, nb, nb_pad, B, c, num_bits, block))
 
 
+def _replica_maps(W: int, c: int, nb: int, nb_pad: int, num_bits: int):
+    """Static per-lane replica maps shared by the accumulation schedules."""
+    lanes = W * nb_pad
+    b_of = np.zeros(lanes, np.int32)
+    r_of = np.zeros(lanes, np.int32)
+    R_of = np.zeros(lanes, np.int32)
+    regather = np.zeros(lanes, np.int32)
+    nb_ws = []
+    for w in range(W):
+        width = min(c, num_bits - c * w)
+        nb_w = min(nb, 1 << width)
+        nb_ws.append(nb_w)
+        R_w = nb_pad // nb_w
+        base = w * nb_pad
+        for i in range(nb_pad):
+            b_of[base + i] = i // R_w
+            r_of[base + i] = i % R_w
+            R_of[base + i] = R_w
+        for b in range(nb_pad):
+            regather[base + b] = base + (b * R_w if b < nb_w else 0)
+    flat_wb = (np.arange(lanes) // nb_pad) * nb + b_of
+    regather_valid = np.concatenate(
+        [np.arange(nb_pad) < nb_ws[w] for w in range(W)])
+    return b_of, r_of, R_of, regather, regather_valid, flat_wb, nb_ws
+
+
+def _msm_dense_raw(W: int, c: int, n: int, B: int, nb: int, nb_pad: int,
+                   num_bits: int = 253, block: int | None = None):
+    """Gather-free accumulation: the DENSE DESCENDING-COUNT schedule.
+
+    After the per-window digit sort, each point gets a (virtual bucket,
+    rank) slot — virtual buckets are the round-robin replicas of
+    _msm_accum_raw. Virtual buckets are then RELABELED in descending
+    count order, and points are re-sorted by (rank, label). In that
+    order, round t's points occupy ONE CONTIGUOUS SLICE per window
+    [off_t, off_t + m_t) whose position within the slice IS the bucket's
+    accumulator lane — so the accumulation loop does a block dynamic-
+    slice per window (sequential DMA) instead of a per-round lane gather
+    (the gather cost measured equal to the EC add itself). Points are
+    materialized once in schedule order (one big gather), all windows at
+    once."""
+    lanes = W * nb_pad
+    Bp = B + nb_pad                      # slice-safe tail padding
+    b_of, r_of, R_of, regather, regather_valid, flat_wb, nb_ws = \
+        _replica_maps(W, c, nb, nb_pad, num_bits)
+    Rw_arr = np.asarray([nb_pad // nb_ws[w] for w in range(W)],
+                        np.int32)[:, None]                    # [W, 1]
+
+    def run(pX, pY, pZ, slimbs):
+        points = {"X": pX, "Y": pY, "Z": pZ}
+        bucket_ids = jnp.arange(nb, dtype=jnp.int32)
+        digs = jnp.stack([_extract_digits_lm(slimbs, w, c)
+                          for w in range(W)])                 # [W, n]
+        digs = jnp.where(digs == 0, nb, digs)
+        digs = jnp.concatenate(
+            [digs, jnp.full((W, B - n), nb, jnp.int32)], axis=1)   # [W, B]
+        order = jnp.argsort(digs, axis=1)
+        sorted_digits = jnp.take_along_axis(digs, order, axis=1)
+        start = jax.vmap(lambda sd: jnp.searchsorted(
+            sd, bucket_ids, side="left"))(sorted_digits)      # [W, nb]
+        end = jax.vmap(lambda sd: jnp.searchsorted(
+            sd, bucket_ids, side="right"))(sorted_digits)
+        counts = end - start                                  # [W, nb]
+
+        # per sorted position: bucket, rank within bucket, replica slot
+        trash = sorted_digits >= nb
+        d_safe = jnp.minimum(sorted_digits, nb - 1)
+        start_of_pos = jnp.take_along_axis(start, d_safe, axis=1)
+        k = jnp.arange(B)[None, :] - start_of_pos             # [W, B] rank
+        vb = jnp.minimum(d_safe * Rw_arr + (k % Rw_arr),
+                         nb_pad - 1)                          # virtual bucket
+        vk = jnp.where(trash, B, k // Rw_arr)                 # virtual rank
+
+        # per-virtual-bucket counts (= per-lane round counts)
+        count_l = jnp.take(counts.reshape(W * nb), jnp.asarray(flat_wb))
+        counts_v = (jnp.maximum(count_l - jnp.asarray(r_of), 0)
+                    + jnp.asarray(R_of) - 1) // jnp.asarray(R_of)
+        counts_v = counts_v.reshape(W, nb_pad)                # [W, nb_pad]
+
+        # relabel virtual buckets in descending-count order
+        ordv = jnp.argsort(-counts_v, axis=1)                 # rank j -> vb
+        inv_ordv = jnp.argsort(ordv, axis=1)                  # vb -> rank j
+        newlabel = jnp.take_along_axis(inv_ordv, vb, axis=1)  # [W, B]
+
+        # schedule order: sort by (virtual rank, label); carry the
+        # original point index as payload (two int32 keys — a fused
+        # vk*nb_pad+label key can overflow int32 at large B)
+        _, _, sched_idx = jax.lax.sort(
+            (vk, newlabel, order), dimension=1, num_keys=2)
+        idx2 = jnp.concatenate(
+            [sched_idx, jnp.zeros((W, nb_pad), jnp.int32)], axis=1)  # [W, Bp]
+        sorted_pts = {
+            kk: jnp.take(v, idx2.reshape(W * Bp), axis=1).reshape(L, W, Bp)
+            for kk, v in points.items()}
+
+        rounds = jnp.max(counts_v)
+        ident = _identity_lm(lanes)
+        lane_in_seg = jnp.arange(nb_pad)[None, :]             # [1, nb_pad]
+
+        def body(t, acc3):
+            off = jnp.sum(jnp.minimum(counts_v, t), axis=1)   # [W]
+            m = jnp.sum(counts_v > t, axis=1)                 # [W]
+            chunk = {
+                kk: jax.vmap(
+                    lambda s, o: jax.lax.dynamic_slice(
+                        s, (0, o), (L, nb_pad)),
+                    in_axes=(1, 0), out_axes=1)(v, off).reshape(L, lanes)
+                for kk, v in sorted_pts.items()}
+            valid = (lane_in_seg < m[:, None]).reshape(lanes)
+            gathered = _mask_identity(chunk, valid)
+            cur = {"X": acc3[0], "Y": acc3[1], "Z": acc3[2]}
+            out = g1_add_traced(cur, gathered, block)
+            return (out["X"], out["Y"], out["Z"])
+
+        acc3 = jax.lax.fori_loop(
+            0, rounds, body, (ident["X"], ident["Y"], ident["Z"]))
+        acc = {"X": acc3[0], "Y": acc3[1], "Z": acc3[2]}
+
+        # un-permute: accumulator lane (w, j) holds virtual bucket
+        # ordv[w, j]; restore (w, vb) layout with one traced gather
+        unperm = (jnp.arange(W)[:, None] * nb_pad + inv_ordv).reshape(lanes)
+        acc = _gather_lanes(acc, unperm)
+
+        # replica tree-reduce (same as _msm_accum_raw)
+        max_R = int(np.max(R_of)) if lanes else 1
+        if max_R > 1:
+            R_ofj = jnp.asarray(R_of)
+            r_ofj = jnp.asarray(r_of)
+
+            def fold_body(t, a3):
+                s = jnp.int32(1) << t
+                recv = (R_ofj > s) & ((r_ofj & (2 * s - 1)) == 0)
+                cur = {"X": a3[0], "Y": a3[1], "Z": a3[2]}
+                right = {kk: jnp.roll(v, -s, axis=1) for kk, v in cur.items()}
+                right = _mask_identity(right, recv)
+                out = g1_add_traced(cur, right, block)
+                return (out["X"], out["Y"], out["Z"])
+
+            a3 = jax.lax.fori_loop(0, max_R.bit_length() - 1, fold_body,
+                                   (acc["X"], acc["Y"], acc["Z"]))
+            acc = {"X": a3[0], "Y": a3[1], "Z": a3[2]}
+        acc = _gather_lanes(acc, jnp.asarray(regather))
+        acc = _mask_identity(acc, jnp.asarray(regather_valid))
+        return acc["X"], acc["Y"], acc["Z"]
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _msm_full_dense_fn(W: int, c: int, n: int, B: int, nb: int, nb_pad: int,
+                       num_bits: int = 253, block: int | None = None):
+    """Dense-schedule MSM pipeline as ONE jit (prep+accum+suffix)."""
+    dense = _msm_dense_raw(W, c, n, B, nb, nb_pad, num_bits, block)
+    suffix = _msm_suffix_raw(W, nb, nb_pad, block)
+
+    def run(pX, pY, pZ, slimbs):
+        acc = dense(pX, pY, pZ, slimbs)
+        sums = suffix(*acc)
+        sums = _pad_lanes(sums, LANE)
+        return sums["X"], sums["Y"], sums["Z"]
+
+    return jax.jit(run)
+
+
 def _msm_suffix_raw(W: int, nb: int, nb_pad: int, block: int | None = None):
     """Segmented suffix-sum + tree-reduce body: window totals at the
     head lane of each segment, gathered to [W] lanes. Both phases run as
@@ -1131,7 +1295,7 @@ def msm_g1_lm(points_lm, scalar_limbs, n: int, c: int | None = None,
     from ..curves import sw_fast as g1f
 
     if method is None:
-        method = os.environ.get("SNARKVM_TPU_MSM_METHOD", "rounds")
+        method = os.environ.get("SNARKVM_TPU_MSM_METHOD", "dense")
     B = points_lm["X"].shape[1]
     if c is None:
         c = int(os.environ.get("SNARKVM_TPU_MSM_C", "0")) or device_window(n)
@@ -1146,8 +1310,11 @@ def msm_g1_lm(points_lm, scalar_limbs, n: int, c: int | None = None,
         jitted dispatch — per-call tunnel latency otherwise dominates. On
         CPU the eager per-round loop keeps XLA compiles small (dispatch
         overhead is irrelevant locally)."""
-        if jax.default_backend() != "cpu":
-            full = _msm_full_fn(windows, c, n, B, nb, nb_pad, num_bits)
+        if method == "dense" or jax.default_backend() != "cpu":
+            # "dense" = gather-free descending-count schedule (default);
+            # "gather" = per-round lane-gather schedule (kept for A/B)
+            mk = _msm_full_fn if method == "gather" else _msm_full_dense_fn
+            full = mk(windows, c, n, B, nb, nb_pad, num_bits)
             sX, sY, sZ = full(points["X"], points["Y"], points["Z"], slimbs)
             return {"X": sX, "Y": sY, "Z": sZ}
         prep = _msm_prep_fn(windows, c, n, B, nb, nb_pad)
@@ -1197,7 +1364,7 @@ def msm_g1_lm(points_lm, scalar_limbs, n: int, c: int | None = None,
         return {k: jnp.concatenate([o[k] for o in outs], axis=1)
                 for k in ("X", "Y", "Z")}
 
-    window_fn = window_sums_rounds if method == "rounds" else window_sums_fn
+    window_fn = window_sums_fn if method == "scan" else window_sums_rounds
     sums = _pad_lanes(window_fn(points_lm, scalar_limbs), LANE)
     jacs = g1_lm_to_jac_ints(sums)[:windows]
     total = None
