@@ -1066,7 +1066,6 @@ def _msm_dense_raw(W: int, c: int, n: int, B: int, nb: int, nb_pad: int,
     materialized once in schedule order (one big gather), all windows at
     once."""
     lanes = W * nb_pad
-    Bp = B + nb_pad                      # slice-safe tail padding
     b_of, r_of, R_of, regather, regather_valid, flat_wb, nb_ws = \
         _replica_maps(W, c, nb, nb_pad, num_bits)
     Rw_arr = np.asarray([nb_pad // nb_ws[w] for w in range(W)],
@@ -1097,43 +1096,42 @@ def _msm_dense_raw(W: int, c: int, n: int, B: int, nb: int, nb_pad: int,
                          nb_pad - 1)                          # virtual bucket
         vk = jnp.where(trash, B, k // Rw_arr)                 # virtual rank
 
-        # per-virtual-bucket counts (= per-lane round counts)
+        # per-virtual-bucket counts (= per-lane round counts), flattened
+        # over ALL windows: the schedule is GLOBAL so that each round is
+        # one scalar-offset dynamic slice (sequential DMA), not a per-
+        # window vmapped slice
         count_l = jnp.take(counts.reshape(W * nb), jnp.asarray(flat_wb))
         counts_v = (jnp.maximum(count_l - jnp.asarray(r_of), 0)
-                    + jnp.asarray(R_of) - 1) // jnp.asarray(R_of)
-        counts_v = counts_v.reshape(W, nb_pad)                # [W, nb_pad]
+                    + jnp.asarray(R_of) - 1) // jnp.asarray(R_of)  # [lanes]
 
-        # relabel virtual buckets in descending-count order
-        ordv = jnp.argsort(-counts_v, axis=1)                 # rank j -> vb
-        inv_ordv = jnp.argsort(ordv, axis=1)                  # vb -> rank j
-        newlabel = jnp.take_along_axis(inv_ordv, vb, axis=1)  # [W, B]
+        # relabel ALL virtual buckets in descending-count order; the
+        # accumulator lane of a virtual bucket is its global desc rank
+        ordv = jnp.argsort(-counts_v)                         # rank -> vb
+        inv_ordv = jnp.argsort(ordv)                          # vb -> rank
+        gvb = (jnp.arange(W)[:, None] * nb_pad + vb)          # [W, B]
+        glabel = jnp.take(inv_ordv, gvb)                      # [W, B]
 
-        # schedule order: sort by (virtual rank, label); carry the
-        # original point index as payload (two int32 keys — a fused
-        # vk*nb_pad+label key can overflow int32 at large B)
+        # schedule order: sort the FLAT point list by (virtual rank,
+        # global label); carry the original point index as payload (two
+        # int32 keys — a fused key can overflow int32 at large B)
         _, _, sched_idx = jax.lax.sort(
-            (vk, newlabel, order), dimension=1, num_keys=2)
-        idx2 = jnp.concatenate(
-            [sched_idx, jnp.zeros((W, nb_pad), jnp.int32)], axis=1)  # [W, Bp]
-        sorted_pts = {
-            kk: jnp.take(v, idx2.reshape(W * Bp), axis=1).reshape(L, W, Bp)
-            for kk, v in points.items()}
+            (vk.reshape(W * B), glabel.reshape(W * B), order.reshape(W * B)),
+            dimension=0, num_keys=2)
+        idx2 = jnp.concatenate([sched_idx, jnp.zeros(lanes, jnp.int32)])
+        sorted_pts = {kk: jnp.take(v, idx2, axis=1)           # [L, W*B+lanes]
+                      for kk, v in points.items()}
 
         rounds = jnp.max(counts_v)
         ident = _identity_lm(lanes)
-        lane_in_seg = jnp.arange(nb_pad)[None, :]             # [1, nb_pad]
+        lane_ids = jnp.arange(lanes)
 
         def body(t, acc3):
-            off = jnp.sum(jnp.minimum(counts_v, t), axis=1)   # [W]
-            m = jnp.sum(counts_v > t, axis=1)                 # [W]
+            off = jnp.sum(jnp.minimum(counts_v, t))           # scalar
+            m = jnp.sum(counts_v > t)                         # scalar
             chunk = {
-                kk: jax.vmap(
-                    lambda s, o: jax.lax.dynamic_slice(
-                        s, (0, o), (L, nb_pad)),
-                    in_axes=(1, 0), out_axes=1)(v, off).reshape(L, lanes)
+                kk: jax.lax.dynamic_slice(v, (0, off), (L, lanes))
                 for kk, v in sorted_pts.items()}
-            valid = (lane_in_seg < m[:, None]).reshape(lanes)
-            gathered = _mask_identity(chunk, valid)
+            gathered = _mask_identity(chunk, lane_ids < m)
             cur = {"X": acc3[0], "Y": acc3[1], "Z": acc3[2]}
             out = g1_add_traced(cur, gathered, block)
             return (out["X"], out["Y"], out["Z"])
@@ -1142,10 +1140,9 @@ def _msm_dense_raw(W: int, c: int, n: int, B: int, nb: int, nb_pad: int,
             0, rounds, body, (ident["X"], ident["Y"], ident["Z"]))
         acc = {"X": acc3[0], "Y": acc3[1], "Z": acc3[2]}
 
-        # un-permute: accumulator lane (w, j) holds virtual bucket
-        # ordv[w, j]; restore (w, vb) layout with one traced gather
-        unperm = (jnp.arange(W)[:, None] * nb_pad + inv_ordv).reshape(lanes)
-        acc = _gather_lanes(acc, unperm)
+        # un-permute: accumulator lane j holds virtual bucket ordv[j];
+        # restore (w, vb) lane layout with one traced gather
+        acc = _gather_lanes(acc, inv_ordv)
 
         # replica tree-reduce (same as _msm_accum_raw)
         max_R = int(np.max(R_of)) if lanes else 1

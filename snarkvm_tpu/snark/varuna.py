@@ -578,15 +578,32 @@ def prove_batch(srs: kzg.UniversalSRS, keys_to_constraints, rng, mode=VarunaNonH
     for st, comb in zip(circuit_states, batch_combiners):
         circuit = st["circuit"]
         cd, vd, idd = circuit.constraint_domain, circuit.variable_domain, circuit.input_domain
-        l_at_alpha = lagrange_coefficients(cd, alpha)
-        transposes = {m: _transpose(getattr(circuit, m), vd, idd) for m in "abc"}
         m_at_alpha_polys = {}
         dev = _use_device_poly(vd)
-        for m in "abc":
-            evals = []
-            for col in transposes[m]:
-                evals.append(sum(val * l_at_alpha[ri] for val, ri in col) % R)
-            m_at_alpha_polys[m] = _interp(evals, dev)
+        v_alpha = evaluate_vanishing(cd, alpha)
+        if dev and _use_device_poly(cd) and v_alpha != 0:
+            # device sparse matvec (third.rs rayon loop -> limb planes)
+            from . import dround
+            from .dpoly import DPoly
+            root = domain_params(cd)[0]
+            l_plane = dround.lagrange_coefficients_device(
+                cd, alpha, root, v_alpha)
+            for m in "abc":
+                vals_p, rows_i, cols_i = dround.matrix_transpose_planes(
+                    circuit, m, reindex_by_subdomain)
+                evp = dround.matrix_at_alpha_evals_jit(
+                    vals_p, rows_i, cols_i, l_plane, vd)
+                m_at_alpha_polys[m] = DPoly.from_evaluations(evp, vd)
+        else:
+            l_at_alpha = lagrange_coefficients(cd, alpha)
+            transposes = {m: _transpose(getattr(circuit, m), vd, idd)
+                          for m in "abc"}
+            for m in "abc":
+                evals = []
+                for col in transposes[m]:
+                    evals.append(
+                        sum(val * l_at_alpha[ri] for val, ri in col) % R)
+                m_at_alpha_polys[m] = _interp(evals, dev)
         circuit_sums = []
         for j, ic in enumerate(comb["instance"]):
             w_poly = all_polys[witness_label(circuit.id, "w", j)][0].poly
@@ -634,22 +651,33 @@ def prove_batch(srs: kzg.UniversalSRS, keys_to_constraints, rng, mode=VarunaNonH
             nz = circuit.non_zero_domain(m)
             ev = circuit.arith[m]
             dev = _use_device_poly(nz)
-            a_poly = _interp([v_rc * v % R for v in ev.row_col_val], dev)
-            ab = alpha * beta % R
-            rc_size = cd * vd % R
-            b_evals = [rc_size * ((ab - beta * r - alpha * c + rc) % R) % R
-                       for r, c, rc in zip(ev.row, ev.col, ev.row_col)]
-            b_poly = _interp(b_evals, dev)
-            const = v_rc * pow(cd, -1, R) % R * pow(vd, -1, R) % R
-            denoms = [(alpha - r) * (beta - c) % R for r, c in zip(ev.row, ev.col)]
-            invs = batch_inverse(denoms)
-            f_evals = [const * iv % R * v % R for iv, v in zip(invs, ev.row_col_val)]
-            f = _interp(f_evals, dev)
+            if dev:
+                # device per-nonzero arithmetic (fourth.rs rayon loop)
+                from . import dround
+                from .dpoly import DPoly, _mont_to_ints
+                a_e, b_e, f_e = dround.fourth_round_evals(
+                    dround.arith_planes(ev), alpha, beta, v_rc, cd, vd, nz)
+                a_poly = DPoly.from_evaluations(a_e, nz)
+                b_poly = DPoly.from_evaluations(b_e, nz)
+                f = DPoly.from_evaluations(f_e, nz)
+                sums_c[m] = _mont_to_ints(f.a[:1])[0]
+            else:
+                a_poly = _interp([v_rc * v % R for v in ev.row_col_val], dev)
+                ab = alpha * beta % R
+                rc_size = cd * vd % R
+                b_evals = [rc_size * ((ab - beta * r - alpha * c + rc) % R) % R
+                           for r, c, rc in zip(ev.row, ev.col, ev.row_col)]
+                b_poly = _interp(b_evals, dev)
+                const = v_rc * pow(cd, -1, R) % R * pow(vd, -1, R) % R
+                denoms = [(alpha - r) * (beta - c) % R for r, c in zip(ev.row, ev.col)]
+                invs = batch_inverse(denoms)
+                f_evals = [const * iv % R * v % R for iv, v in zip(invs, ev.row_col_val)]
+                f = _interp(f_evals, dev)
+                sums_c[m] = f.c[0] if f.c else 0   # .c syncs only f's coeffs
             g_m = f.shift_coeffs(1)
             h = a_poly - b_poly * f
             lhs, _ = apply_randomized_selector(h, 1, max_nz, nz, False)
             circuit_lhs.append(lhs)
-            sums_c[m] = f.c[0] if f.c else 0   # .c syncs only f's coeffs
             label = witness_label(circuit.id, f"g_{m}", 0)
             lp = kzg.LabeledPoly(label, g_m, nz - 2, None)
             c_comm = commit_round([lp], False)[0]
