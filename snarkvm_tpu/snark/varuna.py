@@ -489,9 +489,19 @@ def prove_batch(srs: kzg.UniversalSRS, keys_to_constraints, rng, mode=VarunaNonH
             z = cs.full_assignment()
             st["padded_public"].append(cs.public[:])
             st["private"].append(cs.private[:])
-            st["z_a"].append(_matrix_vector(circuit.a, z))
-            st["z_b"].append(_matrix_vector(circuit.b, z))
-            st["z_c"].append(_matrix_vector(circuit.c, z))
+            if _use_device_poly(circuit.constraint_domain):
+                # z_M = M z as a device segmented limb sum (first.rs)
+                from . import dround
+                from .dpoly import _ints_to_mont
+                zp = _ints_to_mont(z)
+                nc = cs.num_constraints
+                for m in "abc":
+                    st[f"z_{m}"].append(dround.matvec_device(
+                        dround.matvec_planes(circuit, m), zp, nc))
+            else:
+                st["z_a"].append(_matrix_vector(circuit.a, z))
+                st["z_b"].append(_matrix_vector(circuit.b, z))
+                st["z_c"].append(_matrix_vector(circuit.c, z))
             idd = circuit.input_domain
             st["x_polys"].append(interpolate(cs.public + [0] * (idd - len(cs.public))))
         circuit_states.append(st)
@@ -526,13 +536,18 @@ def prove_batch(srs: kzg.UniversalSRS, keys_to_constraints, rng, mode=VarunaNonH
         vd, idd = circuit.variable_domain, circuit.input_domain
         ratio = vd // idd
         for j in range(st["batch_size"]):
-            w_ext = st["private"][j] + [0] * ((vd - idd) - len(st["private"][j]))
-            x_evals = ntt(st["x_polys"][j].c + [0] * (vd - len(st["x_polys"][j].c)))
-            w_evals = [0] * vd
-            for k in range(vd):
-                if k % ratio != 0:
-                    w_evals[k] = (w_ext[k - (k // ratio) - 1] - x_evals[k]) % R
-            w_poly = _interp(w_evals, _use_device_poly(vd))
+            if _use_device_poly(vd):
+                from . import dround
+                w_poly = dround.witness_poly_device(
+                    st["private"][j], st["x_polys"][j].c, vd, idd)
+            else:
+                w_ext = st["private"][j] + [0] * ((vd - idd) - len(st["private"][j]))
+                x_evals = ntt(st["x_polys"][j].c + [0] * (vd - len(st["x_polys"][j].c)))
+                w_evals = [0] * vd
+                for k in range(vd):
+                    if k % ratio != 0:
+                        w_evals[k] = (w_ext[k - (k // ratio) - 1] - x_evals[k]) % R
+                w_poly = _interp(w_evals, False)
             w_poly, rem = w_poly.divide_by_vanishing(idd)
             assert rem.is_zero()
             first_polys.append(kzg.LabeledPoly(witness_label(circuit.id, "w", j), w_poly,
@@ -557,9 +572,15 @@ def prove_batch(srs: kzg.UniversalSRS, keys_to_constraints, rng, mode=VarunaNonH
         cd = circuit.constraint_domain
         dev = _use_device_poly(cd)
         for j, ic in enumerate(comb["instance"]):
-            za = _interp(st["z_a"][j] + [0] * (cd - len(st["z_a"][j])), dev)
-            zb = _interp(st["z_b"][j] + [0] * (cd - len(st["z_b"][j])), dev)
-            zc = _interp(st["z_c"][j] + [0] * (cd - len(st["z_c"][j])), dev)
+            if dev:
+                from . import dround
+                za = dround.evals_dpoly(st["z_a"][j], cd)
+                zb = dround.evals_dpoly(st["z_b"][j], cd)
+                zc = dround.evals_dpoly(st["z_c"][j], cd)
+            else:
+                za = _interp(st["z_a"][j] + [0] * (cd - len(st["z_a"][j])), dev)
+                zb = _interp(st["z_b"][j] + [0] * (cd - len(st["z_b"][j])), dev)
+                zc = _interp(st["z_c"][j] + [0] * (cd - len(st["z_c"][j])), dev)
             rowcheck = za * zb - zc
             lhs = rowcheck.scale(ic)
             h_0_i, _ = apply_randomized_selector(lhs, comb["circuit"], max_cd, cd, False)
