@@ -477,13 +477,20 @@ def prove_batch(srs: kzg.UniversalSRS, keys_to_constraints, rng, mode=VarunaNonH
             "x_polys": [],
         }
         for inst in instances:
-            cs = r1cs.ConstraintSystem()
-            inst.generate_constraints(cs)
-            if mode.ZK:
-                a_r, b_r = rng.randrange(R), rng.randrange(R)
-                cs.add_randomizing_variables([a_r, b_r, a_r * b_r % R])
-            cs.pad_input_to_power_of_two()
-            a, b, c = cs.to_matrices()
+            if isinstance(inst, r1cs.ConstraintSystem):
+                # pre-synthesized assignment (the reference's prove_batch
+                # signature takes assignments, varuna.rs:336) — the caller
+                # keeps ownership; ZK randomization would mutate it, so ZK
+                # proves still synthesize fresh instances
+                assert not mode.ZK, "pass a ConstraintSynthesizer for ZK proves"
+                cs = inst
+            else:
+                cs = r1cs.ConstraintSystem()
+                inst.generate_constraints(cs)
+                if mode.ZK:
+                    a_r, b_r = rng.randrange(R), rng.randrange(R)
+                    cs.add_randomizing_variables([a_r, b_r, a_r * b_r % R])
+                cs.pad_input_to_power_of_two()
             assert cs.num_constraints == circuit.info.num_constraints, "instance/index mismatch"
             assert cs.num_public + cs.num_private == circuit.info.num_variables
             z = cs.full_assignment()
