@@ -497,14 +497,15 @@ def prove_batch(srs: kzg.UniversalSRS, keys_to_constraints, rng, mode=VarunaNonH
             st["padded_public"].append(cs.public[:])
             st["private"].append(cs.private[:])
             if _use_device_poly(circuit.constraint_domain):
-                # z_M = M z as a device segmented limb sum (first.rs)
+                # z_A/z_B/z_C in one device dispatch (first.rs matvecs)
                 from . import dround
                 from .dpoly import _ints_to_mont
                 zp = _ints_to_mont(z)
-                nc = cs.num_constraints
-                for m in "abc":
-                    st[f"z_{m}"].append(dround.matvec_device(
-                        dround.matvec_planes(circuit, m), zp, nc))
+                za, zb, zc = dround.matvec3_device(
+                    circuit, zp, cs.num_constraints)
+                st["z_a"].append(za)
+                st["z_b"].append(zb)
+                st["z_c"].append(zc)
             else:
                 st["z_a"].append(_matrix_vector(circuit.a, z))
                 st["z_b"].append(_matrix_vector(circuit.b, z))
@@ -737,8 +738,24 @@ def prove_batch(srs: kzg.UniversalSRS, keys_to_constraints, rng, mode=VarunaNonH
     # --- query set, linear combinations, evaluations ---
     query_set = build_query_set(circuit_ids, alpha, beta, gamma)
 
+    # pre-evaluate every device-resident oracle at every query point —
+    # ONE batched dispatch per point instead of per (oracle, point)
+    eval_cache = {}
+    from .dpoly import DPoly as _DPoly
+    dev_items = [(lbl, lp.poly) for lbl, (lp, _) in all_polys.items()
+                 if isinstance(lp.poly, _DPoly) and lp.poly.n > 0]
+    if dev_items:
+        from . import dround
+        for pt in sorted({point for _, (_, point) in query_set}):
+            vals = dround.eval_many([p for _, p in dev_items], pt)
+            for (lbl, _), v in zip(dev_items, vals):
+                eval_cache[(lbl, pt)] = v
+
     def get_eval(label, point):
-        return all_polys[label][0].poly.evaluate(point)
+        key = (label, point)
+        if key not in eval_cache:
+            eval_cache[key] = all_polys[label][0].poly.evaluate(point)
+        return eval_cache[key]
 
     lc_s = construct_linear_combinations(
         circuits=[st["circuit"] for st in circuit_states],
@@ -757,7 +774,7 @@ def prove_batch(srs: kzg.UniversalSRS, keys_to_constraints, rng, mode=VarunaNonH
             if label is None:
                 acc += coeff
             else:
-                acc += coeff * all_polys[label][0].poly.evaluate(point)
+                acc += coeff * get_eval(label, point)
         return acc % R
 
     evaluations = {}

@@ -130,3 +130,13 @@ def test_prove_verify_with_device_rounds(monkeypatch):
     pk, vk = varuna.circuit_setup(srs, circ)
     proof = varuna.prove_batch(srs, [(pk, [circ])], random.Random(3))
     assert varuna.verify_batch(srs, [(vk, [circ.public_inputs()])], proof)
+
+
+def test_eval_many_matches_single():
+    from snarkvm_tpu.snark.dpoly import DPoly
+    polys = [DPoly.from_ints([rng.randrange(R) for _ in range(n)])
+             for n in (5, 17, 32, 1)]
+    z = rng.randrange(R)
+    got = dround.eval_many(polys, z)
+    for p, g in zip(polys, got):
+        assert g == p.evaluate(z)
