@@ -581,18 +581,24 @@ def prove_batch(srs: kzg.UniversalSRS, keys_to_constraints, rng, mode=VarunaNonH
         dev = _use_device_poly(cd)
         for j, ic in enumerate(comb["instance"]):
             if dev:
+                # fused rowcheck body: ifft x3 + 2cd-domain product +
+                # vanishing division + selector scale in ONE dispatch
                 from . import dround
-                za = dround.evals_dpoly(st["z_a"][j], cd)
-                zb = dround.evals_dpoly(st["z_b"][j], cd)
-                zc = dround.evals_dpoly(st["z_c"][j], cd)
+                from .dpoly import DPoly
+                q = dround.rowcheck_contrib(
+                    dround.pad_rows(st["z_a"][j], cd),
+                    dround.pad_rows(st["z_b"][j], cd),
+                    dround.pad_rows(st["z_c"][j], cd),
+                    ic, comb["circuit"], max_cd, cd)
+                h_0 = h_0 + DPoly(q, cd)
             else:
                 za = _interp(st["z_a"][j] + [0] * (cd - len(st["z_a"][j])), dev)
                 zb = _interp(st["z_b"][j] + [0] * (cd - len(st["z_b"][j])), dev)
                 zc = _interp(st["z_c"][j] + [0] * (cd - len(st["z_c"][j])), dev)
-            rowcheck = za * zb - zc
-            lhs = rowcheck.scale(ic)
-            h_0_i, _ = apply_randomized_selector(lhs, comb["circuit"], max_cd, cd, False)
-            h_0 = h_0 + h_0_i
+                rowcheck = za * zb - zc
+                lhs = rowcheck.scale(ic)
+                h_0_i, _ = apply_randomized_selector(lhs, comb["circuit"], max_cd, cd, False)
+                h_0 = h_0 + h_0_i
     second_polys = [kzg.LabeledPoly("h_0", h_0)]
     second_comms = commit_round(second_polys, mode.ZK)
     _absorb_commitments(sponge, second_comms)
@@ -610,19 +616,22 @@ def prove_batch(srs: kzg.UniversalSRS, keys_to_constraints, rng, mode=VarunaNonH
         m_at_alpha_polys = {}
         dev = _use_device_poly(vd)
         v_alpha = evaluate_vanishing(cd, alpha)
-        if dev and _use_device_poly(cd) and v_alpha != 0:
+        dev3 = dev and _use_device_poly(cd) and v_alpha != 0
+        if dev3:
             # device sparse matvec (third.rs rayon loop -> limb planes)
             from . import dround
             from .dpoly import DPoly
+            import jax.numpy as _jnp
             root = domain_params(cd)[0]
             l_plane = dround.lagrange_coefficients_device(
                 cd, alpha, root, v_alpha)
+            m_evals = []
             for m in "abc":
                 vals_p, rows_i, cols_i = dround.matrix_transpose_planes(
                     circuit, m, reindex_by_subdomain)
-                evp = dround.matrix_at_alpha_evals_jit(
-                    vals_p, rows_i, cols_i, l_plane, vd)
-                m_at_alpha_polys[m] = DPoly.from_evaluations(evp, vd)
+                m_evals.append(dround.matrix_at_alpha_evals_jit(
+                    vals_p, rows_i, cols_i, l_plane, vd))
+            m_evals3 = _jnp.stack(m_evals)
         else:
             l_at_alpha = lagrange_coefficients(cd, alpha)
             transposes = {m: _transpose(getattr(circuit, m), vd, idd)
@@ -636,6 +645,19 @@ def prove_batch(srs: kzg.UniversalSRS, keys_to_constraints, rng, mode=VarunaNonH
         circuit_sums = []
         for j, ic in enumerate(comb["instance"]):
             w_poly = all_polys[witness_label(circuit.id, "w", j)][0].poly
+            if dev3:
+                # fused per-instance lineval: all three matrices in one
+                # dispatch (products, sums, randomized selectors)
+                mults = [comb["circuit"] * ic % R * mc % R * vd % R
+                         * pow(max_vd, -1, R) % R
+                         for mc in (1, eta_b, eta_c)]
+                h_pl, xg_pl, sums3 = dround.lineval_contrib(
+                    m_evals3, w_poly._padded(vd - idd),
+                    st["x_polys"][j].c, mults, vd, idd, max_vd)
+                h_1_sum = h_1_sum + DPoly(h_pl, vd)
+                xg_1_sum = xg_1_sum + DPoly(xg_pl, max_vd)
+                circuit_sums.append(MatrixSums(*sums3))
+                continue
             assignment = w_poly.mul_by_vanishing(idd) + st["x_polys"][j]
             sums_j = {}
             for m, mc in (("a", 1), ("b", eta_b), ("c", eta_c)):
@@ -681,15 +703,19 @@ def prove_batch(srs: kzg.UniversalSRS, keys_to_constraints, rng, mode=VarunaNonH
             ev = circuit.arith[m]
             dev = _use_device_poly(nz)
             if dev:
-                # device per-nonzero arithmetic (fourth.rs rayon loop)
+                # fused fourth.rs body: evaluation vectors, batched
+                # inversion, iffts, h = a - b*f product, vanishing
+                # division and selector scale in ONE dispatch
                 from . import dround
-                from .dpoly import DPoly, _mont_to_ints
-                a_e, b_e, f_e = dround.fourth_round_evals(
-                    dround.arith_planes(ev), alpha, beta, v_rc, cd, vd, nz)
-                a_poly = DPoly.from_evaluations(a_e, nz)
-                b_poly = DPoly.from_evaluations(b_e, nz)
-                f = DPoly.from_evaluations(f_e, nz)
-                sums_c[m] = _mont_to_ints(f.a[:1])[0]
+                from .dpoly import DPoly
+                g_pl, lhs_pl, s_m, a_c, b_c = dround.fourth_round_full(
+                    dround.arith_planes(ev), alpha, beta, v_rc, cd, vd,
+                    nz, max_nz)
+                a_poly = DPoly(a_c, nz)
+                b_poly = DPoly(b_c, nz)
+                g_m = DPoly(g_pl, nz - 1)
+                lhs = DPoly(lhs_pl, nz)
+                sums_c[m] = s_m
             else:
                 a_poly = _interp([v_rc * v % R for v in ev.row_col_val], dev)
                 ab = alpha * beta % R
@@ -703,9 +729,9 @@ def prove_batch(srs: kzg.UniversalSRS, keys_to_constraints, rng, mode=VarunaNonH
                 f_evals = [const * iv % R * v % R for iv, v in zip(invs, ev.row_col_val)]
                 f = _interp(f_evals, dev)
                 sums_c[m] = f.c[0] if f.c else 0   # .c syncs only f's coeffs
-            g_m = f.shift_coeffs(1)
-            h = a_poly - b_poly * f
-            lhs, _ = apply_randomized_selector(h, 1, max_nz, nz, False)
+                g_m = f.shift_coeffs(1)
+                h = a_poly - b_poly * f
+                lhs, _ = apply_randomized_selector(h, 1, max_nz, nz, False)
             circuit_lhs.append(lhs)
             label = witness_label(circuit.id, f"g_{m}", 0)
             lp = kzg.LabeledPoly(label, g_m, nz - 2, None)

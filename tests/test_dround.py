@@ -140,3 +140,58 @@ def test_eval_many_matches_single():
     got = dround.eval_many(polys, z)
     for p, g in zip(polys, got):
         assert g == p.evaluate(z)
+
+
+def test_device_prove_matches_host_prove_exactly():
+    """Non-hiding proofs are deterministic: the device-fused round
+    pipeline must produce the SAME proof as the host-int path."""
+    import os
+    from snarkvm_tpu.polycommit import kzg
+    from snarkvm_tpu.snark import r1cs
+
+    class Sq(r1cs.ConstraintSynthesizer):
+        def generate_constraints(self, cs):
+            c_pub = cs.alloc_input(49)
+            a = cs.alloc(7)
+            cs.enforce([(1, a)], [(1, a)], [(1, c_pub)])
+            prev, prev_val = a, 7
+            for _ in range(100):
+                nxt_val = prev_val * prev_val % R
+                nxt = cs.alloc(nxt_val)
+                cs.enforce([(1, prev)], [(1, prev)], [(1, nxt)])
+                prev, prev_val = nxt, nxt_val
+
+        def public_inputs(self):
+            return [1, 49]
+
+    srs = kzg.test_srs(2048)
+    circ = Sq()
+    pk, vk = varuna.circuit_setup(srs, circ, varuna.VarunaNonHidingMode)
+
+    def prove(mode_env):
+        old = os.environ.get("SNARKVM_TPU_DEVICE_POLY")
+        os.environ["SNARKVM_TPU_DEVICE_POLY"] = mode_env
+        try:
+            return varuna.prove_batch(srs, [(pk, [circ])], random.Random(4),
+                                      varuna.VarunaNonHidingMode)
+        finally:
+            if old is None:
+                os.environ.pop("SNARKVM_TPU_DEVICE_POLY", None)
+            else:
+                os.environ["SNARKVM_TPU_DEVICE_POLY"] = old
+
+    p_host = prove("off")
+    p_dev = prove("always")
+    assert p_host.g_1_eval == p_dev.g_1_eval
+    assert p_host.g_a_evals == p_dev.g_a_evals
+    assert p_host.g_b_evals == p_dev.g_b_evals
+    assert p_host.g_c_evals == p_dev.g_c_evals
+    assert p_host.h_0 == p_dev.h_0
+    assert p_host.g_1 == p_dev.g_1 and p_host.h_1 == p_dev.h_1
+    assert p_host.h_2 == p_dev.h_2
+    assert p_host.g_a_commitments == p_dev.g_a_commitments
+    assert p_host.third_sums == p_dev.third_sums
+    assert p_host.fourth_sums == p_dev.fourth_sums
+    assert p_host.pc_proof == p_dev.pc_proof
+    assert varuna.verify_batch(srs, [(vk, [circ.public_inputs()])], p_dev,
+                               varuna.VarunaNonHidingMode)
