@@ -442,13 +442,15 @@ def batch_open(srs: UniversalSRS, labeled_polys, query_set, rands, sponge):
     for point_name in sorted(query_to_labels):
         point, labels = query_to_labels[point_name]
         # combine with sponge challenges (labels sorted/BTreeSet order)
-        combined = Poly.zero()
         combined_rand = Randomness.empty()
+        members, mcoeffs = [], []
         for label in sorted(set(labels)):
             lp, rand = poly_rand[label]
             challenge = sponge.squeeze_short_nonnative_field_element()
-            combined = combined + lp.poly.scale(challenge)
+            members.append(lp.poly)
+            mcoeffs.append(challenge)
             combined_rand = combined_rand.add_scaled(challenge, rand)
+        combined = _combine_polys(members, mcoeffs)
         _ = sponge.squeeze_short_nonnative_field_element()  # _randomizer (discarded)
         proofs.append(open_single(srs, combined, point, combined_rand))
     return proofs
@@ -548,11 +550,11 @@ def open_combinations(srs, linear_combinations, labeled_polys, rands, query_set,
     lc_polys = []
     lc_rands = []
     for lc in linear_combinations:
-        poly = Poly.zero()
         randomness = Randomness.empty()
         degree_bound = None
         hiding_bound = None
         num_polys = len(lc.terms)
+        members, mcoeffs = [], []
         for label, coeff in lc.terms.items():
             if label is None:
                 continue
@@ -563,11 +565,27 @@ def open_combinations(srs, linear_combinations, labeled_polys, rands, query_set,
                 degree_bound = lp.degree_bound
             if lp.hiding_bound is not None:
                 hiding_bound = max(hiding_bound or 0, lp.hiding_bound)
-            poly = poly + lp.poly.scale(coeff)
+            members.append(lp.poly)
+            mcoeffs.append(coeff)
             randomness = randomness.add_scaled(coeff, rand)
+        poly = _combine_polys(members, mcoeffs)
         lc_polys.append(LabeledPoly(lc.label, poly, degree_bound, hiding_bound))
         lc_rands.append(randomness)
     return batch_open(srs, lc_polys, query_set, lc_rands, sponge)
+
+
+def _combine_polys(members, coeffs):
+    """sum coeff*poly — ONE device dispatch when any member is device-
+    resident, host Poly arithmetic otherwise."""
+    if not members:
+        return Poly.zero()
+    if any(type(p).__name__ == "DPoly" for p in members):
+        from ..snark import dround
+        return dround.linear_combine(members, coeffs)
+    poly = Poly.zero()
+    for p, c in zip(members, coeffs):
+        poly = poly + p.scale(c)
+    return poly
 
 
 def check_combinations(srs, linear_combinations, labeled_comms, query_set, evaluations, proofs, sponge) -> bool:
