@@ -1051,7 +1051,8 @@ def _replica_maps(W: int, c: int, nb: int, nb_pad: int, num_bits: int):
 
 
 def _msm_dense_raw(W: int, c: int, n: int, B: int, nb: int, nb_pad: int,
-                   num_bits: int = 253, block: int | None = None):
+                   num_bits: int = 253, block: int | None = None,
+                   k: int = 1):
     """Gather-free accumulation: the DENSE DESCENDING-COUNT schedule.
 
     After the per-window digit sort, each point gets a (virtual bucket,
@@ -1065,20 +1066,33 @@ def _msm_dense_raw(W: int, c: int, n: int, B: int, nb: int, nb_pad: int,
     (the gather cost measured equal to the EC add itself). Points are
     materialized once in schedule order (one big gather), all windows at
     once."""
-    lanes = W * nb_pad
-    b_of, r_of, R_of, regather, regather_valid, flat_wb, nb_ws = \
+    # k > 1 batches k scalar sets over the SAME points in one pipeline:
+    # the k*W windows are scheduled/reduced together (one dispatch for a
+    # whole commit round)
+    Wt = k * W
+    lanes = Wt * nb_pad
+    b_of0, r_of0, R_of0, regather0, regather_valid0, flat_wb0, nb_ws = \
         _replica_maps(W, c, nb, nb_pad, num_bits)
-    Rw_arr = np.asarray([nb_pad // nb_ws[w] for w in range(W)],
-                        np.int32)[:, None]                    # [W, 1]
+    b_of = np.tile(b_of0, k)
+    r_of = np.tile(r_of0, k)
+    R_of = np.tile(R_of0, k)
+    regather = np.concatenate(
+        [regather0 + s * W * nb_pad for s in range(k)])
+    regather_valid = np.tile(regather_valid0, k)
+    flat_wb = np.concatenate([flat_wb0 + s * W * nb for s in range(k)])
+    Rw_arr = np.tile(np.asarray(
+        [nb_pad // nb_ws[w] for w in range(W)],
+        np.int32)[:, None], (k, 1))                           # [Wt, 1]
 
     def run(pX, pY, pZ, slimbs):
         points = {"X": pX, "Y": pY, "Z": pZ}
         bucket_ids = jnp.arange(nb, dtype=jnp.int32)
-        digs = jnp.stack([_extract_digits_lm(slimbs, w, c)
-                          for w in range(W)])                 # [W, n]
+        digs = jnp.stack(
+            [_extract_digits_lm(slimbs if k == 1 else slimbs[s], w, c)
+             for s in range(k) for w in range(W)])            # [Wt, n]
         digs = jnp.where(digs == 0, nb, digs)
         digs = jnp.concatenate(
-            [digs, jnp.full((W, B - n), nb, jnp.int32)], axis=1)   # [W, B]
+            [digs, jnp.full((Wt, B - n), nb, jnp.int32)], axis=1)  # [Wt, B]
         order = jnp.argsort(digs, axis=1)
         sorted_digits = jnp.take_along_axis(digs, order, axis=1)
         start = jax.vmap(lambda sd: jnp.searchsorted(
@@ -1091,16 +1105,16 @@ def _msm_dense_raw(W: int, c: int, n: int, B: int, nb: int, nb_pad: int,
         trash = sorted_digits >= nb
         d_safe = jnp.minimum(sorted_digits, nb - 1)
         start_of_pos = jnp.take_along_axis(start, d_safe, axis=1)
-        k = jnp.arange(B)[None, :] - start_of_pos             # [W, B] rank
-        vb = jnp.minimum(d_safe * Rw_arr + (k % Rw_arr),
+        rank = jnp.arange(B)[None, :] - start_of_pos          # [Wt, B]
+        vb = jnp.minimum(d_safe * Rw_arr + (rank % Rw_arr),
                          nb_pad - 1)                          # virtual bucket
-        vk = jnp.where(trash, B, k // Rw_arr)                 # virtual rank
+        vk = jnp.where(trash, B, rank // Rw_arr)              # virtual rank
 
         # per-virtual-bucket counts (= per-lane round counts), flattened
         # over ALL windows: the schedule is GLOBAL so that each round is
         # one scalar-offset dynamic slice (sequential DMA), not a per-
         # window vmapped slice
-        count_l = jnp.take(counts.reshape(W * nb), jnp.asarray(flat_wb))
+        count_l = jnp.take(counts.reshape(Wt * nb), jnp.asarray(flat_wb))
         counts_v = (jnp.maximum(count_l - jnp.asarray(r_of), 0)
                     + jnp.asarray(R_of) - 1) // jnp.asarray(R_of)  # [lanes]
 
@@ -1108,14 +1122,15 @@ def _msm_dense_raw(W: int, c: int, n: int, B: int, nb: int, nb_pad: int,
         # accumulator lane of a virtual bucket is its global desc rank
         ordv = jnp.argsort(-counts_v)                         # rank -> vb
         inv_ordv = jnp.argsort(ordv)                          # vb -> rank
-        gvb = (jnp.arange(W)[:, None] * nb_pad + vb)          # [W, B]
+        gvb = (jnp.arange(Wt)[:, None] * nb_pad + vb)         # [Wt, B]
         glabel = jnp.take(inv_ordv, gvb)                      # [W, B]
 
         # schedule order: sort the FLAT point list by (virtual rank,
         # global label); carry the original point index as payload (two
         # int32 keys — a fused key can overflow int32 at large B)
         _, _, sched_idx = jax.lax.sort(
-            (vk.reshape(W * B), glabel.reshape(W * B), order.reshape(W * B)),
+            (vk.reshape(Wt * B), glabel.reshape(Wt * B),
+             order.reshape(Wt * B)),
             dimension=0, num_keys=2)
         idx2 = jnp.concatenate([sched_idx, jnp.zeros(lanes, jnp.int32)])
         sorted_pts = {kk: jnp.take(v, idx2, axis=1)           # [L, W*B+lanes]
@@ -1171,10 +1186,12 @@ def _msm_dense_raw(W: int, c: int, n: int, B: int, nb: int, nb_pad: int,
 
 @functools.lru_cache(maxsize=None)
 def _msm_full_dense_fn(W: int, c: int, n: int, B: int, nb: int, nb_pad: int,
-                       num_bits: int = 253, block: int | None = None):
-    """Dense-schedule MSM pipeline as ONE jit (prep+accum+suffix)."""
-    dense = _msm_dense_raw(W, c, n, B, nb, nb_pad, num_bits, block)
-    suffix = _msm_suffix_raw(W, nb, nb_pad, block)
+                       num_bits: int = 253, block: int | None = None,
+                       k: int = 1):
+    """Dense-schedule MSM pipeline as ONE jit (prep+accum+suffix).
+    k > 1: k scalar sets over the same points (slimbs [k, n, 16])."""
+    dense = _msm_dense_raw(W, c, n, B, nb, nb_pad, num_bits, block, k)
+    suffix = _msm_suffix_raw(k * W, nb, nb_pad, block)
 
     def run(pX, pY, pZ, slimbs):
         acc = dense(pX, pY, pZ, slimbs)
@@ -1364,8 +1381,14 @@ def msm_g1_lm(points_lm, scalar_limbs, n: int, c: int | None = None,
     window_fn = window_sums_fn if method == "scan" else window_sums_rounds
     sums = _pad_lanes(window_fn(points_lm, scalar_limbs), LANE)
     jacs = g1_lm_to_jac_ints(sums)[:windows]
+    return _combine_windows(jacs, c)
+
+
+def _combine_windows(jacs, c: int):
+    """Horner combine of per-window sums on host ints (tiny work)."""
+    from ..curves import sw_fast as g1f
     total = None
-    for w in range(windows - 1, -1, -1):
+    for w in range(len(jacs) - 1, -1, -1):
         if total is not None:
             for _ in range(c):
                 total = g1f.jac_double(total)
@@ -1373,6 +1396,35 @@ def msm_g1_lm(points_lm, scalar_limbs, n: int, c: int | None = None,
         if wsum[2] != 0:
             total = wsum if total is None else g1f.jac_add(total, wsum)
     return total if total is not None else (0, 1, 0)
+
+
+def msm_g1_lm_multi(points_lm, scalar_sets, n: int, c: int | None = None,
+                    num_bits: int = 253):
+    """k MSMs over the SAME base points in ONE fused dispatch (the batch-
+    commit shape: several polynomials against one SRS window). scalar_sets:
+    [k, n, 16] canonical Fr limb rows (or a list of [n, 16] arrays).
+    Returns k host Jacobian tuples."""
+    import os
+    from .msm import device_window
+
+    if not isinstance(scalar_sets, jnp.ndarray):
+        scalar_sets = jnp.stack(list(scalar_sets))
+    k = scalar_sets.shape[0]
+    if k == 1:
+        return [msm_g1_lm(points_lm, scalar_sets[0], n, c, num_bits)]
+    B = points_lm["X"].shape[1]
+    if c is None:
+        c = int(os.environ.get("SNARKVM_TPU_MSM_C", "0")) or device_window(n)
+    windows = (num_bits + c - 1) // c
+    nb = 1 << c
+    nb_pad = max(LANE, ((nb + LANE - 1) // LANE) * LANE)
+    full = _msm_full_dense_fn(windows, c, n, B, nb, nb_pad, num_bits, None, k)
+    sX, sY, sZ = full(points_lm["X"], points_lm["Y"], points_lm["Z"],
+                      scalar_sets)
+    sums = _pad_lanes({"X": sX, "Y": sY, "Z": sZ}, LANE)
+    jacs = g1_lm_to_jac_ints(sums)[:k * windows]
+    return [_combine_windows(jacs[s * windows:(s + 1) * windows], c)
+            for s in range(k)]
 
 
 def _pad_lanes(p, B):

@@ -438,7 +438,7 @@ def batch_open(srs: UniversalSRS, labeled_polys, query_set, rands, sponge):
     for label, (point_name, point) in sorted(query_set):
         query_to_labels.setdefault(point_name, (point, []))
         query_to_labels[point_name][1].append(label)
-    proofs = []
+    entries = []
     for point_name in sorted(query_to_labels):
         point, labels = query_to_labels[point_name]
         # combine with sponge challenges (labels sorted/BTreeSet order)
@@ -452,8 +452,19 @@ def batch_open(srs: UniversalSRS, labeled_polys, query_set, rands, sponge):
             combined_rand = combined_rand.add_scaled(challenge, rand)
         combined = _combine_polys(members, mcoeffs)
         _ = sponge.squeeze_short_nonnative_field_element()  # _randomizer (discarded)
-        proofs.append(open_single(srs, combined, point, combined_rand))
-    return proofs
+        entries.append((combined, point, combined_rand))
+    # batch the witness MSMs across query points when device-eligible
+    if (len(entries) >= 2 and _device_msm_enabled()
+            and not any(r.is_hiding() for _, _, r in entries)):
+        wits = [c.divide_by_linear(p)[0] for c, p, _ in entries]
+        if all(type(w).__name__ == "DPoly" and w.n >= _device_msm_min()
+               for w in wits):
+            try:
+                affs = commit_many_dpoly(srs, "beta", 0, wits)
+                return [(a, None) for a in affs]
+            except Exception:
+                pass
+    return [open_single(srs, c, p, r) for c, p, r in entries]
 
 
 def batch_check(srs: UniversalSRS, labeled_comms, query_set, values, proofs, sponge) -> bool:
@@ -677,3 +688,19 @@ class CommitterUnionKey(CommitterKey):
             frozenset().union(*(k.degree_bounds for k in keys)),
             frozenset().union(*(k.lagrange_sizes for k in keys)),
         )
+
+
+def commit_many_dpoly(srs, kind: str, shift: int, dps):
+    """Commit k device polynomials against the SAME SRS window in ONE
+    fused multi-set MSM dispatch. Returns affine points."""
+    from ..ops import ec_pallas as ep
+    from ..fields import limb as limb_mod
+    import jax
+    import jax.numpy as jnp
+    npad = 1 << (max(dp.n for dp in dps) - 1).bit_length()
+    lanes = max(ep.LANE, npad)
+    window = _plane_window(srs, kind, shift, lanes)
+    from_mont = jax.jit(lambda a: limb_mod._from_mont(a, limb_mod.FR))
+    sls = jnp.stack([from_mont(dp._padded(npad)) for dp in dps])
+    jacs = ep.msm_g1_lm_multi(window, sls, npad)
+    return [g1.to_affine(j) for j in jacs]

@@ -527,13 +527,39 @@ def prove_batch(srs: kzg.UniversalSRS, keys_to_constraints, rng, mode=VarunaNonH
     all_polys = {}      # label -> (LabeledPoly, Randomness)
 
     def commit_round(labeled_polys, hiding):
-        comms = []
-        for lp in labeled_polys:
-            c, r = kzg.commit(srs, lp.poly, degree_bound=lp.degree_bound,
-                              hiding_bound=lp.hiding_bound if hiding else None,
-                              rng=rng if hiding else None)
+        comms = [None] * len(labeled_polys)
+        if not hiding:
+            # group same-shift device polys: one fused multi-set MSM per
+            # SRS window (the batch-commit shape of prove_batch)
+            from .dpoly import DPoly as _DP
+            groups = {}
+            for i, lp in enumerate(labeled_polys):
+                if (isinstance(lp.poly, _DP)
+                        and lp.poly.n >= kzg._device_msm_min()
+                        and kzg._device_msm_enabled()):
+                    shift = (srs.max_degree - lp.degree_bound
+                             if lp.degree_bound is not None else 0)
+                    groups.setdefault(shift, []).append(i)
+            for shift, idxs in groups.items():
+                if len(idxs) < 2:
+                    continue
+                try:
+                    affs = kzg.commit_many_dpoly(
+                        srs, "beta", shift,
+                        [labeled_polys[i].poly for i in idxs])
+                except Exception:
+                    continue
+                for i, a in zip(idxs, affs):
+                    comms[i] = a
+        for i, lp in enumerate(labeled_polys):
+            if comms[i] is None:
+                c, r = kzg.commit(srs, lp.poly, degree_bound=lp.degree_bound,
+                                  hiding_bound=lp.hiding_bound if hiding else None,
+                                  rng=rng if hiding else None)
+                comms[i] = c
+            else:
+                r = kzg.Randomness.empty()
             all_polys[lp.label] = (lp, r)
-            comms.append(c)
         return comms
 
     t.lap("init_prover")
@@ -688,7 +714,7 @@ def prove_batch(srs: kzg.UniversalSRS, keys_to_constraints, rng, mode=VarunaNonH
     t.lap("round3_lineval")
     # --- round 4: matrix sumchecks (g_a/g_b/g_c) ---
     fourth_sums = []
-    fourth_comms = []
+    fourth_lps = []
     lhs_polys = []   # per circuit [lhs_a, lhs_b, lhs_c]
     for st in circuit_states:
         circuit = st["circuit"]
@@ -734,9 +760,7 @@ def prove_batch(srs: kzg.UniversalSRS, keys_to_constraints, rng, mode=VarunaNonH
                 lhs, _ = apply_randomized_selector(h, 1, max_nz, nz, False)
             circuit_lhs.append(lhs)
             label = witness_label(circuit.id, f"g_{m}", 0)
-            lp = kzg.LabeledPoly(label, g_m, nz - 2, None)
-            c_comm = commit_round([lp], False)[0]
-            fourth_comms.append(c_comm)
+            fourth_lps.append(kzg.LabeledPoly(label, g_m, nz - 2, None))
             # keep a_poly/b_poly for the opening phase
             all_polys[f"circuit_{circuit.id}_a_poly_{m}"] = (
                 kzg.LabeledPoly(f"circuit_{circuit.id}_a_poly_{m}", a_poly), kzg.Randomness.empty())
@@ -744,6 +768,7 @@ def prove_batch(srs: kzg.UniversalSRS, keys_to_constraints, rng, mode=VarunaNonH
                 kzg.LabeledPoly(f"circuit_{circuit.id}_b_poly_{m}", b_poly), kzg.Randomness.empty())
         lhs_polys.append(circuit_lhs)
         fourth_sums.append(MatrixSums(sums_c["a"], sums_c["b"], sums_c["c"]))
+    fourth_comms = commit_round(fourth_lps, False)
     _absorb_commitments(sponge, fourth_comms)
     _absorb_sums(sponge, fourth_sums)
 

@@ -89,3 +89,26 @@ class TestMSM:
         for pt, s in zip(pts, scalars):
             acc = edwards.add(acc, edwards.mul(pt, s))
         assert got == acc
+
+
+def test_msm_multi_matches_single():
+    """k scalar sets over the same points in one fused dispatch."""
+    import random
+    from snarkvm_tpu.ops import ec_pallas as ep
+    from snarkvm_tpu.curves import sw_fast as g1f
+    from snarkvm_tpu.params import bls12_377 as P
+
+    rng = random.Random(31)
+    n, k = 96, 3
+    base = g1f.from_affine((P.G1_GENERATOR_X, P.G1_GENERATOR_Y))
+    pts, cur = [], base
+    for _ in range(n):
+        pts.append(g1f.to_affine(cur))
+        cur = g1f.jac_add(cur, g1f.jac_double(cur))
+    plm = ep.g1_from_affine_lm_fast(pts)
+    sets = [[rng.randrange(P.R) for _ in range(n)] for _ in range(k)]
+    limbs = [ep.scalars_to_limbs(s) for s in sets]
+    multi = ep.msm_g1_lm_multi(plm, limbs, n, c=6)
+    for s_limbs, got in zip(limbs, multi):
+        want = ep.msm_g1_lm(plm, s_limbs, n, c=6)
+        assert g1f.to_affine(got) == g1f.to_affine(want)
