@@ -267,3 +267,56 @@ class BlockStore:
         for _, data in self.conn.execute(
                 "SELECT height, data FROM blocks ORDER BY height"):
             yield pickle.loads(data)
+
+
+# ---------------------------------------------------------------------------
+# StorageMode (aleo-std storage semantics; used by the reference's RocksDB
+# backend at ledger/store/src/helpers/rocksdb/internal/mod.rs to pick the
+# on-disk directory): Production -> the long-lived data dir, Development(id)
+# -> a numbered dev dir, Custom(path) -> verbatim.
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+
+class StorageMode:
+    """Resolves the ledger database directory."""
+
+    def __init__(self, kind: str = "production", dev_id: int | None = None,
+                 custom_path: str | None = None):
+        assert kind in ("production", "development", "custom")
+        if kind == "development":
+            assert dev_id is not None
+        if kind == "custom":
+            assert custom_path is not None
+        self.kind = kind
+        self.dev_id = dev_id
+        self.custom_path = custom_path
+
+    @classmethod
+    def production(cls) -> "StorageMode":
+        return cls("production")
+
+    @classmethod
+    def development(cls, dev_id: int) -> "StorageMode":
+        return cls("development", dev_id=dev_id)
+
+    @classmethod
+    def custom(cls, path: str) -> "StorageMode":
+        return cls("custom", custom_path=path)
+
+    def path(self, network_id: int = 0) -> str:
+        base = _os.environ.get(
+            "SNARKVM_TPU_DATA_DIR",
+            _os.path.join(_os.path.expanduser("~"), ".snarkvm_tpu"))
+        if self.kind == "production":
+            return _os.path.join(base, f"ledger-{network_id}", "ledger.db")
+        if self.kind == "development":
+            return _os.path.join(base, f"ledger-{network_id}-dev-{self.dev_id}",
+                                 "ledger.db")
+        return self.custom_path
+
+    def open(self, network_id: int = 0) -> "BlockStore":
+        p = self.path(network_id)
+        _os.makedirs(_os.path.dirname(p) or ".", exist_ok=True)
+        return BlockStore(p)
