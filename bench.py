@@ -193,14 +193,31 @@ def main():
     x = jax.numpy.asarray(limbs)  # limb-major [L, n] (already a valid residue)
 
     use_pallas = jax.default_backend() != "cpu"
-    step = (lambda v: pf.ntt_limb_major(v, d)) if use_pallas else (lambda v: d.fft(v.T).T)
+    if use_pallas:
+        # pass the plan tensors as jit ARGUMENTS: closure-captured they
+        # become inline HLO constants (256MB at 2^22 — the remote-compile
+        # tunnel rejects the module with HTTP 413)
+        from snarkvm_tpu.ops.ntt_fused_plan import FusedPlanML
 
-    def chain(k):
-        def f(v):
-            for _ in range(k):
-                v = step(v)
-            return v
-        return jax.jit(f)
+        plan = FusedPlanML(n, d.group_gen, False)
+        posts, perm = plan._consts()
+
+        def chain(k):
+            @jax.jit
+            def f(v, perm_, *posts_):
+                for _ in range(k):
+                    v = plan._run(v, posts_, perm_)
+                return v
+            return lambda v: f(v, perm, *posts)
+    else:
+        step = lambda v: d.fft(v.T).T
+
+        def chain(k):
+            def f(v):
+                for _ in range(k):
+                    v = step(v)
+                return v
+            return jax.jit(f)
 
     run = chain(1)
 

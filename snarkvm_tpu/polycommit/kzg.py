@@ -54,7 +54,8 @@ _DEVICE_SRS_CACHE: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
 
 
 def _device_msm_min() -> int:
-    return int(_os.environ.get("SNARKVM_TPU_DEVICE_MSM_MIN", str(1 << 14)))
+    # multi-set batching amortizes the dispatch: device wins from ~2^13
+    return int(_os.environ.get("SNARKVM_TPU_DEVICE_MSM_MIN", str(1 << 13)))
 
 
 def _device_msm_enabled() -> bool:
