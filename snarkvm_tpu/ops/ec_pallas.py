@@ -1151,8 +1151,37 @@ def _msm_dense_raw(W: int, c: int, n: int, B: int, nb: int, nb_pad: int,
             out = g1_add_traced(cur, gathered, block)
             return (out["X"], out["Y"], out["Z"])
 
+        # two-phase tail: active virtual buckets are a PREFIX of the
+        # accumulator lanes (descending-count relabel), and m_t shrinks
+        # monotonically — once at most w2 lanes are active (t >= the
+        # (w2+1)-th largest count), rounds run at width w2 instead of
+        # paying full-lane adds for a nearly-empty schedule tail
+        w2 = min(lanes, max(nb_pad, 2048))
+        if w2 < lanes:
+            counts_desc = jnp.take(counts_v, ordv)
+            t_switch = jnp.minimum(counts_desc[w2], rounds)
+            lane_ids2 = jnp.arange(w2)
+
+            def body_tail(t, acc3):
+                off = jnp.sum(jnp.minimum(counts_v, t))
+                m = jnp.sum(counts_v > t)
+                cur = {"X": acc3[0], "Y": acc3[1], "Z": acc3[2]}
+                head = {kk: v[:, :w2] for kk, v in cur.items()}
+                chunk = {
+                    kk: jax.lax.dynamic_slice(v, (0, off), (L, w2))
+                    for kk, v in sorted_pts.items()}
+                gathered = _mask_identity(chunk, lane_ids2 < m)
+                out = g1_add_traced(head, gathered, block)
+                return tuple(
+                    jax.lax.dynamic_update_slice(full, out[kk], (0, 0))
+                    for full, kk in zip(acc3, ("X", "Y", "Z")))
+        else:
+            t_switch = rounds
+            body_tail = body
+
         acc3 = jax.lax.fori_loop(
-            0, rounds, body, (ident["X"], ident["Y"], ident["Z"]))
+            0, t_switch, body, (ident["X"], ident["Y"], ident["Z"]))
+        acc3 = jax.lax.fori_loop(t_switch, rounds, body_tail, acc3)
         acc = {"X": acc3[0], "Y": acc3[1], "Z": acc3[2]}
 
         # un-permute: accumulator lane j holds virtual bucket ordv[j];
