@@ -140,8 +140,9 @@ def cmd_execute(args):
 
     path, text, stack = _load_package(args)
     rng = random.Random()
-    srs = kzg.test_srs(1 << 12)
-    outs, proof, vk, public = prove_run(srs, stack, args.function, list(args.inputs), rng)
+    # srs=None -> prove_run sizes a test SRS to the synthesized circuit
+    outs, proof, vk, public, srs = prove_run(None, stack, args.function,
+                                             list(args.inputs), rng)
     ok = varuna.verify_batch(srs, [(vk, [public])], proof)
     print(f"✅ Executed '{stack.program.id}/{args.function}' with a Varuna proof "
           f"(verified: {ok}):")

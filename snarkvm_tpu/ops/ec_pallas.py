@@ -505,6 +505,223 @@ def _add_kernel_rcb_cios(x1, y1, z1, x2, y2, z2, pp, nn, xo, yo, zo):
         zo[i, :] = Z[i]
 
 
+# ---------------------------------------------------------------------------
+# 13-bit-limb lazy-reduction field ops ("rcb13") — the fast MSM kernel.
+#
+# Why 13-bit limbs: with w-bit limbs, partial products are < 2^(2w) and a
+# u32 column accumulator holds up to 2^(32-2w) of them before overflow.
+# At w=13 (L=30 limbs for the 377-bit Fq) a column receives at most
+# 30 (product) + 30 (REDC) + carries < 64 = 2^(32-26) terms, so the CIOS
+# inner loops accumulate RAW u32 products — 2 ops per MAC (mul + add)
+# instead of the 5 (mul, mask, shift, 2 adds) the 16-bit kernel needs.
+#
+# Why lazy reduction is sound here: the RCB complete-add formulas are
+# projective, so a uniform scalar on (X, Y, Z) is the same group element.
+# Dropping every conditional subtraction only grows representatives:
+# coordinates at rest stay < 9.1p (sub adds a fixed 8p instead of
+# borrow-fixing), mul inputs stay < 28p < 2^382, and the Montgomery
+# output bound (T + m*p)/R < p(1 + k1*k2*p/R) stays < 1.1p for
+# k1*k2 <= 512 — all verified against the RCB dataflow. Similarly the
+# kernel's R = 2^390 (not the pipeline's 2^384) just scales each mul
+# output by a power of two that is uniform across X/Y/Z.
+#
+# Interface: [24, B] 16-bit limb planes (same as every other flavor);
+# the 13-bit re-chunking happens in-kernel (~90 ops per coordinate,
+# ~2% of an EC add).
+# ---------------------------------------------------------------------------
+
+W13 = 13
+L13 = 30
+MASK13 = np.uint32((1 << W13) - 1)
+_R13 = 1 << (W13 * L13)
+_N0_13 = (-pow(P.Q, -1, 1 << W13)) % (1 << W13)
+_P13 = [(P.Q >> (W13 * i)) & ((1 << W13) - 1) for i in range(L13)]
+_P8_13 = [((8 * P.Q) >> (W13 * i)) & ((1 << W13) - 1) for i in range(L13 + 1)]
+_P32_13 = [((32 * P.Q) >> (W13 * i)) & ((1 << W13) - 1) for i in range(L13 + 1)]
+
+
+def _to13(rows24):
+    """24 x 16-bit limb rows -> 30 x 13-bit limb rows (same integer)."""
+    out = []
+    for j in range(L13):
+        lo = W13 * j
+        i, sh = lo // 16, lo % 16
+        v = rows24[i] >> sh if sh else rows24[i]
+        if sh + W13 > 16 and i + 1 < 24:
+            v = v | (rows24[i + 1] << (16 - sh))
+        out.append(v & MASK13)
+    return out
+
+
+def _from13(rows30):
+    """30 x 13-bit limb rows -> 24 x 16-bit limb rows (same integer)."""
+    out = []
+    for i in range(24):
+        lo = 16 * i
+        j, sh = lo // W13, lo % W13
+        v = rows30[j] >> sh if sh else rows30[j]
+        got = W13 - sh
+        while got < 16 and j + (got // W13) + 1 < L13:
+            j2 = j + (got + W13 - 1) // W13
+            v = v | (rows30[j2] << got)
+            got += W13
+        out.append(v & jnp.uint32(0xFFFF))
+    return out
+
+
+def _mm13(a, b):
+    """Montgomery mul, 13-bit CIOS, raw-u32 column accumulation, no
+    final conditional subtraction (output < 1.1p for inputs < 28p)."""
+    cols = [None] * (2 * L13 + 1)
+
+    def acc(k, v):
+        cols[k] = v if cols[k] is None else cols[k] + v
+
+    for i in range(L13):
+        ai = a[i]
+        for j in range(L13):
+            acc(i + j, ai * b[j])
+    zero = jnp.zeros_like(a[0])
+    cols = [c if c is not None else zero for c in cols]
+    n0 = jnp.uint32(_N0_13)
+    for i in range(L13):
+        m = (cols[i] * n0) & MASK13
+        for j in range(L13):
+            cols[i + j] = cols[i + j] + m * jnp.uint32(_P13[j])
+        cols[i + 1] = cols[i + 1] + (cols[i] >> W13)
+    # high-half carry resolution: the result is < 1.1p < 2^378, so it fits
+    # the 30 limbs exactly (top limb never overflows its 13 bits)
+    out = []
+    carry = zero
+    for i in range(L13):
+        t = cols[L13 + i] + carry
+        out.append(t & MASK13)
+        carry = t >> W13
+    return out
+
+
+def _mm13_rolled(a, b):
+    """_mm13 with the CIOS loops rolled into lax.scan — identical math,
+    ~1/30th the trace size. For CPU/outside-Pallas paths only: the
+    unrolled version compiles ~150s on the XLA CPU backend; this one
+    compiles in well under a second. Do NOT use inside Pallas kernels
+    (dynamic_update_slice-heavy scans don't vectorize under Mosaic)."""
+    A = jnp.stack(a)                             # [L13, B]
+    Bm = jnp.stack(b)                            # [L13, B]
+    width = A.shape[-1]
+    cols = jnp.zeros((2 * L13 + 1, width), jnp.uint32)
+
+    def prod_step(cols, i):
+        ai = jax.lax.dynamic_index_in_dim(A, i, 0, keepdims=False)
+        seg = jax.lax.dynamic_slice(cols, (i, 0), (L13, width))
+        seg = seg + ai[None, :] * Bm
+        return jax.lax.dynamic_update_slice(cols, seg, (i, 0)), None
+
+    cols, _ = jax.lax.scan(prod_step, cols, jnp.arange(L13))
+    n0 = jnp.uint32(_N0_13)
+    pvec = jnp.asarray(np.array(_P13, np.uint32))[:, None]
+
+    def redc_step(cols, i):
+        ci = jax.lax.dynamic_index_in_dim(cols, i, 0, keepdims=False)
+        m = (ci * n0) & MASK13
+        seg = jax.lax.dynamic_slice(cols, (i, 0), (L13, width))
+        seg = seg + m[None, :] * pvec
+        cols = jax.lax.dynamic_update_slice(cols, seg, (i, 0))
+        ci = jax.lax.dynamic_index_in_dim(cols, i, 0, keepdims=False)
+        c1 = jax.lax.dynamic_index_in_dim(cols, i + 1, 0, keepdims=False)
+        cols = jax.lax.dynamic_update_slice(
+            cols, (c1 + (ci >> W13))[None, :], (i + 1, 0))
+        return cols, None
+
+    cols, _ = jax.lax.scan(redc_step, cols, jnp.arange(L13))
+
+    def carry_step(carry, i):
+        t = jax.lax.dynamic_index_in_dim(
+            cols, L13 + i, 0, keepdims=False) + carry
+        return t >> W13, t & MASK13
+
+    _, out = jax.lax.scan(carry_step, jnp.zeros((width,), jnp.uint32),
+                          jnp.arange(L13))
+    return [out[i] for i in range(L13)]
+
+
+def _add13(a, b):
+    out = []
+    carry = jnp.zeros_like(a[0])
+    for i in range(L13):
+        t = a[i] + b[i] + carry
+        out.append(t & MASK13)
+        carry = t >> W13
+    return out
+
+
+def _sub13(a, b):
+    """a - b + 8p (callers guarantee b < 8p, a + 8p < 2^390; result is the
+    exact nonnegative value a + 8p - b). Implemented as the two's-complement
+    addition a + 8p + ~b + 1 mod 2^390 — the wrap bit 2^390 is exactly the
+    discarded borrow, and per-limb carries in {0, 1, 2} are plain adds."""
+    out = []
+    carry = jnp.ones_like(a[0])          # the +1 of the complement
+    for i in range(L13):
+        nb = b[i] ^ MASK13
+        t = a[i] + jnp.uint32(_P8_13[i]) + nb + carry
+        out.append(t & MASK13)
+        carry = t >> W13
+    return out
+
+
+def _sub13_32(a, b):
+    """a - b + 32p — for the one mixed-add site where b = 3*Z1 can reach
+    27.3p (> the 8p offset _sub13 assumes). Result < a + 32p."""
+    out = []
+    carry = jnp.ones_like(a[0])
+    for i in range(L13):
+        nb = b[i] ^ MASK13
+        t = a[i] + jnp.uint32(_P32_13[i]) + nb + carry
+        out.append(t & MASK13)
+        carry = t >> W13
+    return out
+
+
+def _rcb_add_13(x1r, y1r, z1r, x2r, y2r, z2r, mm=None):
+    """RCB complete projective add over the 13-bit lazy field ops.
+    Inputs/outputs: 24 x 16-bit limb row lists. `mm` selects the
+    Montgomery-mul implementation (unrolled in-kernel, rolled on CPU)."""
+    x1, y1, z1 = _to13(x1r), _to13(y1r), _to13(z1r)
+    x2, y2, z2 = _to13(x2r), _to13(y2r), _to13(z2r)
+    mm, add, sub = (mm or _mm13), _add13, _sub13
+    tri = lambda v: add(add(v, v), v)
+    t0 = mm(x1, x2)
+    t1 = mm(y1, y2)
+    t2 = mm(z1, z2)
+    t3 = mm(add(x1, y1), add(x2, y2))
+    t3 = sub(t3, add(t0, t1))
+    t4 = mm(add(y1, z1), add(y2, z2))
+    t4 = sub(t4, add(t1, t2))
+    X3 = mm(add(x1, z1), add(x2, z2))
+    Y3 = sub(X3, add(t0, t2))
+    X3 = add(t0, t0)
+    t0 = add(X3, t0)
+    t2 = tri(t2)
+    Z3 = add(t1, t2)
+    t1 = sub(t1, t2)
+    Y3 = tri(Y3)
+    X3 = sub(mm(t3, t1), mm(t4, Y3))
+    Y3 = add(mm(Y3, t0), mm(t1, Z3))
+    Z3 = add(mm(Z3, t4), mm(t0, t3))
+    return _from13(X3), _from13(Y3), _from13(Z3)
+
+
+def _add_kernel_rcb13(x1, y1, z1, x2, y2, z2, pp, nn, xo, yo, zo):
+    rows = lambda ref: [ref[i, :] for i in range(L)]
+    X, Y, Z = _rcb_add_13(rows(x1), rows(y1), rows(z1),
+                          rows(x2), rows(y2), rows(z2))
+    for i in range(L):
+        xo[i, :] = X[i]
+        yo[i, :] = Y[i]
+        zo[i, :] = Z[i]
+
+
 def _rcb_add_rows_mm2(x1, y1, z1, x2, y2, z2, pp):
     """RCB complete add over the TENSORIZED-UNROLLED CIOS field ops
     (_mm2/_add2/_sub2): all values stay [L, B] vreg-dense (no [1, B]
@@ -613,6 +830,7 @@ def _g1_op(n_in: int, kernel_name: str, block: int, flavor: str = "fw"):
     kernel = {
         ("add", "rcb"): _add_kernel_rcb,
         ("add", "rcb_cios"): _add_kernel_rcb_cios,
+        ("add", "rcb13"): _add_kernel_rcb13,
         ("add", "rcb_mm2"): _add_kernel_rcb_mm2,
         ("add", "fw"): _add_kernel_fw,
         ("double", "fw"): _double_kernel_fw,
@@ -694,8 +912,10 @@ def g1_add_traced(p, q, block: int | None = None):
         return {"X": x, "Y": y, "Z": z}
     bs = lambda: pl.BlockSpec((L, block), lambda i: (0, i),
                               memory_space=pltpu.VMEM)
+    flavor = _kernel_flavor()
+    kern = _add_kernel_rcb13 if flavor == "rcb13" else _add_kernel_rcb_cios
     x, y, z = pl.pallas_call(
-        _add_kernel_rcb_cios,
+        kern,
         grid=(B // block,),
         in_specs=[bs() for _ in range(8)],
         out_specs=(bs(), bs(), bs()),
@@ -716,7 +936,7 @@ def g1_add_lm(p, q, block: int | None = None):
         block = _pick_block(B)
     flavor = _kernel_flavor()
     args = [p["X"], p["Y"], p["Z"], q["X"], q["Y"], q["Z"], _p_plane(B)]
-    if flavor in ("fw", "rcb", "rcb_cios", "rcb_mm2"):
+    if flavor in ("fw", "rcb", "rcb_cios", "rcb13", "rcb_mm2"):
         args.append(_n_plane(B))
     x, y, z = _g1_op(len(args), "add", block, flavor)(*args)
     return {"X": x, "Y": y, "Z": z}
@@ -1350,9 +1570,11 @@ def msm_g1_lm(points_lm, scalar_limbs, n: int, c: int | None = None,
         """ALL windows at once: lanes = windows x nb_pad bucket segments,
         with the whole pipeline (prep sort, bucket-accumulation fori with
         the Pallas add inlined, segmented suffix/reduce) fused into ONE
-        jitted dispatch — per-call tunnel latency otherwise dominates. On
-        CPU the eager per-round loop keeps XLA compiles small (dispatch
-        overhead is irrelevant locally)."""
+        jitted dispatch — per-call tunnel latency otherwise dominates.
+        The fused "dense" schedule is the default on every backend;
+        method="rounds" selects the eager per-round CPU loop (small XLA
+        compiles, one dispatch per round — useful when compile time
+        matters more than dispatch overhead)."""
         if method == "dense" or jax.default_backend() != "cpu":
             # "dense" = gather-free descending-count schedule (default);
             # "gather" = per-round lane-gather schedule (kept for A/B)

@@ -101,13 +101,17 @@ def fixed_base_msm_lm(base, scalars, c: int | None = None,
 
     # accumulate per-scalar across windows with a log-depth pairwise fold:
     # gather window w's contribution into lane i, fold pairs of windows.
-    partials = None
+    contribs = []
     for w in range(windows):
         digs = _extract_digits(sl, w, c)              # [n]
         idx = jnp.concatenate([w * nb + digs,
                                jnp.zeros(B - n, jnp.int32)])
         contrib = {k: jnp.take(v, idx, axis=1) for k, v in tplane.items()}
-        contrib = ep._mask_identity(contrib, jnp.arange(B) < n)
-        partials = contrib if partials is None else ep.g1_add_lm(partials,
-                                                                 contrib)
-    return ep.g1_lm_to_jac_ints(partials)[:n]
+        contribs.append(ep._mask_identity(contrib, jnp.arange(B) < n))
+    while len(contribs) > 1:
+        nxt = [ep.g1_add_lm(contribs[i], contribs[i + 1])
+               for i in range(0, len(contribs) - 1, 2)]
+        if len(contribs) % 2:
+            nxt.append(contribs[-1])
+        contribs = nxt
+    return ep.g1_lm_to_jac_ints(contribs[0])[:n]

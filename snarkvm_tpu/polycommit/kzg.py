@@ -464,7 +464,10 @@ def batch_open(srs: UniversalSRS, labeled_polys, query_set, rands, sponge):
                 affs = commit_many_dpoly(srs, "beta", 0, wits)
                 return [(a, None) for a in affs]
             except Exception:
-                pass
+                import logging
+                logging.getLogger(__name__).warning(
+                    "batched witness-MSM device path failed; falling back "
+                    "to per-point opens", exc_info=True)
     return [open_single(srs, c, p, r) for c, p, r in entries]
 
 
@@ -698,6 +701,14 @@ def commit_many_dpoly(srs, kind: str, shift: int, dps):
     from ..fields import limb as limb_mod
     import jax
     import jax.numpy as jnp
+    # _plane_window pads lanes beyond the SRS with identity-masked points,
+    # so an out-of-range polynomial would otherwise commit silently wrong
+    # (same guard commit() enforces via supported_degree).
+    max_n = max(dp.n for dp in dps)
+    if shift + max_n > srs.max_degree + 1:
+        raise ValueError(
+            f"commit_many_dpoly: shift {shift} + poly length {max_n} "
+            f"exceeds SRS degree {srs.max_degree}")
     npad = 1 << (max(dp.n for dp in dps) - 1).bit_length()
     lanes = max(ep.LANE, npad)
     window = _plane_window(srs, kind, shift, lanes)

@@ -548,6 +548,11 @@ def prove_batch(srs: kzg.UniversalSRS, keys_to_constraints, rng, mode=VarunaNonH
                         srs, "beta", shift,
                         [labeled_polys[i].poly for i in idxs])
                 except Exception:
+                    import logging
+                    logging.getLogger(__name__).warning(
+                        "grouped device commit failed for shift %d; "
+                        "falling back to per-poly commits", shift,
+                        exc_info=True)
                     continue
                 for i, a in zip(idxs, affs):
                     comms[i] = a

@@ -14,7 +14,8 @@ from __future__ import annotations
 
 from ..params import bls12_377 as P
 from ..circuit.builder import CircuitBuilder, PUBLIC, PRIVATE
-from ..circuit.types import CField, CBool, CInteger
+from ..circuit.types import (CField, CBool, CInteger, CGroup, CScalar,
+                             CAddress)
 from ..circuit import poseidon_gadget
 from ..console.types import Literal, Plaintext, INT_WIDTHS
 from ..console import network as N
@@ -40,6 +41,12 @@ def _inject(builder, lit: Literal, mode: str):
         return CircuitValue(lit, CBool.new(builder, mode, lit.value))
     if t in INT_WIDTHS:
         return CircuitValue(lit, CInteger.new(builder, mode, lit.value, INT_WIDTHS[t], t[0] == "i"))
+    if t == "group":
+        return CircuitValue(lit, CGroup.new(builder, mode, lit.value))
+    if t == "scalar":
+        return CircuitValue(lit, CScalar.new(builder, mode, lit.value))
+    if t == "address":
+        return CircuitValue(lit, CAddress.new(builder, mode, lit.value))
     raise HaltError(f"circuit injection unsupported for {t}")
 
 
@@ -60,6 +67,31 @@ class DualStack:
 
     def __init__(self, stack: Stack):
         self.stack = stack
+        # ops whose circuit side fell back to an unconstrained private
+        # witness this execution: [(opcode, type)] — exposed so callers
+        # (deployments, tests) can see exactly what is weakly constrained
+        self.weak_ops = []
+
+    def _weak_witness(self, builder, op, console):
+        """LOUD witness fallback: the console result enters the circuit as
+        an unconstrained private witness. Recorded in self.weak_ops; with
+        SNARKVM_TPU_STRICT_CIRCUIT=1 this raises instead (the reference
+        never synthesizes unconstrained ops — circuit/types/*)."""
+        import os
+        self.weak_ops.append((op, console.type_name
+                              if hasattr(console, "type_name") else "?"))
+        if os.environ.get("SNARKVM_TPU_STRICT_CIRCUIT"):
+            raise HaltError(
+                f"no circuit gadget for {op} over "
+                f"{getattr(console, 'type_name', '?')} (strict mode)")
+        import logging
+        logging.getLogger(__name__).warning(
+            "circuit fallback: %s over %s is weakly constrained",
+            op, getattr(console, "type_name", "?"))
+        try:
+            return _inject(builder, console, PRIVATE).gadget
+        except HaltError:
+            return None
 
     def execute_function(self, name: str, inputs, input_visibility=None,
                          builder: CircuitBuilder | None = None,
@@ -102,13 +134,21 @@ class DualStack:
                 continue  # futures/gadgetless values have no public exposure
             # outputs surface as public variables (response commitments in the
             # full protocol; direct exposure in the run-mode circuit)
-            pub = builder.new_public(builder.value_of(cv.gadget.lc)
-                                     if isinstance(cv.gadget, (CField, CBool))
-                                     else cv.gadget.to_field().value)
             if isinstance(cv.gadget, (CField, CBool)):
+                pub = builder.new_public(builder.value_of(cv.gadget.lc))
                 builder.assert_eq(cv.gadget.lc, pub)
+            elif isinstance(cv.gadget, CGroup):
+                for coord in (cv.gadget.x, cv.gadget.y):
+                    pub = builder.new_public(coord.value)
+                    builder.assert_eq(coord.lc, pub)
+            elif isinstance(cv.gadget, CAddress):
+                for coord in (cv.gadget.group.x, cv.gadget.group.y):
+                    pub = builder.new_public(coord.value)
+                    builder.assert_eq(coord.lc, pub)
             else:
-                builder.assert_eq(cv.gadget.to_field().lc, pub)
+                f = cv.gadget.to_field()
+                pub = builder.new_public(f.value)
+                builder.assert_eq(f.lc, pub)
         assert builder.is_satisfied(), "circuit not satisfied after execution"
         return outputs, builder
 
@@ -122,32 +162,98 @@ class DualStack:
     def _execute(self, builder, inst, regs):
         op = inst.opcode
         ld = lambda o: self._load(builder, regs, o)
-        if op in ("add", "add.w", "sub", "sub.w", "mul", "mul.w"):
+        if op in ("add", "add.w", "sub", "sub.w", "mul", "mul.w",
+                  "div", "div.w", "rem", "rem.w", "mod"):
             a, b = ld(inst.operands[0]), ld(inst.operands[1])
             t = a.literal.type_name
             from . import interpreter as I
-            console = {"add": I.op_add, "add.w": I.op_add_wrapped, "sub": I.op_sub,
-                       "sub.w": I.op_sub_wrapped, "mul": I.op_mul, "mul.w": I.op_mul_wrapped}[op](a.literal, b.literal)
-            if t == "field":
-                gadget = {"add": lambda: a.gadget + b.gadget, "sub": lambda: a.gadget - b.gadget,
-                          "mul": lambda: a.gadget * b.gadget}[op.split(".")[0]]()
+            console = {"add": I.op_add, "add.w": I.op_add_wrapped,
+                       "sub": I.op_sub, "sub.w": I.op_sub_wrapped,
+                       "mul": I.op_mul, "mul.w": I.op_mul_wrapped,
+                       "div": I.op_div, "div.w": I.op_div_wrapped,
+                       "rem": I.op_rem, "rem.w": I.op_rem_wrapped,
+                       "mod": I.op_modulo}[op](a.literal, b.literal)
+            if t == "field" and op in ("add", "sub", "mul", "div"):
+                gadget = {"add": lambda: a.gadget + b.gadget,
+                          "sub": lambda: a.gadget - b.gadget,
+                          "mul": lambda: a.gadget * b.gadget,
+                          "div": lambda: a.gadget.div(b.gadget)}[op]()
+            elif t == "group" and op in ("add", "sub") and \
+                    isinstance(a.gadget, CGroup):
+                gadget = (a.gadget + b.gadget) if op == "add" \
+                    else (a.gadget - b.gadget)
+            elif t == "scalar" and op == "add" and \
+                    isinstance(a.gadget, CScalar):
+                gadget = a.gadget + b.gadget
+            elif op == "mul" and isinstance(a.gadget, CGroup) and \
+                    isinstance(b.gadget, CScalar):
+                gadget = a.gadget.mul_scalar(b.gadget)
+            elif op == "mul" and isinstance(a.gadget, CScalar) and \
+                    isinstance(b.gadget, CGroup):
+                gadget = b.gadget.mul_scalar(a.gadget)
             elif t in INT_WIDTHS and isinstance(a.gadget, CInteger):
                 ag, bg = a.gadget, b.gadget
-                if op == "add" and t[0] == "u":
-                    gadget = ag.add_checked(bg)
-                elif op == "add.w":
-                    gadget = ag.add_wrapped(bg)
-                elif op == "sub" and t[0] == "u":
-                    gadget = ag.sub_checked(bg)
-                elif op == "sub.w":
-                    gadget = ag.sub_wrapped(bg)
-                elif op == "mul.w":
-                    gadget = ag.mul_wrapped(bg)
-                else:
-                    gadget = _inject(builder, console, PRIVATE).gadget
+                gadget = {"add": ag.add_checked, "add.w": ag.add_wrapped,
+                          "sub": ag.sub_checked, "sub.w": ag.sub_wrapped,
+                          "mul": ag.mul_checked, "mul.w": ag.mul_wrapped,
+                          "div": ag.div_checked, "div.w": ag.div_wrapped,
+                          "rem": ag.rem_checked, "rem.w": ag.rem_wrapped,
+                          "mod": ag.modulo}[op](bg)
             else:
-                # fall back: re-inject the console result as a private witness
-                gadget = _inject(builder, console, PRIVATE).gadget
+                gadget = self._weak_witness(builder, op, console)
+            regs[inst.destinations[0]] = CircuitValue(console, gadget)
+            return
+        if op in ("pow", "pow.w"):
+            a, b = ld(inst.operands[0]), ld(inst.operands[1])
+            t = a.literal.type_name
+            from . import interpreter as I
+            console = (I.op_pow if op == "pow" else I.op_pow_wrapped)(
+                a.literal, b.literal)
+            if t == "field" and op == "pow" and isinstance(a.gadget, CField):
+                gadget = a.gadget.pow_var(b.gadget)
+            elif t in INT_WIDTHS and isinstance(a.gadget, CInteger) \
+                    and isinstance(b.gadget, CInteger):
+                gadget = (a.gadget.pow_checked if op == "pow"
+                          else a.gadget.pow_wrapped)(b.gadget)
+            else:
+                gadget = self._weak_witness(builder, op, console)
+            regs[inst.destinations[0]] = CircuitValue(console, gadget)
+            return
+        if op in ("abs", "abs.w", "neg"):
+            a = ld(inst.operands[0])
+            t = a.literal.type_name
+            from . import interpreter as I
+            console = {"abs": I.op_abs, "abs.w": I.op_abs_wrapped,
+                       "neg": I.op_neg}[op](a.literal)
+            if t == "field" and op == "neg":
+                gadget = -a.gadget
+            elif t == "group" and op == "neg" and isinstance(a.gadget, CGroup):
+                gadget = a.gadget.neg()
+            elif t in INT_WIDTHS and isinstance(a.gadget, CInteger):
+                gadget = {"abs": a.gadget.abs_checked,
+                          "abs.w": a.gadget.abs_wrapped,
+                          "neg": a.gadget.neg_checked}[op]()
+            else:
+                gadget = self._weak_witness(builder, op, console)
+            regs[inst.destinations[0]] = CircuitValue(console, gadget)
+            return
+        if op in ("shl", "shr") and isinstance(ld(inst.operands[0]).gadget, CInteger) \
+                and isinstance(ld(inst.operands[1]).gadget, CInteger):
+            a, b = ld(inst.operands[0]), ld(inst.operands[1])
+            from . import interpreter as I
+            console = (I.op_shl if op == "shl" else I.op_shr)(a.literal, b.literal)
+            gadget = (a.gadget.shl_checked if op == "shl"
+                      else a.gadget.shr_checked)(b.gadget)
+            regs[inst.destinations[0]] = CircuitValue(console, gadget)
+            return
+        if op == "sqrt":
+            a = ld(inst.operands[0])
+            from . import interpreter as I
+            console = I.op_sqrt(a.literal)
+            if isinstance(a.gadget, CField):
+                gadget = a.gadget.sqrt()
+            else:
+                gadget = self._weak_witness(builder, op, console)
             regs[inst.destinations[0]] = CircuitValue(console, gadget)
             return
         if op in ("and", "or", "xor", "nand", "nor") and \
@@ -210,12 +316,14 @@ class DualStack:
                                                    bits, rbits)
                     gadget = _hash_dest_cast(builder, x, dest_type, console)
                 except (AssertionError, NotImplementedError):
-                    gadget = _inject(builder, console, PRIVATE).gadget
+                    gadget = self._weak_witness(builder, op, console)
             else:
-                gadget = _inject(builder, console, PRIVATE).gadget
+                gadget = self._weak_witness(builder, op, console)
             regs[inst.destinations[0]] = CircuitValue(console, gadget)
             return
-        if op in ("lt", "lte", "gt", "gte") and isinstance(ld(inst.operands[0]).gadget, CInteger):
+        if op in ("lt", "lte", "gt", "gte") and \
+                isinstance(ld(inst.operands[0]).gadget,
+                           (CInteger, CField, CScalar, CAddress)):
             a, b = ld(inst.operands[0]), ld(inst.operands[1])
             from . import interpreter as I
             console = {"lt": I.op_lt, "lte": I.op_lte, "gt": I.op_gt, "gte": I.op_gte}[op](a.literal, b.literal)
@@ -231,20 +339,29 @@ class DualStack:
                 gadget = {"double": lambda: a.gadget + a.gadget,
                           "square": lambda: a.gadget.square(),
                           "inv": lambda: a.gadget.inverse()}[op]()
+            elif a.literal.type_name == "group" and op == "double" and \
+                    isinstance(a.gadget, CGroup):
+                gadget = a.gadget.double()
             else:
-                gadget = _inject(builder, console, PRIVATE).gadget
+                gadget = self._weak_witness(builder, op, console)
             regs[inst.destinations[0]] = CircuitValue(console, gadget)
             return
-        if op == "is.eq":
+        if op in ("is.eq", "is.neq"):
             a, b = ld(inst.operands[0]), ld(inst.operands[1])
             from . import interpreter as I
-            eq_console = Literal("boolean", I.plaintext_eq(a.literal, b.literal))
-            if isinstance(a.gadget, CField):
+            eqv = I.plaintext_eq(a.literal, b.literal)
+            eq_console = Literal("boolean", eqv if op == "is.eq" else not eqv)
+            if isinstance(a.gadget, (CField, CInteger, CGroup, CScalar,
+                                     CAddress)) and type(a.gadget) is type(b.gadget):
                 gadget = a.gadget.is_equal(b.gadget)
-            elif isinstance(a.gadget, CInteger):
-                gadget = a.gadget.is_equal(b.gadget)
-            else:
+            elif isinstance(a.gadget, CBool) and isinstance(b.gadget, CBool):
                 gadget = ~(a.gadget ^ b.gadget)
+            else:
+                regs[inst.destinations[0]] = CircuitValue(
+                    eq_console, self._weak_witness(builder, op, eq_console))
+                return
+            if op == "is.neq":
+                gadget = ~gadget
             regs[inst.destinations[0]] = CircuitValue(eq_console, gadget)
             return
         if op in ("assert.eq", "assert.neq"):
@@ -258,8 +375,12 @@ class DualStack:
                     a.gadget.assert_eq(b.gadget)
                 else:
                     a.gadget.is_equal(b.gadget).__invert__().assert_true()
-            elif isinstance(a.gadget, CInteger):
+            elif isinstance(a.gadget, (CInteger, CGroup, CScalar, CAddress)) \
+                    and type(a.gadget) is type(b.gadget):
                 flag = a.gadget.is_equal(b.gadget)
+                (flag if op == "assert.eq" else ~flag).assert_true()
+            elif isinstance(a.gadget, CBool) and isinstance(b.gadget, CBool):
+                flag = ~(a.gadget ^ b.gadget)
                 (flag if op == "assert.eq" else ~flag).assert_true()
             return
         if op == "ternary":
@@ -268,10 +389,15 @@ class DualStack:
             console = I.op_ternary(c.literal, a.literal, b.literal)
             if isinstance(a.gadget, CField):
                 gadget = a.gadget.ternary(c.gadget, b.gadget)
-            elif isinstance(a.gadget, CInteger) and isinstance(c.gadget, CBool):
+            elif isinstance(a.gadget, (CInteger, CGroup, CScalar, CAddress)) \
+                    and isinstance(c.gadget, CBool) \
+                    and type(a.gadget) is type(b.gadget):
                 gadget = a.gadget.ternary(c.gadget, b.gadget)
+            elif isinstance(a.gadget, CBool) and isinstance(c.gadget, CBool):
+                from ..circuit.types import _bool_select
+                gadget = _bool_select(builder, c.gadget, a.gadget, b.gadget)
             else:
-                gadget = _inject(builder, console, PRIVATE).gadget
+                gadget = self._weak_witness(builder, op, console)
             regs[inst.destinations[0]] = CircuitValue(console, gadget)
             return
         if op in ("hash.psd2", "hash.psd4", "hash.psd8"):
@@ -287,7 +413,7 @@ class DualStack:
                 out = poseidon_gadget.hash_psd(builder, rate, cfields)[0]
                 gadget = _hash_dest_cast(builder, out, dest_type, console)
             else:
-                gadget = _inject(builder, console, PRIVATE).gadget
+                gadget = self._weak_witness(builder, op, console)
             regs[inst.destinations[0]] = CircuitValue(console, gadget)
             return
         if op.startswith(("hash.bhp", "hash.ped", "hash.keccak", "hash.sha3")):
@@ -321,15 +447,16 @@ class DualStack:
                 except (AssertionError, NotImplementedError):
                     # input shape outside the single-block gadget (multi-
                     # block BHP chaining is a follow-up) -> witness fallback
-                    gadget = _inject(builder, console, PRIVATE).gadget
+                    gadget = self._weak_witness(builder, op, console)
             else:
-                gadget = _inject(builder, console, PRIVATE).gadget
+                gadget = self._weak_witness(builder, op, console)
             regs[inst.destinations[0]] = CircuitValue(console, gadget)
             return
         # Generic fallback: run the instruction console-side through the
         # Stack dispatcher and re-inject results as private witnesses. This
-        # keeps every console opcode circuit-executable (weakly constrained;
-        # per-opcode gadgets replace these as they land).
+        # keeps every console opcode circuit-executable, but LOUDLY weakly
+        # constrained (self.weak_ops + warning; SNARKVM_TPU_STRICT_CIRCUIT
+        # raises) — per-opcode gadgets replace these as they land.
         from .process import Registers
         creg = Registers()
         for name, cv in regs.items():
@@ -344,22 +471,33 @@ class DualStack:
                 # console-side only
                 regs[d] = CircuitValue(raw, None)
                 continue
-            try:
-                gadget = _inject(builder, lit, PRIVATE).gadget
-            except HaltError:
-                gadget = None  # non-injectable type; console value still flows
-            regs[d] = CircuitValue(lit, gadget)
+            regs[d] = CircuitValue(lit, self._weak_witness(builder, op, lit))
 
 
 def prove_run(srs, stack: Stack, function: str, inputs, rng, mode=None):
     """Package::run analog (SURVEY.md §3.5): dual-execute + Varuna-prove.
-    Returns (outputs, proof, vk, public_inputs)."""
+    Returns (outputs, proof, vk, public_inputs). With srs=None a test SRS
+    sized to the synthesized circuit is created (dev CLI path)."""
     from ..snark import varuna
     mode = mode or varuna.VarunaNonHidingMode
     dual = DualStack(stack)
     outputs, builder = dual.execute_function(function, inputs)
     synth = builder.to_synthesizer()
+    if srs is None:
+        from ..polycommit import kzg
+
+        def pow2(n):
+            return 1 << max(1, (n - 1).bit_length())
+
+        cd = pow2(builder.num_constraints)
+        vd = pow2(builder.num_public + builder.num_private)
+        nz = pow2(max(
+            sum(len(abc[i].terms) + (1 if abc[i].constant else 0)
+                for abc in builder.constraints)
+            for i in range(3)))
+        need = max(2 * cd + 4, 2 * vd + 6, nz, 1 << 12)
+        srs = kzg.test_srs(1 << (need - 1).bit_length())
     pk, vk = varuna.circuit_setup(srs, synth, mode)
     proof = varuna.prove_batch(srs, [(pk, [synth])], rng, mode)
     public = [1] + builder.public[1:]
-    return outputs, proof, vk, public
+    return outputs, proof, vk, public, srs

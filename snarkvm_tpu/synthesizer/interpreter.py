@@ -198,9 +198,10 @@ def op_sqrt(a):
     s = Fr(a.value).sqrt()
     if s is None:
         raise HaltError("field is not a square")
-    # console square_root returns the EVEN root? (even_square_root semantics)
+    # console SquareRoot returns the bitwise-LESSER of the two roots
+    # (console/types/field/src/arithmetic.rs:243: sqrt <= -sqrt)
     v = s.v
-    return Literal("field", (R - v) if (v & 1) else v)
+    return Literal("field", min(v, (R - v) % R))
 
 
 def op_inv(a):

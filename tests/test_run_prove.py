@@ -37,7 +37,7 @@ def test_dual_execution_consistency():
 def test_prove_run_end_to_end():
     srs = kzg.test_srs(64)
     stack = Stack(parse_program(PROGRAM))
-    outputs, proof, vk, public = prove_run(srs, stack, "compute", ["3field", "5field"], rng)
+    outputs, proof, vk, public, _ = prove_run(srs, stack, "compute", ["3field", "5field"], rng)
     assert outputs[0].literal.value == 400
     assert varuna.verify_batch(srs, [(vk, [public])], proof)
     bad = list(public)
