@@ -875,7 +875,8 @@ def read_authority(r: Reader) -> Authority:
         pr_sig = r.group()
         return Authority(0, signature=(challenge, response, pk_sig, pr_sig))
     if variant == 1:
-        raise NotImplementedError("subdag authority parsing not yet wired")
+        from .narwhal_io import read_subdag
+        return Authority(1, subdag=read_subdag(r))
     raise ValueError(f"bad authority variant {variant}")
 
 
@@ -888,7 +889,8 @@ def write_authority(w: Writer, a: Authority) -> None:
         w.group(pk_sig)
         w.group(pr_sig)
     else:
-        raise NotImplementedError("subdag authority serialization not yet wired")
+        from .narwhal_io import write_subdag
+        write_subdag(w, a.subdag)
 
 
 @dataclass

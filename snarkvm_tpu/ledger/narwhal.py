@@ -81,6 +81,21 @@ class Transmission:
         return TransmissionID(self.kind, id, checksum or 0)
 
 
+def _tid_bytes(tid: TransmissionID) -> bytes:
+    """TransmissionID wire bytes (narwhal/transmission-id/src/bytes.rs):
+    variant u8; Solution -> u64 id + u128 checksum; Transaction ->
+    field id (32B) + u128 checksum."""
+    if tid.kind == "ratification":
+        return bytes([0])
+    if tid.kind == "solution":
+        return (bytes([1]) + int(tid.id).to_bytes(8, "little")
+                + int(tid.checksum).to_bytes(16, "little"))
+    if tid.kind == "transaction":
+        return (bytes([2]) + int(tid.id).to_bytes(32, "little")
+                + int(tid.checksum).to_bytes(16, "little"))
+    raise ValueError(f"bad transmission kind {tid.kind}")
+
+
 @dataclass
 class BatchHeader:
     author: int                # address x-coordinate
@@ -89,20 +104,44 @@ class BatchHeader:
     committee_id: int
     transmission_ids: list
     previous_certificate_ids: list
-    signature: object = None
+    signature: object = None   # console.account.Signature over [batch_id]
 
     def batch_id(self) -> int:
-        bits = int_to_bits_le(self.author, 253)
-        bits += int_to_bits_le(self.round, 64)
-        bits += int_to_bits_le(self.timestamp % (1 << 64), 64)
-        bits += int_to_bits_le(self.committee_id, 253)
-        bits += int_to_bits_le(len(self.transmission_ids), 32)
+        """compute_batch_id (batch-header/src/to_id.rs:33): BHP1024 over
+        the LE bits of the byte preimage: author(32) ++ round u64 ++
+        timestamp i64 ++ committee_id(32) ++ u32 #tids ++ tid wire bytes
+        ++ u32 #prev_cert_ids ++ cert id fields(32 each)."""
+        pre = bytearray()
+        pre += int(self.author).to_bytes(32, "little")
+        pre += int(self.round).to_bytes(8, "little")
+        pre += int(self.timestamp % (1 << 64)).to_bytes(8, "little")
+        pre += int(self.committee_id).to_bytes(32, "little")
+        pre += len(self.transmission_ids).to_bytes(4, "little")
         for tid in self.transmission_ids:
-            bits += int_to_bits_le(tid.id % (1 << 64), 64)
-        bits += int_to_bits_le(len(self.previous_certificate_ids), 32)
+            pre += _tid_bytes(tid)
+        pre += len(self.previous_certificate_ids).to_bytes(4, "little")
         for cid in self.previous_certificate_ids:
-            bits += int_to_bits_le(cid, 253)
-        return N.hash_bhp(1024, bits)
+            pre += int(cid).to_bytes(32, "little")
+        return N.hash_bhp(1024, bytes_to_bits_le(bytes(pre)))
+
+    @classmethod
+    def new(cls, private_key, round: int, timestamp: int, committee_id: int,
+            transmission_ids, previous_certificate_ids, rng):
+        """BatchHeader::new (batch-header/src/lib.rs:120): sign [batch_id]
+        with the author's account key."""
+        from ..console.account import Signature
+        author = private_key.to_address()[0]
+        hdr = cls(author, round, timestamp, committee_id,
+                  list(transmission_ids), list(previous_certificate_ids))
+        hdr.signature = Signature.sign(private_key, [hdr.batch_id()], rng)
+        return hdr
+
+    def verify_signature(self) -> bool:
+        from ..console.types import _group_from_x
+        if self.signature is None:
+            return False
+        return self.signature.verify(_group_from_x(self.author),
+                                     [self.batch_id()])
 
     def validate(self) -> bool:
         return (len(self.transmission_ids) <= MAX_TRANSMISSIONS_PER_BATCH
@@ -112,16 +151,43 @@ class BatchHeader:
 @dataclass
 class BatchCertificate:
     header: BatchHeader
-    signatures: list           # [(address_x, signature)]
+    signatures: list           # [console.account.Signature] over [batch_id]
 
     def certificate_id(self) -> int:
-        bits = int_to_bits_le(self.header.batch_id(), 253)
-        for addr, _ in self.signatures:
-            bits += int_to_bits_le(addr, 253)
-        return N.hash_bhp(1024, bits)
+        """The certificate ID IS the batch ID
+        (batch-certificate/src/lib.rs:99 `id()`)."""
+        return self.header.batch_id()
+
+    def verify_signatures(self) -> bool:
+        """batch-certificate/src/lib.rs:53 — every signature verifies
+        against its own recovered address over [batch_id], signers are
+        unique and exclude the author."""
+        bid = self.header.batch_id()
+        if not self.signatures:
+            return False
+        seen = set()
+        for sig in self.signatures:
+            addr = sig.compute_key.to_address()
+            if addr[0] == self.header.author or addr[0] in seen:
+                return False
+            seen.add(addr[0])
+            if not sig.verify(addr, [bid]):
+                return False
+        return self.header.verify_signature()
+
+    def signer_xs(self):
+        """Signer address x-coords. Accepts console Signature objects
+        (wire form) or legacy (addr_x, sig) tuples (test helpers)."""
+        out = []
+        for sig in self.signatures:
+            if isinstance(sig, tuple):
+                out.append(sig[0])
+            else:
+                out.append(sig.compute_key.to_address()[0])
+        return out
 
     def is_quorum_signed(self, committee: Committee) -> bool:
-        signers = {addr for addr, _ in self.signatures} | {self.header.author}
+        signers = set(self.signer_xs()) | {self.header.author}
         return committee.is_quorum_threshold_reached(signers)
 
 
