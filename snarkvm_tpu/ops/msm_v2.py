@@ -169,8 +169,12 @@ def signed_digits(slimbs, c, W):
 # ---------------------------------------------------------------------------
 
 class Geometry:
-    """Static per-window layout: window w has nb_w real buckets spread
-    over nb_v virtual lanes as R_w = nb_v/nb_w interleaved replicas."""
+    """Static per-window layout: window w has nb real buckets spread
+    over nb_v virtual lanes as R = nb_v/nb interleaved replicas (R > 1
+    only when nb < the 128-lane minimum). All windows share the same
+    bucket count so every reduction dispatch runs at ONE constant width
+    — the whole MSM uses exactly two Mosaic kernel shapes (the mixed-add
+    accumulator and the full add), keeping TPU compile time flat."""
 
     def __init__(self, n: int, c: int, num_bits: int = NUM_BITS,
                  cap: int | None = None):
@@ -178,41 +182,28 @@ class Geometry:
         self.W = (num_bits + c - 1) // c
         self.nb = 1 << (c - 1)
         self.nb_v = max(self.nb, LANE)
-        # top window magnitude bound: raw < 2^top_bits, +carry
-        top_bits = num_bits - c * (self.W - 1)
-        top_max = 1 << top_bits          # mag <= 2^top_bits (with carry)
-        self.nb_ws = []
-        for w in range(self.W):
-            nb_w = self.nb if w < self.W - 1 else min(self.nb, top_max)
-            nb_w = max(nb_w, 1)
-            # round up to a power of two so R_w is a power of two
-            nb_w = 1 << (nb_w - 1).bit_length()
-            self.nb_ws.append(min(nb_w, self.nb_v))
-        self.R_ws = [self.nb_v // nb_w for nb_w in self.nb_ws]
+        self.nb_ws = [self.nb] * self.W
+        self.R = self.nb_v // self.nb
+        self.R_ws = [self.R] * self.W
         self.lanes = self.W * self.nb_v
         if cap is None:
             # expected max virtual-bucket count: lambda + 5*sqrt(lambda)
             # over ~lanes Poisson bins, padded ~12%
-            lam = max(n / self.nb, 1.0)
+            lam = max(n / self.nb_v, 1.0)
             cap = int(lam + 5.0 * math.sqrt(lam) + 8)
         self.cap = cap
 
     def maps(self):
-        """Static per-lane numpy maps: real-bucket key index and r0 base."""
-        key_of_lane = np.zeros(self.lanes, np.int32)   # w*(nb+1) + bucket
-        rep_of_lane = np.zeros(self.lanes, np.int32)
-        R_of_lane = np.zeros(self.lanes, np.int32)
-        weight_ok = np.zeros(self.lanes, bool)
-        for w in range(self.W):
-            nb_w, R_w = self.nb_ws[w], self.R_ws[w]
-            base = w * self.nb_v
-            lane = np.arange(self.nb_v)
-            rep = lane // nb_w
-            b = lane % nb_w
-            key_of_lane[base:base + self.nb_v] = w * (self.nb + 1) + b
-            rep_of_lane[base:base + self.nb_v] = rep
-            R_of_lane[base:base + self.nb_v] = R_w
-            weight_ok[base:base + self.nb_v] = True
+        """Static per-lane numpy maps: real-bucket key index, replica."""
+        lane = np.arange(self.lanes)
+        w = lane // self.nb_v
+        off = lane % self.nb_v
+        rep = (off // self.nb).astype(np.int32)
+        b = (off % self.nb).astype(np.int32)
+        key_of_lane = (w * (self.nb + 1) + b).astype(np.int32)
+        rep_of_lane = rep
+        R_of_lane = np.full(self.lanes, self.R, np.int32)
+        weight_ok = np.ones(self.lanes, bool)
         return key_of_lane, rep_of_lane, R_of_lane, weight_ok
 
 
@@ -452,64 +443,44 @@ def _msm_v2_raw(geo: Geometry, B: int):
                                  (ident["X"], ident["Y"], ident["Z"]))
         acc = {"X": acc3[0], "Y": acc3[1], "Z": acc3[2]}
 
-        # replica folds: window w's lanes are [w*nb_v, (w+1)*nb_v) with
-        # layout rep*nb_w + b — fold upper replica half onto lower.
-        # Folding happens globally level by level: at level i every window
-        # whose current width exceeds its nb_w folds; others pass through
-        # untouched (their upper halves are never read again).
-        for w in range(W):
-            R_w, nb_w = geo.R_ws[w], geo.nb_ws[w]
-            if R_w == 1:
-                continue
-            base = w * nb_v
-            width = nb_v
-            while width > nb_w:
-                half = width // 2
-                lo = {k: v[:, base:base + half] for k, v in acc.items()}
-                hi = {k: v[:, base + half:base + width]
-                      for k, v in acc.items()}
-                s = _g1_add_lazy(lo, hi)
-                acc = {k: jax.lax.dynamic_update_slice(
-                    v, s[k], (0, base)) for k, v in acc.items()}
-                width = half
+        # --- reduction, every dispatch at the SAME [L, lanes] width ---
+        # (one Mosaic full-add kernel shape reused ~2*log2(nb_v)+log2(R)
+        # times; per-level lane masks are static numpy bools and the
+        # shifted operand is a jnp.roll — wrap-around lanes are masked
+        # to identity so cross-window contamination never lands)
+        off = np.arange(lanes) % nb_v
 
-        # mask stale lanes (beyond each window's nb_w buckets) to identity
-        live = np.zeros(lanes, bool)
-        for w in range(W):
-            live[w * nb_v: w * nb_v + geo.nb_ws[w]] = True
-        acc = ep._mask_identity(acc, jnp.asarray(live))
+        def masked_shift_add(acc, step, keep):
+            shifted = {k: jnp.roll(v, -step, axis=1) for k, v in acc.items()}
+            shifted = ep._mask_identity(shifted, jnp.asarray(keep))
+            return _g1_add_lazy(acc, shifted)
 
-        # GLOBAL weighted tree: per window, T = sum_j (j+1) S_j over the
-        # nb_v bucket slots (identity slots contribute identity). (T, S)
-        # pair recursion: T = T_L + T_U + half*S_U, S = S_L + S_U — O(nb)
-        # EC adds total instead of the O(nb log nb) suffix scan. All
-        # windows reduce in parallel on the flat lane axis.
-        T = acc
-        S = acc
-        m = nb_v
-        while m > 1:
-            half = m // 2
-            nseg = W          # T/S width is always W*m at loop entry
+        # replica folds (layout rep*nb + b): fold upper replica halves on
+        r = geo.R
+        while r > 1:
+            half = r // 2
+            step = half * nb
+            acc = masked_shift_add(acc, step, off < step)
+            r = half
+        if geo.R > 1:
+            # lanes beyond the first replica are stale — mask to identity
+            acc = ep._mask_identity(acc, jnp.asarray(off < nb))
 
-            def split(d):
-                r = {k: v.reshape(L, nseg, m) for k, v in d.items()}
-                lo = {k: v[:, :, :half].reshape(L, nseg * half)
-                      for k, v in r.items()}
-                hi = {k: v[:, :, half:].reshape(L, nseg * half)
-                      for k, v in r.items()}
-                return lo, hi
+        # suffix scan: SS_i = sum_{j>=i} S_j per window (Hillis-Steele);
+        # then T_w = sum_i SS_i = sum_j (j+1) S_j via a tree sum.
+        step = 1
+        while step < nb_v:
+            acc = masked_shift_add(acc, step, off + step < nb_v)
+            step *= 2
+        step = 1
+        while step < nb_v:
+            keep = (off % (2 * step) == 0) & (off + step < nb_v)
+            acc = masked_shift_add(acc, step, keep)
+            step *= 2
 
-            TL, TU = split(T)
-            SL, SU = split(S)
-            sh = SU
-            for _ in range(int(math.log2(half))):
-                sh = _g1_add_lazy(sh, sh)
-            T = _g1_add_lazy(_g1_add_lazy(TL, TU), sh)
-            S = _g1_add_lazy(SL, SU)
-            m = half
-
-        # T is [L, W] — one weighted sum per window
-        sums = ep._pad_lanes(T, LANE)
+        # window totals live in each window's lane 0
+        sums = {k: v[:, ::nb_v] for k, v in acc.items()}
+        sums = ep._pad_lanes(sums, LANE)
         return sums["X"], sums["Y"], sums["Z"], dropped
 
     return run
