@@ -115,6 +115,40 @@ def bench_msm_tpu():
     }))
 
 
+def bench_msm_v2():
+    """MSM v2 on the chip (ops/msm_v2.py): signed-digit Pippenger with
+    the grid-fused mixed-add accumulator + constant-width reduction.
+    vs_baseline: 1.0 = ~25 Mpoint/s (sppark on A100, 2^20 — the
+    BASELINE.json comparator's low end)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from snarkvm_tpu.ops import msm_v2 as m2
+    from snarkvm_tpu.curves import sw_fast as g1f
+    from snarkvm_tpu.params import bls12_377 as P
+
+    n = 1 << int(os.environ.get("MSM_LOG2", "16"))
+    base = g1f.from_affine((P.G1_GENERATOR_X, P.G1_GENERATOR_Y))
+    cycle, cur = [], base
+    for _ in range(min(n, 256)):
+        cycle.append(g1f.to_affine(cur))
+        cur = g1f.jac_add(cur, g1f.jac_double(cur))
+    tbl256, _ = m2.pack_points_u16(cycle)
+    reps = (n + len(cycle) - 1) // len(cycle)
+    tbl = jnp.asarray(np.tile(np.asarray(tbl256), (reps, 1))[:n])
+    rng_np = np.random.default_rng(9)
+    sl = rng_np.integers(0, 1 << 16, size=(n, 16), dtype=np.uint32)
+    sl[:, 15] &= 0x0FFF                    # scalars < 2^252 < r
+    sl = jnp.asarray(sl)
+    m2.msm_g1_v2(tbl, sl, n)               # compile warm-up
+    dt = min(_timed(lambda: m2.msm_g1_v2(tbl, sl, n)) for _ in range(3))
+    rate = n / dt / 1e6
+    print(json.dumps({
+        "metric": f"msm_g1_tpu_v2_2^{n.bit_length()-1}_points_per_s",
+        "value": round(rate, 4), "unit": "Mpoint/s",
+        "vs_baseline": round(rate / 25.0, 4),
+    }))
+
+
 def bench_varuna():
     """Full Varuna prove throughput (the BASELINE.json 'proofs/min'
     family): one R1CS multiplication chain at VARUNA_LOG2 constraints,
@@ -162,7 +196,7 @@ def bench_varuna():
 
 
 def main():
-    metric = os.environ.get("METRIC", "ntt")
+    metric = os.environ.get("METRIC", "all")
     if metric == "varuna":
         return bench_varuna()
     if metric == "poseidon":
@@ -171,6 +205,24 @@ def main():
         return bench_msm_host()
     if metric == "msm_tpu":
         return bench_msm_tpu()
+    if metric == "msm_v2":
+        return bench_msm_v2()
+    if metric == "all":
+        # the full north-star metric set, one JSON line each (failures
+        # are reported on stderr and skip the line, so one bad metric
+        # never hides the others)
+        import traceback
+        for fn in (bench_ntt, bench_msm_v2, bench_varuna, bench_poseidon):
+            try:
+                fn()
+            except Exception:
+                print(f"[bench] {fn.__name__} failed:", file=sys.stderr)
+                traceback.print_exc()
+        return
+    return bench_ntt()
+
+
+def bench_ntt():
     import jax
 
     log_n = int(os.environ.get("NTT_SIZE", "18"))

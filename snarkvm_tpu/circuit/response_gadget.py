@@ -36,6 +36,15 @@ def _plaintext_bit_stream(gadget, type_name: str, marker: bool):
     elif type_name in INT_WIDTHS:
         payload = list(gadget.bits)
         size = INT_WIDTHS[type_name]
+    elif type_name in ("address", "group"):
+        # console bit layout: the x-coordinate's 253 canonical bits
+        from .types import CAddress, CGroup
+        grp = gadget.group if isinstance(gadget, CAddress) else gadget
+        payload = grp.x.to_bits_le(253, canonical=True)
+        size = 253
+    elif type_name == "scalar":
+        payload = list(gadget.bits)
+        size = 251
     else:
         raise NotImplementedError(f"plaintext packing for {type_name}")
 

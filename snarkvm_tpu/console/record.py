@@ -205,3 +205,60 @@ def _plaintext_from_bits(bits, pos):
         pos += esize
         elems.append(sub)
     return Plaintext.array(elems), pos
+
+
+def record_from_str(s: str) -> Record:
+    """Parse the plaintext-record text form
+    `{ owner: aleo1...private, name: value.visibility, ...,
+       _nonce: 0group.public }`
+    (console/program/src/data/record/parse_plaintext.rs). Entry values
+    are plaintext literals with a trailing `.constant/.public/.private`
+    visibility suffix; `_nonce` is a group literal (always public)."""
+    from .types import literal_from_str, Identifier, _group_from_x
+    s = s.strip()
+    if not (s.startswith("{") and s.endswith("}")):
+        raise ValueError("record text must be { ... }")
+    body = s[1:-1]
+    # split on top-level commas (no nested structs inside record entries
+    # in the plaintext form used by the corpus; nested braces handled)
+    parts, depth, cur = [], 0, []
+    for ch in body:
+        if ch in "{[":
+            depth += 1
+        elif ch in "}]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    owner = None
+    owner_vis = "private"
+    nonce = None
+    data = []
+    for part in parts:
+        name, _, val = part.partition(":")
+        name = name.strip()
+        val = val.strip()
+        if name == "_nonce":
+            lit_s, _, vis = val.rpartition(".")
+            lit = literal_from_str(lit_s)
+            assert lit.type_name == "group", "nonce must be a group"
+            nonce = lit.value
+            continue
+        lit_s, _, vis = val.rpartition(".")
+        if vis not in ("constant", "public", "private"):
+            raise ValueError(f"entry {name}: missing visibility suffix")
+        lit = literal_from_str(lit_s)
+        if name == "owner":
+            assert lit.type_name == "address"
+            owner = lit.value
+            owner_vis = vis
+            continue
+        data.append((Identifier(name),
+                     Entry(vis, Plaintext("literal", lit))))
+    if owner is None or nonce is None:
+        raise ValueError("record text requires owner and _nonce")
+    return Record(owner, owner_vis, data, nonce)

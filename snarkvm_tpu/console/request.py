@@ -104,7 +104,11 @@ class Request:
                 input_ids.append(InputID(vis, (h,)))
             elif vis == "record":
                 assert isinstance(inp, Record)
-                assert inp.owner == signer, "input record must belong to the signer"
+                if inp.owner != signer:
+                    from ..synthesizer.interpreter import HaltError
+                    raise HaltError(
+                        f"Input record for '{program_id}' must belong to "
+                        f"the signer")
                 commitment = inp.to_commitment(program_id, _name)
                 h = N.hash_to_group_psd(2, [N.SERIAL_NUMBER_DOMAIN, commitment])
                 h_r = ed.mul(h, r % S)

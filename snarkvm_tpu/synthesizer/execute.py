@@ -229,8 +229,18 @@ def execute_function(stack: Stack, request: Request, input_types,
                 g = CBool.new(builder, _PRIV, lit.value)
             elif t in INT_WIDTHS:
                 g = CInteger.new(builder, _PRIV, lit.value, INT_WIDTHS[t], t[0] == "i")
+            elif t == "address":
+                from ..circuit.types import CAddress
+                g = CAddress.new(builder, _PRIV, lit.value)
+            elif t == "group":
+                from ..circuit.types import CGroup
+                g = CGroup.new(builder, _PRIV, lit.value)
+            elif t == "scalar":
+                from ..circuit.types import CScalar
+                g = CScalar.new(builder, _PRIV, lit.value)
             else:
-                raise HaltError(f"in-circuit input type {t} (round-2)")
+                raise HaltError(f"in-circuit input type {t} (records/structs: "
+                                f"follow-up)")
             typed_gadgets.append(g)
             input_field_gadgets.append(plaintext_fields_gadget(builder, g, t))
         tvk_g = verify_request_gadget(builder, request, input_types,
@@ -267,8 +277,19 @@ def execute_function(stack: Stack, request: Request, input_types,
                 for iid in request.input_ids]
     t_outputs = []
     for out in dual_outputs:
-        val = out.literal.value
-        x = val[0] if isinstance(val, tuple) else int(val) % R
+        lit = out.literal
+        if not hasattr(lit, "value") or isinstance(lit.value, str):
+            # future/struct output: recorded by value, no field id here
+            t_outputs.append(("future", 0))
+            continue
+        val = lit.value
+        if isinstance(val, tuple) and val and isinstance(val[0], int):
+            x = val[0]
+        elif isinstance(val, (int, bool)):
+            x = int(val) % R
+        else:
+            t_outputs.append(("future", 0))
+            continue
         t_outputs.append(("public", x % R))
     transition = Transition(
         program_id=request.program_id,

@@ -82,6 +82,10 @@ class VM:
         self.previous_hash = 0
         from .restrictions import Restrictions
         self.restrictions = Restrictions.load_mainnet()
+        # on-chain record state (the block store's commitment/serial
+        # indexes, A.3 TransitionOutputMap/TransitionInputMap analog)
+        self.record_commitments = set()
+        self.spent_serial_numbers = set()
         from collections import OrderedDict
         # LRU of transaction ids that already passed check_transaction
         # (vm/mod.rs:223 partially_verified_transactions)
@@ -102,10 +106,30 @@ class VM:
         from .process import parse_plaintext_str
         from ..console.types import Plaintext, Literal
         from ..console.record import Record
-        inputs = [parse_plaintext_str(i) if isinstance(i, str) else i for i in inputs]
+        fn_decl = stack.program.functions[function_name]
+
+        def parse_one(i, ftype):
+            if not isinstance(i, str):
+                return i
+            if ftype.endswith(".record") or (i.lstrip().startswith("{")
+                                             and "_nonce" in i):
+                from ..console.record import record_from_str
+                return record_from_str(i)
+            return parse_plaintext_str(i)
+
+        inputs = [parse_one(i, fi.value_type)
+                  for i, fi in zip(inputs, fn_decl.inputs)]
         inputs = [Plaintext("literal", i) if isinstance(i, Literal) else i for i in inputs]
         req = Request.sign(private_key, program_id, function_name, inputs, input_types, self.rng)
         signer = req.signer
+        # input records must exist on chain and be unspent (the reference
+        # fails in Trace::prepare with "Commitment ... does not exist")
+        for inp, fi in zip(inputs, fn_decl.inputs):
+            if isinstance(inp, Record):
+                rtype = fi.value_type.split(".")[0]
+                com = inp.to_commitment(program_id, rtype)
+                if com not in self.record_commitments:
+                    raise HaltError(f"Commitment '{com}field' does not exist")
         outs = stack.evaluate_function(function_name, list(inputs),
                                        signer=signer, caller=signer, tvk=req.tvk)
         futures = []
@@ -291,6 +315,8 @@ class VM:
             (Block.aborted_transaction_ids)."""
         state = state or F.FinalizeGlobalState(block_height=self.block_height + 1)
         # run ALL futures of one tx under one checkpoint
+        self._staged_commitments = set()
+        self._staged_serials = set()
         self.store.maps.start_atomic()
         accepted, rejected, aborted = [], [], []
         stacks = self.process.stacks
@@ -309,6 +335,7 @@ class VM:
                     F.execute_finalize(stacks[pid], fname, args, self.store, state, tid)
                 accepted.append(i)
                 self.store.maps.clear_latest_checkpoint()
+                self._stage_records(p)
             except HaltError:
                 self.store.maps.atomic_rewind()
                 fee_futures = [f for f in p.futures if self._is_fee_future(f)]
@@ -328,8 +355,20 @@ class VM:
         self._pending_programs = pending_programs
         return accepted, rejected, aborted
 
+    def _stage_records(self, p):
+        for t in p.transaction.transitions:
+            for com, _, _ in getattr(t, "output_records", []) or []:
+                self._staged_commitments.add(com)
+            for kind, val in t.inputs:
+                if kind == "record":
+                    self._staged_serials.add(val)
+
     def finalize(self):
         self.store.maps.finish_atomic()
+        self.record_commitments |= getattr(self, "_staged_commitments", set())
+        self.spent_serial_numbers |= getattr(self, "_staged_serials", set())
+        self._staged_commitments = set()
+        self._staged_serials = set()
         # load accepted deployments into the process (vm/finalize.rs:
         # atomic_finalize deploy branch)
         for pid, deployment in getattr(self, "_pending_programs", {}).items():

@@ -8,6 +8,8 @@ import random
 
 import pytest
 
+from snarkvm_tpu.synthesizer.interpreter import HaltError
+
 from snarkvm_tpu.console import account
 from snarkvm_tpu.console.record import Record
 from snarkvm_tpu.ledger.ledger import Ledger
@@ -88,7 +90,7 @@ class TestRecordLifecycle:
         p = led.vm.execute(pk, "token.aleo", "mint", [_addr(pk), "5u64"],
                            [("private", "address"), ("private", "u64")])
         rec = p.outputs[0]
-        with pytest.raises(AssertionError, match="belong"):
+        with pytest.raises(HaltError, match="belong"):
             led.vm.execute(thief, "token.aleo", "burn", [rec],
                            [("record", "token")])
 

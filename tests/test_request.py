@@ -41,8 +41,9 @@ def test_request_with_record_input():
     assert iid.kind == "record" and len(iid.fields) == 4
     # another signer cannot claim this record
     other = account.PrivateKey.new(rng)
+    from snarkvm_tpu.synthesizer.interpreter import HaltError
     try:
         Request.sign(other, "credits.aleo", "transfer_private", inputs, types, rng)
         assert False, "expected ownership failure"
-    except AssertionError:
+    except HaltError:
         pass

@@ -112,3 +112,20 @@ def test_certificate_prove_verify_vk(srs):
     # a different circuit cannot pass this vk's certificate
     other = MulCircuit(5, 5, num_extra=7)
     assert not varuna.verify_vk(srs, other, vk, cert)
+
+
+def test_prove_verify_zk_presynthesized_assignment(srs):
+    """ZK prove_batch accepts a pre-synthesized ConstraintSystem
+    (varuna.rs:336 takes assignments in all modes; the prover clones and
+    randomizes, leaving the caller's assignment untouched)."""
+    mode = varuna.VarunaHidingMode
+    circ = MulCircuit(4, 9)
+    pk, vk = varuna.circuit_setup(srs, circ, mode)
+    cs = r1cs.ConstraintSystem()
+    circ.generate_constraints(cs)
+    cs.pad_input_to_power_of_two()
+    before = (len(cs.public), len(cs.private), len(cs.a))
+    proof = varuna.prove_batch(srs, [(pk, [cs])], rng, mode)
+    assert proof.is_hiding()
+    assert (len(cs.public), len(cs.private), len(cs.a)) == before
+    assert varuna.verify_batch(srs, [(vk, [circ.public_inputs()])], proof, mode)

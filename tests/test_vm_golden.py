@@ -40,9 +40,9 @@ SUPPORTED = [
     "arrays_in_finalize", "branch_with_future", "child_and_parent",
     "complex_finalization", "count_usages", "future_out_of_order",
     "hello", "many_input_and_output", "mapping_operations",
-    "program_callable", "public_wallet", "read_external_mapping",
-    "test_branch", "test_rand", "timelock", "unused_position",
-    "user_callable",
+    "mint_and_split", "program_callable", "public_wallet",
+    "read_external_mapping", "test_branch", "test_rand", "timelock",
+    "unused_position", "user_callable",
 ]
 FAIL_CASES = [c for c in ALL_CASES if c.endswith("_fail")]
 

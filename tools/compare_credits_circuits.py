@@ -1,0 +1,101 @@
+"""Structural-parity diagnostic (VERDICT r1 item 3): synthesize
+credits.aleo functions through the FULL transition circuit
+(Request::verify + body + Response::from_outputs) and compare the
+resulting circuit shape against the SHIPPED mainnet verifier keys'
+CircuitInfo (parameters/src/mainnet/resources/<fn>.verifier, id per
+algorithms/src/snark/varuna/ahp/indexer/circuit.rs:40).
+
+This is the measuring stick for gadget-structure parity: exact equality
+of (constraints, variables, non-zeros) — and ultimately the Blake2
+circuit id — proves byte-compatibility with Aleo's shipped proving keys.
+
+Usage: JAX_PLATFORMS=cpu python tools/compare_credits_circuits.py [fn ...]
+"""
+import random
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from snarkvm_tpu.console import account
+from snarkvm_tpu.console.request import Request
+from snarkvm_tpu.console.types import Plaintext, literal_from_str
+from snarkvm_tpu.synthesizer.process import Stack
+from snarkvm_tpu.synthesizer.program import parse_program
+from snarkvm_tpu.synthesizer import execute as E
+from snarkvm_tpu.params.mainnet_artifacts import credits_verifying_key
+
+rng = random.Random(0xC4ED)
+
+CREDITS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "snarkvm_tpu", "synthesizer", "resources", "credits.aleo")
+
+SAMPLE_INPUTS = {
+    "transfer_public": ["aleo1qqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqq5g5tz2", "1000000u64"],
+    "transfer_public_as_signer": [None, "1000000u64"],
+    "fee_public": ["1000u64", "10u64", "123field"],
+}
+
+
+def synthesize(stack, pk, fname, inputs, itypes):
+    pts = [Plaintext("literal", literal_from_str(i)) for i in inputs]
+    req = Request.sign(pk, "credits.aleo", fname, pts, itypes, rng)
+    tt = E.execute_function(stack, req, itypes, verify_in_circuit=True)
+    return tt.builder
+
+
+def main(names):
+    with open(CREDITS) as f:
+        stack = Stack(parse_program(f.read()))
+    pk = account.PrivateKey.new(rng)
+    addr_str = None
+    # use the signer's own address for transfer targets
+    from snarkvm_tpu.console.types import literal_to_str, Literal
+    addr_str = literal_to_str(Literal("address", pk.to_address()))
+
+    for fname in names:
+        fn = stack.program.functions.get(fname)
+        if fn is None:
+            print(f"{fname}: no such function")
+            continue
+        itypes = [(fi.value_type.split(".")[-1], fi.value_type.split(".")[0])
+                  for fi in fn.inputs]
+        inputs = SAMPLE_INPUTS.get(fname)
+        if inputs is None:
+            print(f"{fname}: no sample inputs configured")
+            continue
+        inputs = [addr_str if i is None or i.startswith("aleo1qqq") else i
+                  for i in inputs]
+        try:
+            builder = synthesize(stack, pk, fname, inputs, itypes)
+        except Exception as e:
+            print(f"{fname}: synthesis failed: {type(e).__name__}: {e}")
+            continue
+        nza = sum(len(a.terms) + (1 if a.constant else 0)
+                  for a, _, _ in builder.constraints)
+        nzb = sum(len(b.terms) + (1 if b.constant else 0)
+                  for _, b, _ in builder.constraints)
+        nzc = sum(len(c.terms) + (1 if c.constant else 0)
+                  for _, _, c in builder.constraints)
+        try:
+            vk, _ = credits_verifying_key(fname)
+            ref = vk.circuit_info
+            print(f"{fname}:")
+            print(f"  ours:    constraints={builder.num_constraints} "
+                  f"variables={builder.num_public + builder.num_private} "
+                  f"public={builder.num_public} "
+                  f"nz=({nza}, {nzb}, {nzc})")
+            print(f"  shipped: constraints={ref.num_constraints} "
+                  f"variables={ref.num_variables} "
+                  f"public={ref.num_public_inputs} "
+                  f"nz=({ref.num_non_zero_a}, {ref.num_non_zero_b}, "
+                  f"{ref.num_non_zero_c})")
+        except FileNotFoundError:
+            print(f"{fname}: ours constraints={builder.num_constraints} "
+                  f"(no shipped key)")
+
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or ["transfer_public", "transfer_public_as_signer",
+                             "fee_public"]
+    main(names)
