@@ -38,21 +38,10 @@ def bhp_hash_gadget(builder: CircuitBuilder, variant: int, domain: str, bits):
     return bhp_hash_point_gadget(builder, variant, domain, bits).x
 
 
-def bhp_hash_point_gadget(builder: CircuitBuilder, variant: int, domain: str,
-                          bits) -> CGroup:
-    """Point-valued BHP hash (hash_uncompressed): the commit gadget adds
-    the randomizer term onto this. Single-iteration inputs only
-    (<= max_bits - data bits), like the first block of
-    BHP::hash_uncompressed."""
-    bhp = N._bhp(variant)
-    tables = _chunk_tables(bhp)
-    # preimage = domain bits ++ u64 length ++ input bits (as constants + vars)
-    preimage = [CBool.constant(builder, b) for b in bhp.domain_bits]
-    length = len(bits)
-    preimage += [CBool.constant(builder, (length >> i) & 1 == 1) for i in range(64)]
-    preimage += list(bits)
-    assert bhp.min_bits < len(preimage) <= bhp.max_bits, "BHP gadget single-block input"
-    # pad to chunk multiple
+def _hasher_gadget(builder: CircuitBuilder, bhp, tables, preimage) -> CGroup:
+    """One BHP hasher block over an already-assembled preimage bit list."""
+    assert bhp.min_bits < len(preimage) <= bhp.max_bits, "hasher block size"
+    preimage = list(preimage)
     while len(preimage) % CHUNK:
         preimage.append(CBool.constant(builder, False))
 
@@ -83,6 +72,32 @@ def bhp_hash_point_gadget(builder: CircuitBuilder, variant: int, domain: str,
             pt = CGroup(builder, x_fin, y_sel)
             acc = pt if acc is None else acc + pt
     return acc
+
+
+def bhp_hash_point_gadget(builder: CircuitBuilder, variant: int, domain: str,
+                          bits) -> CGroup:
+    """Point-valued BHP hash (hash_uncompressed) with MULTI-BLOCK
+    chaining: block 0 hashes domain ++ u64 length ++ data; block i>0
+    hashes the previous digest-x's low FIELD_DATA_BITS bits ++ data
+    (circuit/algorithms/src/bhp/hash_uncompressed.rs)."""
+    bhp = N._bhp(variant)
+    tables = _chunk_tables(bhp)
+    max_input_per_iter = bhp.max_bits - FIELD_DATA_BITS
+    bits = list(bits)
+    chunks = [bits[i : i + max_input_per_iter]
+              for i in range(0, max(len(bits), 1), max_input_per_iter)]
+    digest = None
+    for i, input_bits in enumerate(chunks):
+        if i == 0:
+            preimage = [CBool.constant(builder, b) for b in bhp.domain_bits]
+            preimage += [CBool.constant(builder, (len(bits) >> j) & 1 == 1)
+                         for j in range(64)]
+            preimage += input_bits
+        else:
+            xbits = digest.x.to_bits_le(253, canonical=True)
+            preimage = xbits[:FIELD_DATA_BITS] + input_bits
+        digest = _hasher_gadget(builder, bhp, tables, preimage)
+    return digest
 
 
 def bhp_hash_gadget_check(builder, variant, domain, bit_values):

@@ -52,13 +52,21 @@ def _inject(builder, lit: Literal, mode: str):
 
 def _hash_dest_cast(builder, field_gadget, dest_type: str, console):
     """Lossy destination cast of a hash output field/x-coordinate
-    (cast_lossy semantics: integers take the low bits)."""
+    (cast_lossy semantics: integers/scalars take the low bits of the
+    CANONICAL decomposition — non-canonical bits would be malleable)."""
     if dest_type == "field":
         return field_gadget
     if dest_type in INT_WIDTHS:
         w = INT_WIDTHS[dest_type]
-        bits = field_gadget.to_bits_le(253)
+        bits = field_gadget.to_bits_le(253, canonical=True)
         return CInteger(builder, bits[:w], w, dest_type[0] == "i")
+    if dest_type == "scalar":
+        # from_field_lossy: truncate to 250 bits (< S by construction)
+        bits = field_gadget.to_bits_le(253, canonical=True)
+        return CScalar(builder, bits[:250] + [CBool.constant(builder, False)])
+    if dest_type == "boolean":
+        bits = field_gadget.to_bits_le(253, canonical=True)
+        return bits[0]
     return _inject(builder, console, PRIVATE).gadget
 
 
@@ -407,11 +415,18 @@ class DualStack:
             from . import interpreter as I
             console = I.hash_instruction(op, a.literal, dest_type)
             t = a.literal.type_name
-            if t in ("field", "boolean") or t in INT_WIDTHS:
+            if t in ("field", "boolean", "address", "group", "scalar") \
+                    or t in INT_WIDTHS:
                 from ..circuit.response_gadget import plaintext_fields_gadget
                 cfields = plaintext_fields_gadget(builder, a.gadget, t)
-                out = poseidon_gadget.hash_psd(builder, rate, cfields)[0]
-                gadget = _hash_dest_cast(builder, out, dest_type, console)
+                if dest_type in ("group", "address"):
+                    from ..circuit.elligator_gadget import hash_to_group_gadget
+                    pt = hash_to_group_gadget(builder, rate, cfields)
+                    gadget = CAddress(builder, pt) if dest_type == "address" \
+                        else pt
+                else:
+                    out = poseidon_gadget.hash_psd(builder, rate, cfields)[0]
+                    gadget = _hash_dest_cast(builder, out, dest_type, console)
             else:
                 gadget = self._weak_witness(builder, op, console)
             regs[inst.destinations[0]] = CircuitValue(console, gadget)
@@ -422,18 +437,20 @@ class DualStack:
             from . import interpreter as I
             console = I.hash_instruction(op, a.literal, dest_type)
             t = a.literal.type_name
-            if (t in ("field", "boolean") or t in INT_WIDTHS) and \
-                    dest_type not in ("group", "address"):
+            if t in ("field", "boolean", "address", "group", "scalar") \
+                    or t in INT_WIDTHS:
                 from ..circuit.response_gadget import plaintext_bits_gadget
-                from ..circuit.bhp_gadget import bhp_hash_gadget
+                from ..circuit.bhp_gadget import (bhp_hash_gadget,
+                                                  bhp_hash_point_gadget)
                 from ..circuit.keccak_gadget import (keccak_hash_gadget,
                                                      pedersen_hash_gadget)
                 try:
                     bits = plaintext_bits_gadget(builder, a.gadget, t)
                     kind = op.split(".", 1)[1]
+                    pt = None
                     if kind.startswith("bhp"):
-                        x = bhp_hash_gadget(builder, int(kind[3:]),
-                                            f"AleoBHP{kind[3:]}", bits)
+                        pt = bhp_hash_point_gadget(builder, int(kind[3:]),
+                                                   f"AleoBHP{kind[3:]}", bits)
                     elif kind.startswith("ped"):
                         x = pedersen_hash_gadget(builder, int(kind[3:]), bits)
                     else:
@@ -441,12 +458,19 @@ class DualStack:
                         variant = int(kind.replace("keccak", "").replace("sha3_", ""))
                         digest = keccak_hash_gadget(builder, hk, variant, bits)
                         bhp_variant = 256 if variant == 256 else 512
-                        x = bhp_hash_gadget(builder, bhp_variant,
-                                            f"AleoBHP{bhp_variant}", digest)
-                    gadget = _hash_dest_cast(builder, x, dest_type, console)
+                        pt = bhp_hash_point_gadget(builder, bhp_variant,
+                                                   f"AleoBHP{bhp_variant}",
+                                                   digest)
+                    if pt is not None and dest_type in ("group", "address"):
+                        gadget = CAddress(builder, pt) \
+                            if dest_type == "address" else pt
+                    else:
+                        x = pt.x if pt is not None else x
+                        gadget = _hash_dest_cast(builder, x, dest_type,
+                                                 console)
                 except (AssertionError, NotImplementedError):
-                    # input shape outside the single-block gadget (multi-
-                    # block BHP chaining is a follow-up) -> witness fallback
+                    # input shape outside the gadget surface (pedersen max
+                    # bits) -> loud witness fallback
                     gadget = self._weak_witness(builder, op, console)
             else:
                 gadget = self._weak_witness(builder, op, console)
