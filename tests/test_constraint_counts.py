@@ -43,6 +43,74 @@ CASES = {
 }
 
 
+def _int(b, v, w, signed=False):
+    return CInteger.new(b, PRIVATE, v, w, signed)
+
+
+# round-2 gadget surface: every new op family x representative widths
+# (the reference pins counts per type via count_is!; these goldens pin
+# our structure the same way — any gadget change must be intentional)
+CASES.update({
+    "field_div": lambda b: CField.new(b, PRIVATE, 3).div(CField.new(b, PRIVATE, 5)),
+    "field_sqrt": lambda b: CField.new(b, PRIVATE, 9).sqrt(),
+    "field_pow_var": lambda b: CField.new(b, PRIVATE, 3).pow_var(CField.new(b, PRIVATE, 5)),
+    "field_lt": lambda b: CField.new(b, PRIVATE, 3).lt(CField.new(b, PRIVATE, 5)),
+    "i64_add_checked": lambda b: _int(b, 7, 64, True).add_checked(_int(b, -9, 64, True)),
+    "i64_sub_checked": lambda b: _int(b, 7, 64, True).sub_checked(_int(b, 9, 64, True)),
+    "u64_mul_checked": lambda b: _int(b, 7, 64).mul_checked(_int(b, 9, 64)),
+    "i64_mul_checked": lambda b: _int(b, -7, 64, True).mul_checked(_int(b, 9, 64, True)),
+    "u128_mul_checked": lambda b: _int(b, 7, 128).mul_checked(_int(b, 9, 128)),
+    "i128_mul_checked": lambda b: _int(b, -7, 128, True).mul_checked(_int(b, 9, 128, True)),
+    "u64_mul_wrapped": lambda b: _int(b, 7, 64).mul_wrapped(_int(b, 9, 64)),
+    "u64_div_checked": lambda b: _int(b, 76, 64).div_checked(_int(b, 9, 64)),
+    "i64_div_checked": lambda b: _int(b, -76, 64, True).div_checked(_int(b, 9, 64, True)),
+    "u128_div_checked": lambda b: _int(b, 76, 128).div_checked(_int(b, 9, 128)),
+    "u64_rem_checked": lambda b: _int(b, 76, 64).rem_checked(_int(b, 9, 64)),
+    "u64_modulo": lambda b: _int(b, 76, 64).modulo(_int(b, 9, 64)),
+    "i64_abs_checked": lambda b: _int(b, -7, 64, True).abs_checked(),
+    "i64_abs_wrapped": lambda b: _int(b, -7, 64, True).abs_wrapped(),
+    "i64_neg_checked": lambda b: _int(b, 7, 64, True).neg_checked(),
+    "u8_pow_checked_u8": lambda b: _int(b, 3, 8).pow_checked(_int(b, 5, 8)),
+    "u64_pow_wrapped_u8": lambda b: _int(b, 3, 64).pow_wrapped(_int(b, 5, 8)),
+    "u64_shl_checked": lambda b: _int(b, 3, 64).shl_checked(_int(b, 5, 8)),
+    "u64_shr_checked": lambda b: _int(b, 3, 64).shr_checked(_int(b, 5, 8)),
+    "u64_lt": lambda b: _int(b, 3, 64).lt(_int(b, 5, 64)),
+    "scalar_add": lambda b: _scalar(b, 5) + _scalar(b, 9),
+    "scalar_lt": lambda b: _scalar(b, 5).lt(_scalar(b, 9)),
+    "group_neg": lambda b: CGroup.new(b, PRIVATE, ed.GENERATOR).neg(),
+    "group_double": lambda b: CGroup.new(b, PRIVATE, ed.GENERATOR).double(),
+    "group_mul_scalar": lambda b: CGroup.new(b, PRIVATE, ed.GENERATOR)
+        .mul_scalar(_scalar(b, 9)),
+    "group_is_equal": lambda b: CGroup.new(b, PRIVATE, ed.GENERATOR)
+        .is_equal(CGroup.new(b, PRIVATE, ed.mul(ed.GENERATOR, 2))),
+    "address_is_equal": lambda b: _addr(b, 1).is_equal(_addr(b, 2)),
+    "elligator2": lambda b: _ell(b),
+    "bhp256_hash_512bits": lambda b: _bhp(b, 256, 512),
+    "bhp256_hash_2blocks_1200bits": lambda b: _bhp(b, 256, 1200),
+})
+
+
+def _scalar(b, v):
+    from snarkvm_tpu.circuit.types import CScalar
+    return CScalar.new(b, PRIVATE, v)
+
+
+def _addr(b, k):
+    from snarkvm_tpu.circuit.types import CAddress
+    return CAddress.new(b, PRIVATE, ed.mul(ed.GENERATOR, k))
+
+
+def _ell(b):
+    from snarkvm_tpu.circuit.elligator_gadget import elligator2_gadget
+    return elligator2_gadget(b, CField.new(b, PRIVATE, 12345))
+
+
+def _bhp(b, variant, nbits):
+    from snarkvm_tpu.circuit.bhp_gadget import bhp_hash_gadget
+    bits = [CBool.new(b, PRIVATE, (i * 7) % 3 == 1) for i in range(nbits)]
+    return bhp_hash_gadget(b, variant, f"AleoBHP{variant}", bits)
+
+
 def test_constraint_counts():
     got = {name: _counts(fn) for name, fn in CASES.items()}
     if os.environ.get("UPDATE_COUNT") == "1" or not os.path.exists(GOLDEN):
