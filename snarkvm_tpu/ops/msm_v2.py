@@ -443,40 +443,59 @@ def _msm_v2_raw(geo: Geometry, B: int):
                                  (ident["X"], ident["Y"], ident["Z"]))
         acc = {"X": acc3[0], "Y": acc3[1], "Z": acc3[2]}
 
-        # --- reduction, every dispatch at the SAME [L, lanes] width ---
-        # (one Mosaic full-add kernel shape reused ~2*log2(nb_v)+log2(R)
-        # times; per-level lane masks are static numpy bools and the
-        # shifted operand is a jnp.roll — wrap-around lanes are masked
-        # to identity so cross-window contamination never lands)
+        # --- reduction: ONE fori_loop whose body holds the single full-
+        # add Pallas instance; per-step shift amounts and lane masks ride
+        # as indexed arrays. (Unrolling emitted ~26 Mosaic custom calls
+        # that each paid their own device compile — the dominant cost of
+        # the first run. With the loop there are exactly TWO Mosaic
+        # kernels in the whole MSM: the mixed-add accumulator and this
+        # full add.) Wrap-around lanes of the jnp.roll are masked to
+        # identity so cross-window contamination never lands.
         off = np.arange(lanes) % nb_v
+        steps_list, masks_list = [], []
 
-        def masked_shift_add(acc, step, keep):
-            shifted = {k: jnp.roll(v, -step, axis=1) for k, v in acc.items()}
-            shifted = ep._mask_identity(shifted, jnp.asarray(keep))
-            return _g1_add_lazy(acc, shifted)
+        def plan_step(step, keep):
+            steps_list.append(step)
+            masks_list.append(keep)
 
         # replica folds (layout rep*nb + b): fold upper replica halves on
         r = geo.R
         while r > 1:
             half = r // 2
-            step = half * nb
-            acc = masked_shift_add(acc, step, off < step)
+            plan_step(half * nb, off < half * nb)
             r = half
-        if geo.R > 1:
-            # lanes beyond the first replica are stale — mask to identity
-            acc = ep._mask_identity(acc, jnp.asarray(off < nb))
+        # After the folds, lanes beyond the first replica (off >= nb) are
+        # stale. No explicit masking is needed: every subsequent step's
+        # keep-mask only ADDS from sources with off + step < nb (live by
+        # induction), and only lane 0 per window is read at the end.
+        live = off < nb
+        # suffix scan: SS_i = sum_{j>=i} S_j per window (Hillis-Steele)
+        step = 1
+        while step < nb:
+            plan_step(step, (off + step < nb) & live)
+            step *= 2
+        # tree sum: T_w = sum_i SS_i = sum_j (j+1) S_j
+        step = 1
+        while step < nb:
+            plan_step(step, (off % (2 * step) == 0) & (off + step < nb))
+            step *= 2
 
-        # suffix scan: SS_i = sum_{j>=i} S_j per window (Hillis-Steele);
-        # then T_w = sum_i SS_i = sum_j (j+1) S_j via a tree sum.
-        step = 1
-        while step < nb_v:
-            acc = masked_shift_add(acc, step, off + step < nb_v)
-            step *= 2
-        step = 1
-        while step < nb_v:
-            keep = (off % (2 * step) == 0) & (off + step < nb_v)
-            acc = masked_shift_add(acc, step, keep)
-            step *= 2
+        steps_arr = jnp.asarray(np.array(steps_list, np.int32))
+        masks_arr = jnp.asarray(np.stack(masks_list))
+
+        def red_body(i, acc3):
+            acc_d = {"X": acc3[0], "Y": acc3[1], "Z": acc3[2]}
+            step = steps_arr[i]
+            keep = masks_arr[i]
+            shifted = {k: jnp.roll(v, -step, axis=1)
+                       for k, v in acc_d.items()}
+            shifted = ep._mask_identity(shifted, keep)
+            out = _g1_add_lazy(acc_d, shifted)
+            return (out["X"], out["Y"], out["Z"])
+
+        acc3 = jax.lax.fori_loop(0, len(steps_list), red_body,
+                                 (acc["X"], acc["Y"], acc["Z"]))
+        acc = {"X": acc3[0], "Y": acc3[1], "Z": acc3[2]}
 
         # window totals live in each window's lane 0
         sums = {k: v[:, ::nb_v] for k, v in acc.items()}

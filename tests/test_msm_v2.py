@@ -108,3 +108,22 @@ def test_msm_v2_duplicate_points():
     sl = ep.scalars_to_limbs(scalars)
     got = _aff(m2.msm_g1_v2(tbl, sl, n, c=8, ident_mask=ident))
     assert got == _host_msm(pts, scalars)
+
+
+def test_msm_v2_device_graph_on_cpu():
+    """The TPU pipeline graph (_msm_v2_raw: fori accumulation + the
+    single-kernel fori reduction) runs on CPU via the rolled 13-bit ops —
+    validating the reduction schedule the real chip executes."""
+    import jax
+    n, c = 96, 8
+    pts = _points(n)
+    scalars = [rng.randrange(P.R) for _ in range(n)]
+    tbl, ident = m2.pack_points_u16(pts)
+    sl = ep.scalars_to_limbs(scalars)
+    geo = m2.Geometry(n, c)
+    raw = jax.jit(m2._msm_v2_raw(geo, int(tbl.shape[0])))
+    sX, sY, sZ, dropped = raw(tbl, sl)
+    assert int(dropped) == 0
+    jacs = m2._lm_proj_to_jac_ints({"X": sX, "Y": sY, "Z": sZ})[:geo.W]
+    got = _aff(m2._combine(jacs, c))
+    assert got == _host_msm(pts, scalars)
