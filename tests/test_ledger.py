@@ -139,9 +139,13 @@ class TestPuzzle:
         assert not p.check_solution(sol, epoch_hash + 1, 0)
         # deterministic
         assert p.prove(epoch_hash, addr, 7).target == sol.target
-        # different counters give different targets (w.h.p.)
-        targets = {p.prove(epoch_hash, addr, c).target for c in range(4)}
-        assert len(targets) > 1
+        # different counters give different LEAF SETS. (Targets are
+        # u64::MAX / root64 — half of all roots map to target 1, so a
+        # small fixed counter set can legitimately collide on target;
+        # per-solution leaf diversity is the real invariant.)
+        lv0 = p.synthesis.to_leaves(PartialSolution(epoch_hash, addr, 0))
+        lv1 = p.synthesis.to_leaves(PartialSolution(epoch_hash, addr, 1))
+        assert lv0 != lv1
 
 
 class TestNarwhal:
