@@ -70,6 +70,143 @@ def _hash_dest_cast(builder, field_gadget, dest_type: str, console):
     return _inject(builder, console, PRIVATE).gadget
 
 
+def _subgroup_point_gadget(builder, x_field: CField, console_pt):
+    """Witness the subgroup point with the given x-coordinate: witness Q
+    on-curve with 4Q = P (multiplication by the cofactor surjects onto
+    the prime-order subgroup since gcd(4, r) = 1), bind P.x to x_field."""
+    from ..curves import edwards as ed
+    from ..fields.scalar import Fr
+    # console quarter-point: Q = (1/4 mod r) * P
+    inv4 = pow(4, -1, P.S)
+    q_c = ed.mul(console_pt, inv4)
+    Q = CGroup.new(builder, PRIVATE, q_c)     # on-curve enforced by new()
+    Pg = Q.double().double()
+    builder.assert_eq(Pg.x.lc, x_field.lc)
+    return Pg
+
+
+def cast_gadget(builder, gadget, src: str, dest: str, lossy: bool, console):
+    """Circuit cast/cast.lossy between literal types (circuit mirrors of
+    console cast_literal, interpreter.py:381; reference
+    circuit/types/*/src/from_bits.rs + cast_lossy semantics). Returns the
+    destination gadget or None when the combination is out of gadget
+    scope (caller falls back loudly)."""
+    from ..curves import edwards as ed
+    INT = INT_WIDTHS
+
+    def int_signed_lc(g: CInteger):
+        lc = g.to_field().lc
+        if g.signed:
+            lc = lc.add(g.msb.lc, R - (1 << g.width) % R)
+        return lc
+
+    if dest == src:
+        return gadget
+    # group/address interchange + x-coordinate views
+    if isinstance(gadget, CAddress):
+        gadget, src = gadget.group, "group"
+        if dest == "address":
+            return CAddress(builder, gadget)
+    if isinstance(gadget, CGroup):
+        if dest == "address":
+            return CAddress(builder, gadget)
+        # everything else goes through the x-coordinate field
+        return cast_gadget(builder, gadget.x, "field", dest, lossy, console)
+    if isinstance(gadget, CBool):
+        if dest == "field":
+            return CField(builder, gadget.lc)
+        if dest in INT:
+            zero = CBool.constant(builder, False)
+            return CInteger(builder, [gadget] + [zero] * (INT[dest] - 1),
+                            INT[dest], dest[0] == "i")
+        if dest == "scalar":
+            zero = CBool.constant(builder, False)
+            return CScalar(builder, [gadget] + [zero] * (CScalar.NUM_BITS - 1))
+        return None
+    if isinstance(gadget, CInteger):
+        if dest == "field":
+            return CField(builder, gadget.to_field().lc)
+        if dest == "scalar":
+            zero = CBool.constant(builder, False)
+            bits = list(gadget.bits) + [zero] * (CScalar.NUM_BITS - gadget.width)
+            return CScalar(builder, bits)
+        if dest == "boolean":
+            if lossy:
+                return gadget.bits[0]
+            hi = LinearCombination(0)
+            for bt in gadget.bits[1:]:
+                hi = hi.add(bt.lc, 1)
+            builder.assert_eq(hi, LinearCombination(0))
+            return gadget.bits[0]
+        if dest in INT:
+            w2, s2 = INT[dest], dest[0] == "i"
+            w1 = gadget.width
+            if lossy:
+                if w2 <= w1:
+                    return CInteger(builder, gadget.bits[:w2], w2, s2)
+                fill = gadget.msb if gadget.signed \
+                    else CBool.constant(builder, False)
+                return CInteger(builder,
+                                list(gadget.bits) + [fill] * (w2 - w1), w2, s2)
+            # checked: witness dest bits, equate SIGNED field embeddings
+            out = CInteger.new(builder, PRIVATE, console.value, w2, s2)
+            builder.assert_eq(int_signed_lc(gadget), int_signed_lc(out))
+            return out
+        if dest in ("group", "address"):
+            # group_from_x(uv): x = unsigned value as field
+            pt = _subgroup_point_gadget(
+                builder, CField(builder, gadget.to_field().lc), console.value)
+            return CAddress(builder, pt) if dest == "address" else pt
+        return None
+    if isinstance(gadget, CScalar):
+        if dest == "field":
+            return CField(builder, gadget.to_field().lc)
+        if dest in INT:
+            w2, s2 = INT[dest], dest[0] == "i"
+            if lossy:
+                return CInteger(builder, gadget.bits[:w2], w2, s2)
+            cut = w2 - 1 if s2 else w2
+            hi = LinearCombination(0)
+            for bt in gadget.bits[cut:]:
+                hi = hi.add(bt.lc, 1)
+            builder.assert_eq(hi, LinearCombination(0))
+            return CInteger(builder, gadget.bits[:w2], w2, s2)
+        return None
+    if isinstance(gadget, CField):
+        if dest in INT:
+            w2, s2 = INT[dest], dest[0] == "i"
+            bits = gadget.to_bits_le(253, canonical=True)
+            if not lossy:
+                cut = w2 - 1 if s2 else w2
+                hi = LinearCombination(0)
+                for bt in bits[cut:]:
+                    hi = hi.add(bt.lc, 1)
+                builder.assert_eq(hi, LinearCombination(0))
+            return CInteger(builder, bits[:w2], w2, s2)
+        if dest == "scalar":
+            bits = gadget.to_bits_le(253, canonical=True)
+            if lossy:
+                zero = CBool.constant(builder, False)
+                return CScalar(builder, bits[:250] + [zero])
+            from ..circuit.types import _assert_bits_lte_const
+            _assert_bits_lte_const(builder, bits, P.S - 1)
+            return CScalar(builder, bits[:CScalar.NUM_BITS])
+        if dest == "boolean":
+            if lossy:
+                return gadget.to_bits_le(253, canonical=True)[0]
+            # checked: field must be 0/1: f * (f - 1) = 0
+            builder.enforce(gadget.lc, gadget.lc.add(LinearCombination(R - 1)),
+                            LinearCombination(0))
+            return CBool(builder, gadget.lc)
+        if dest in ("group", "address") and not lossy:
+            pt = _subgroup_point_gadget(builder, gadget, console.value)
+            return CAddress(builder, pt) if dest == "address" else pt
+        # lossy field->group has the generator/Elligator fallback chain —
+        # out of gadget scope for now
+        return None
+    return None
+
+
 class DualStack:
     """Executes a function in both worlds; mirrors Stack::execute_function."""
 
@@ -476,6 +613,24 @@ class DualStack:
                 gadget = self._weak_witness(builder, op, console)
             regs[inst.destinations[0]] = CircuitValue(console, gadget)
             return
+        if op in ("cast", "cast.lossy") and len(inst.operands) == 1 and \
+                inst.as_type:
+            dest_type = inst.as_type.split(".")[0]
+            is_literal_dest = (dest_type in ("field", "boolean", "scalar",
+                                             "group", "address")
+                               or dest_type in INT_WIDTHS)
+            a = ld(inst.operands[0])
+            if is_literal_dest and a.gadget is not None:
+                from . import interpreter as I
+                console = I.cast_literal(a.literal, dest_type,
+                                         op == "cast.lossy")
+                gadget = cast_gadget(builder, a.gadget,
+                                     a.literal.type_name, dest_type,
+                                     op == "cast.lossy", console)
+                if gadget is None:
+                    gadget = self._weak_witness(builder, op, console)
+                regs[inst.destinations[0]] = CircuitValue(console, gadget)
+                return
         # Generic fallback: run the instruction console-side through the
         # Stack dispatcher and re-inject results as private witnesses. This
         # keeps every console opcode circuit-executable, but LOUDLY weakly

@@ -349,3 +349,57 @@ def test_address_equal_ternary():
     cond = CBool.new(b, PRIVATE, False)
     assert a1.ternary(cond, a2).value == g2
     _sat(b)
+
+
+# ---------------------------------------------------------------------------
+# cast / cast.lossy gadgets through dual execution
+# ---------------------------------------------------------------------------
+
+def _dual_run(prog_text, fn, inputs):
+    from snarkvm_tpu.synthesizer.program import parse_program
+    from snarkvm_tpu.synthesizer.process import Stack
+    from snarkvm_tpu.synthesizer.circuit_exec import DualStack
+    stack = Stack(parse_program(prog_text))
+    dual = DualStack(stack)
+    outs, b = dual.execute_function(fn, inputs)
+    return outs, b, dual
+
+
+def test_cast_gadgets_cover_literal_matrix():
+    prog = """program castdemo.aleo;
+function f:
+    input r0 as u32.private;
+    input r1 as field.private;
+    input r2 as i8.private;
+    cast r0 into r3 as u64;
+    cast r0 into r4 as field;
+    cast.lossy r1 into r5 as u16;
+    cast r2 into r6 as i64;
+    cast.lossy r2 into r7 as u8;
+    cast r0 into r8 as scalar;
+    cast.lossy r1 into r9 as scalar;
+    cast r1 into r10 as group;
+    cast.lossy r0 into r11 as boolean;
+    output r3 as u64.private;
+"""
+    # field input 0 is a valid x? use the generator x for the group cast
+    from snarkvm_tpu.curves import edwards as ed
+    gx = ed.GENERATOR[0]
+    outs, b, dual = _dual_run(prog, "f", ["7u32", f"{gx}field", "-5i8"])
+    assert b.is_satisfied()
+    assert dual.weak_ops == [], dual.weak_ops
+    assert outs[0].literal.value == 7
+
+
+def test_cast_checked_overflow_unsat():
+    prog = """program castdemo2.aleo;
+function f:
+    input r0 as u32.private;
+    cast r0 into r1 as u8;
+    output r1 as u8.private;
+"""
+    from snarkvm_tpu.synthesizer.interpreter import HaltError
+    with pytest.raises(HaltError):
+        _dual_run(prog, "f", ["300u32"])
+    outs, b, _ = _dual_run(prog, "f", ["250u32"])
+    assert b.is_satisfied() and outs[0].literal.value == 250
