@@ -1,16 +1,29 @@
-"""In-circuit Request verification (circuit/program/src/request/verify.rs
-mirror for the supported input kinds).
+"""In-circuit Request verification — circuit/program/src/request/verify.rs
+mirror, composed exactly as the reference stack does
+(synthesizer/process/src/stack/execute.rs:226-241):
 
-Checks inside the transition circuit:
-  1. tcm == hash_psd2([tvk])
-  2. input commitments: public/constant inputs re-hashed in-circuit
-     (hash_psd8([fid, fields.., tcm, index]))
-  3. Schnorr: g_r = G*response + pk_sig*challenge (constant-base +
-     variable-base Edwards scalar muls over gadgets), then
-     challenge' = hash_to_scalar_psd8([g_r.x, pk_sig.x, pr_sig.x,
-     signer.x, tvk, tcm, fid, is_root] ++ input_hashes) == challenge.
+  * tpk injected as a PUBLIC group (execute.rs:229), checked against
+    `(pk_sig * challenge) + (G * response)` (request/to_tpk.rs:19).
+  * Request injected with tcm PUBLIC, scm PUBLIC, input IDs PUBLIC
+    (request/mod.rs:150-221); signer/pk_sig/pr_sig as private groups
+    with full subgroup enforcement.
+  * is_root PUBLIC boolean + parent PUBLIC address (execute.rs:233-236);
+    caller = ternary(is_root, signer, parent) (execute.rs:238).
+  * tpk_checks: tcm == H2(tvk), scm == H2(signer.x, root_tvk),
+    tpk == to_tpk() (verify.rs:68-80).
+  * signature_checks: challenge' = HashToScalar_psd8([tpk.x, pk_sig.x,
+    pr_sig.x, signer.x, tvk, tcm, fid, is_root] ++ input message),
+    signer == compute_key.to_address() with
+    sk_prf = HashToScalar_psd4([pk_sig.x, pr_sig.x])
+    (verify.rs:83-104, account/src/compute_key/from.rs:19).
+
+The resulting public-input layout matches the shipped verifier keys'
+(verify_execution.rs:186-206): [1, tpk_x, tpk_y, tcm, scm, input_ids...,
+is_root, parent_x, parent_y, output_ids...].
 """
 from __future__ import annotations
+
+from dataclasses import dataclass
 
 from ..params import bls12_377 as P
 from ..curves import edwards as ed
@@ -23,6 +36,16 @@ from . import poseidon_gadget
 R = P.R
 S = P.S
 SCALAR_BITS = 251
+
+
+@dataclass
+class RequestCtx:
+    """Gadget handles the executor binds into the function body."""
+    tcm: CField
+    tvk: CField
+    signer: CGroup
+    caller: CGroup
+    is_root: CBool
 
 
 def g_scalar_multiply_gadget(builder, scalar_bits):
@@ -64,33 +87,61 @@ def hash_to_scalar_bits_gadget(builder, rate, inputs):
 
 def verify_request_gadget(builder: CircuitBuilder, request: Request, input_types,
                           input_gadgets, is_root: bool = True,
+                          parent: tuple | None = None,
+                          root_tvk: int | None = None,
                           return_tvk: bool = False):
     """input_gadgets: per input, the list of CField gadgets of its fields
     (already injected; bound to the function body registers by the caller).
-    Returns the public tcm CField. Raises on inconsistent witness."""
+
+    `parent` is the caller's address point (program address when root);
+    `root_tvk` defaults to the request's own tvk (execute.rs:214-224).
+    Returns a RequestCtx (or the legacy (tcm, tvk)/(tcm) shapes when
+    return_tvk is passed by older callers)."""
     fid_const = compute_function_id(request.network_id, request.program_id,
                                     request.function_name)
     fid = CField.constant(builder, fid_const)
-    tvk = CField.new(builder, PRIVATE, request.tvk)
+
+    # --- tpk as Mode::Public (execute.rs:229), value = to_tpk() ---
+    chal_int = request.signature.challenge % S
+    resp_int = request.signature.response % S
+    pk_sig_pt = request.signature.compute_key.pk_sig
+    tpk_val = ed.add(ed.mul(pk_sig_pt, chal_int), N.g_scalar_multiply(resp_int))
+    tpk = CGroup.new(builder, PUBLIC, tpk_val)
+
+    # --- Request inject (request/mod.rs:150): tcm, scm public; then
+    #     input IDs public in input order ---
     tcm = CField.new(builder, PUBLIC, request.tcm)
-    # 1. tcm = H2([tvk])
-    tcm_check = poseidon_gadget.hash_psd(builder, 2, [tvk])[0]
-    tcm.assert_eq(tcm_check)
-
+    scm = CField.new(builder, PUBLIC, request.scm)
+    iid_pubs = []
+    for iid in request.input_ids:
+        if iid.kind == "record":
+            raise NotImplementedError("in-circuit record input (round-3)")
+        iid_pubs.append(CField.new(builder, PUBLIC, iid.fields[0]))
     signer = CGroup.new(builder, PRIVATE, request.signer)
-    pk_sig = CGroup.new(builder, PRIVATE, request.signature.compute_key.pk_sig)
+    pk_sig = CGroup.new(builder, PRIVATE, pk_sig_pt)
     pr_sig = CGroup.new(builder, PRIVATE, request.signature.compute_key.pr_sig)
+    resp_bits, _ = scalar_to_bits_gadget(builder, resp_int)
+    chal_bits, chal_field = scalar_to_bits_gadget(builder, chal_int)
+    tvk = CField.new(builder, PRIVATE, request.tvk)
 
-    # 2. input commitments
+    # --- is_root / parent as Mode::Public; caller ternary ---
+    is_root_b = CBool.new(builder, PUBLIC, 1 if is_root else 0)
+    parent_pt = parent if parent is not None else N.program_address(request.program_id)
+    parent_g = CGroup.new(builder, PUBLIC, parent_pt)
+    caller = signer.ternary(is_root_b, parent_g)
+    is_root_f = CField.constant(builder, 1).ternary(
+        is_root_b, CField.constant(builder, 0))
+
+    # --- input ID checks + message (verify.rs:110 check_input_ids) ---
     input_hashes = []
-    for index, ((vis, _name), gadgets, iid) in enumerate(
-            zip(input_types, input_gadgets, request.input_ids)):
+    checks = []
+    for index, ((vis, _name), gadgets, iid_pub) in enumerate(
+            zip(input_types, input_gadgets, iid_pubs)):
         if vis in ("public", "constant"):
             preimage = [fid] + list(gadgets) + [tcm, CField.constant(builder, index)]
             h = poseidon_gadget.hash_psd(builder, 8, preimage)[0]
-            pub = CField.new(builder, PUBLIC, iid.fields[0])
-            h.assert_eq(pub)
-            input_hashes.append(h)
+            checks.append(iid_pub.is_equal(h))
+            input_hashes.append(iid_pub)
         elif vis == "private":
             # ivk = H4([fid, tvk, index]); ct_i = f_i + H8-stream; hash ct
             ivk = poseidon_gadget.hash_psd(
@@ -101,27 +152,48 @@ def verify_request_gadget(builder: CircuitBuilder, request: Request, input_types
                 [CField.constant(builder, N.ENCRYPTION_DOMAIN), ivk], num_outputs=n)
             ct = [g + r for g, r in zip(gadgets, randomizers)]
             h = poseidon_gadget.hash_psd(builder, 8, ct)[0]
-            pub = CField.new(builder, PUBLIC, iid.fields[0])
-            h.assert_eq(pub)
-            input_hashes.append(h)
+            checks.append(iid_pub.is_equal(h))
+            input_hashes.append(iid_pub)
         else:
-            raise NotImplementedError(f"in-circuit input kind {vis} (round-2)")
+            raise NotImplementedError(f"in-circuit input kind {vis} (round-3)")
 
-    # 3. Schnorr
-    resp_bits, _ = scalar_to_bits_gadget(builder, request.signature.response)
-    chal_bits, chal_field = scalar_to_bits_gadget(builder, request.signature.challenge)
+    # --- tpk / commitment checks (verify.rs:68-80) ---
+    tcm_check = poseidon_gadget.hash_psd(builder, 2, [tvk])[0]
+    rtvk = request.tvk if root_tvk is None else root_tvk
+    root_tvk_g = CField.new(builder, PRIVATE, rtvk)
+    scm_check = poseidon_gadget.hash_psd(builder, 2, [signer.x, root_tvk_g])[0]
     g_resp = g_scalar_multiply_gadget(builder, resp_bits)
     pk_chal = var_scalar_multiply_gadget(builder, pk_sig, chal_bits)
-    g_r = g_resp + pk_chal
+    tpk_check = pk_chal + g_resp
+    checks.append(tpk.is_equal(tpk_check))
+    checks.append(tcm.is_equal(tcm_check))
+    checks.append(scm.is_equal(scm_check))
 
-    msg = [g_r.x, pk_sig.x, pr_sig.x, signer.x, tvk, tcm, fid,
-           CField.constant(builder, 1 if is_root else 0)] + input_hashes
+    # --- signature checks (verify.rs:83-104) ---
+    msg = [tpk.x, pk_sig.x, pr_sig.x, signer.x, tvk, tcm, fid,
+           is_root_f] + input_hashes
     cand_bits = hash_to_scalar_bits_gadget(builder, 8, msg)
-    # challenge == candidate (compare the 250 truncated bits)
     acc = LinearCombination(0)
     coeff = 1
     for b in cand_bits:
         acc = acc.add(b.lc, coeff)
         coeff = coeff * 2 % R
-    CField(builder, acc).assert_eq(chal_field)
-    return (tcm, tvk) if return_tvk else tcm
+    checks.append(chal_field.is_equal(CField(builder, acc)))
+    # candidate address: sk_prf = HashToScalar_psd4([pk_sig.x, pr_sig.x]);
+    # address = pk_sig + pr_sig + G*sk_prf (compute_key/{from,to_address}.rs)
+    sk_prf_bits = hash_to_scalar_bits_gadget(
+        builder, 4, [pk_sig.x, pr_sig.x])
+    pk_prf = g_scalar_multiply_gadget(builder, sk_prf_bits)
+    cand_addr = pk_sig + pr_sig + pk_prf
+    checks.append(signer.is_equal(cand_addr))
+
+    ok = checks[0]
+    for c in checks[1:]:
+        ok = ok & c
+    builder.assert_eq(ok.lc, LinearCombination(1))
+
+    ctx = RequestCtx(tcm=tcm, tvk=tvk, signer=signer, caller=caller,
+                     is_root=is_root_b)
+    if return_tvk:
+        return tcm, tvk
+    return ctx

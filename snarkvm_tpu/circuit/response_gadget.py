@@ -90,6 +90,64 @@ def plaintext_fields_gadget(builder: CircuitBuilder, gadget, type_name: str):
     return fields
 
 
+def future_bit_stream(builder, fut_gadget):
+    """[("c", bool) | ("g", CBool)] stream of a future's bits
+    (console future/to_bits.rs layout): the program id / function name /
+    counts / length prefixes are constants; argument payload bits come
+    from the bound gadgets. fut_gadget: a FutureGadget (circuit_exec)
+    with .future (console Future) and .arg_gadgets
+    [(type_name, gadget | None, console_arg)]."""
+    from ..console.types import int_to_bits_le, bytes_to_bits_le
+
+    fut = fut_gadget.future
+    name, network = fut.program_id.rsplit(".", 1)
+    pid_bits = bytes_to_bits_le(name.encode()) + bytes_to_bits_le(network.encode())
+    stream = [("c", b) for b in int_to_bits_le(len(pid_bits), 16) + pid_bits]
+    fn_bits = bytes_to_bits_le(fut.function_name.encode())
+    stream += [("c", b) for b in int_to_bits_le(len(fn_bits), 16) + fn_bits]
+    stream += [("c", b) for b in int_to_bits_le(len(fut_gadget.arg_gadgets), 8)]
+    for tname, gadget, console_arg in fut_gadget.arg_gadgets:
+        if gadget is None:
+            # console-only argument (nested future / record): constant bits
+            from ..console.types import Future, future_from_value
+            variant = (isinstance(console_arg, Future)
+                       or getattr(console_arg, "kind", None) == "future")
+            raw = (future_from_value(console_arg).to_bits_le() if variant
+                   else console_arg.to_bits_le())
+            bits = [variant] + raw
+            stream += [("c", b) for b in int_to_bits_le(len(bits), 16)]
+            stream += [("c", b) for b in bits]
+        else:
+            body = _plaintext_bit_stream(gadget, tname, marker=False)
+            n = 1 + len(body)
+            stream += [("c", b) for b in int_to_bits_le(n, 16)]
+            stream.append(("c", False))  # Argument::Plaintext variant
+            stream += body
+    return stream
+
+
+def future_fields_gadget(builder, fut_gadget):
+    """Future::to_fields in-circuit: bit stream + terminus marker packed
+    into 252-bit CField chunks (future/to_fields.rs:23)."""
+    from .builder import LinearCombination
+
+    stream = future_bit_stream(builder, fut_gadget) + [("c", True)]
+    fields = []
+    for i in range(0, len(stream), 252):
+        chunk = stream[i : i + 252]
+        acc = LinearCombination(0)
+        coeff = 1
+        for kind, item in chunk:
+            if kind == "c":
+                if item:
+                    acc = acc.add(LinearCombination(1), coeff)
+            else:
+                acc = acc.add(item.lc, coeff)
+            coeff = coeff * 2 % R
+        fields.append(CField(builder, acc))
+    return fields
+
+
 def from_outputs_gadget(builder: CircuitBuilder, request, output_types,
                         output_field_gadgets, num_inputs: int,
                         tvk_gadget: CField, tcm_gadget: CField):
@@ -117,7 +175,11 @@ def from_outputs_gadget(builder: CircuitBuilder, request, output_types,
             ct = [g + r for g, r in zip(gadgets, randomizers)]
             h = poseidon_gadget.hash_psd(builder, 8, ct)[0]
         elif vis == "future":
-            preimage = [fid, tcm_gadget, idx_const]
+            # from_outputs.rs:151: hash (fid || future fields || tcm || idx);
+            # the future's fields are recomposed in-circuit from the
+            # argument gadgets (length prefixes/identifiers are constants)
+            fut_fields = future_fields_gadget(builder, gadgets)
+            preimage = [fid] + fut_fields + [tcm_gadget, idx_const]
             h = poseidon_gadget.hash_psd(builder, 8, preimage)[0]
         else:
             raise NotImplementedError(f"in-circuit output kind {vis}")

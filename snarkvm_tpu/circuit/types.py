@@ -777,11 +777,14 @@ class CGroup:
 
     @classmethod
     def new(cls, builder, mode, pt):
+        """Group injection (circuit/types/group/src/lib.rs:64): allocate
+        (x, y) and enforce subgroup membership — the reference's
+        `enforce_in_group` (lib.rs:100), not just on-curve."""
         x = CField.new(builder, mode, pt[0])
         y = CField.new(builder, mode, pt[1])
         out = cls(builder, x, y)
         if mode != CONSTANT:
-            out.assert_on_curve()
+            out.assert_in_group()
         return out
 
     @classmethod
@@ -793,13 +796,56 @@ class CGroup:
         return (self.x.value, self.y.value)
 
     def assert_on_curve(self):
-        # -x^2 + y^2 = 1 + d x^2 y^2
+        # y^2 * (d x^2 - 1) = a x^2 - 1 with a = -1 — the reference's
+        # 3-constraint form (group/src/lib.rs:82 enforce_on_curve)
         x2 = self.x.square()
         y2 = self.y.square()
-        lhs = y2 - x2
-        x2y2 = x2 * y2
-        rhs = x2y2.scale_const(P.EDWARDS_D).add_const(1)
-        self.b.assert_eq(lhs.lc, rhs.lc)
+        second = x2.scale_const(P.EDWARDS_D).add_const(R - 1)
+        third = x2.scale_const(R - 1).add_const(R - 1)
+        self.b.enforce(y2.lc, second.lc, third.lc)
+
+    def double(self):
+        """Edwards doubling (circuit/types/group/src/double.rs:21):
+        witness (x3, y3) with x3*(ax^2+y^2)=2xy, y3*(2-ax^2-y^2)=y^2-ax^2."""
+        a = R - 1  # EDWARDS_A = -1
+        xy = self.x * self.y
+        x2 = self.x.square()
+        y2 = self.y.square()
+        ax2 = x2.scale_const(a)
+        d = ed.add(self.value, self.value)
+        x3 = CField.new(self.b, PRIVATE, d[0])
+        y3 = CField.new(self.b, PRIVATE, d[1])
+        ax2_plus_y2 = ax2 + y2
+        self.b.enforce(x3.lc, ax2_plus_y2.lc, xy.lc.scale(2))
+        self.b.enforce(y3.lc, LinearCombination(2).add(ax2_plus_y2.lc, R - 1),
+                       (y2 - ax2).lc)
+        return CGroup(self.b, x3, y3)
+
+    def enforce_double(self, claimed: "CGroup"):
+        """Enforce claimed == 2*self without new point witnesses
+        (double.rs:66)."""
+        a = R - 1
+        xy = self.x * self.y
+        x2 = self.x.square()
+        y2 = self.y.square()
+        ax2 = x2.scale_const(a)
+        ax2_plus_y2 = ax2 + y2
+        self.b.enforce(claimed.x.lc, ax2_plus_y2.lc, xy.lc.scale(2))
+        self.b.enforce(claimed.y.lc,
+                       LinearCombination(2).add(ax2_plus_y2.lc, R - 1),
+                       (y2 - ax2).lc)
+
+    def assert_in_group(self):
+        """enforce_in_group (lib.rs:100): postulate q = self/4 on the
+        curve, then enforce self == 2*(2*q) — cofactor-4 membership."""
+        inv4 = pow(4, -1, P.S)
+        q = ed.mul(self.value, inv4)
+        qx = CField.new(self.b, PRIVATE, q[0])
+        qy = CField.new(self.b, PRIVATE, q[1])
+        qg = CGroup(self.b, qx, qy)
+        qg.assert_on_curve()
+        dbl = qg.double()
+        dbl.enforce_double(self)
 
     def __add__(self, o: "CGroup"):
         """Complete twisted Edwards addition (3 mul + 2 div constraints)."""

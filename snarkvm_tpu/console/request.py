@@ -208,7 +208,11 @@ class Response:
                 preimage = [function_id] + output.to_fields() + [tvk, idx]
                 output_ids.append(OutputID(vis, (N.hash_psd(8, preimage),)))
             elif vis == "future":
-                preimage = [function_id] + [tcm, idx]
+                # response/mod.rs OutputID::Future: hash over
+                # (function ID || future fields || tcm || index)
+                from .types import future_from_value
+                preimage = ([function_id] + future_from_value(output).to_fields()
+                            + [tcm, idx])
                 output_ids.append(OutputID(vis, (N.hash_psd(8, preimage),)))
             else:
                 raise ValueError(f"invalid output type {vis}")

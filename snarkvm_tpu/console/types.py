@@ -204,6 +204,70 @@ class Plaintext:
         return isinstance(o, Plaintext) and self.to_bits_le() == o.to_bits_le()
 
 
+class Future:
+    """Finalize future (console/program/src/data/future/mod.rs): a
+    (program_id, function_name, arguments) triple; arguments are
+    ("plaintext", Plaintext) | ("future", Future) pairs."""
+
+    __slots__ = ("program_id", "function_name", "arguments")
+
+    def __init__(self, program_id: str, function_name: str, arguments):
+        self.program_id = program_id
+        self.function_name = function_name
+        self.arguments = list(arguments)
+
+    def to_bits_le(self):
+        """future/to_bits.rs:20: u16-length-prefixed program-id and
+        function-name identifier bits, u8 arg count, then per argument a
+        u16 bit-length prefix + variant bit (0 plaintext / 1 future)."""
+        name, network = self.program_id.rsplit(".", 1)
+        pid_bits = bytes_to_bits_le(name.encode()) + bytes_to_bits_le(network.encode())
+        bits = int_to_bits_le(len(pid_bits), 16) + pid_bits
+        fn_bits = bytes_to_bits_le(self.function_name.encode())
+        bits += int_to_bits_le(len(fn_bits), 16) + fn_bits
+        bits += int_to_bits_le(len(self.arguments), 8)
+        for kind, arg in self.arguments:
+            ab = [kind == "future"] + arg.to_bits_le()
+            bits += int_to_bits_le(len(ab), 16)
+            bits += ab
+        return bits
+
+    def to_fields(self):
+        """future/to_fields.rs:23: bits + terminus marker, packed into
+        252-bit field chunks."""
+        bits = self.to_bits_le() + [True]
+        out = []
+        for i in range(0, len(bits), FIELD_DATA_BITS):
+            out.append(bits_to_int_le(bits[i : i + FIELD_DATA_BITS]))
+        assert len(out) <= N.MAX_DATA_SIZE_IN_FIELDS
+        return out
+
+    def __eq__(self, o):
+        return isinstance(o, Future) and self.to_bits_le() == o.to_bits_le()
+
+
+def future_from_value(v) -> Future:
+    """Normalize the interpreter's Value('future', (pid, fname, args))
+    shape (args are Literal/Plaintext/Value) into a console Future."""
+    if isinstance(v, Future):
+        return v
+    assert getattr(v, "kind", None) == "future"
+    pid, fname, args = v.value
+    out_args = []
+    for a in args:
+        if isinstance(a, Future):
+            out_args.append(("future", a))
+        elif getattr(a, "kind", None) == "future":
+            out_args.append(("future", future_from_value(a)))
+        elif isinstance(a, Plaintext):
+            out_args.append(("plaintext", a))
+        elif isinstance(a, Literal):
+            out_args.append(("plaintext", Plaintext("literal", a)))
+        else:
+            raise ValueError(f"bad future argument {a!r}")
+    return Future(pid, fname, out_args)
+
+
 class Value:
     """Plaintext / Record / Future (data/value/mod.rs:29)."""
 
@@ -217,6 +281,8 @@ class Value:
         return cls("plaintext", pt)
 
     def to_fields(self):
+        if self.kind == "future" and not isinstance(self.value, Future):
+            return future_from_value(self).to_fields()
         return self.value.to_fields()
 
 

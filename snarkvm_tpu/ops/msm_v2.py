@@ -182,9 +182,19 @@ class Geometry:
         self.W = (num_bits + c - 1) // c
         self.nb = 1 << (c - 1)
         self.nb_v = max(self.nb, LANE)
-        self.nb_ws = [self.nb] * self.W
-        self.R = self.nb_v // self.nb
-        self.R_ws = [self.R] * self.W
+        # Per-window real bucket counts: the TOP window only spans
+        # 2^(num_bits - c*(W-1)) magnitudes, so its buckets are spread
+        # over proportionally more replica lanes — otherwise its run
+        # lengths are n/2^top_bits (≫ cap; at n=2^16/c=13 they hit 1024
+        # and the round cap can never fit them).
+        self.nb_ws = []
+        for w in range(self.W):
+            bits_w = min(c, num_bits - c * w)
+            # signed-digit magnitudes: full windows in [0, 2^(c-1)];
+            # the top window in [0, 2^bits_w] (carry in, never out)
+            self.nb_ws.append(min(self.nb, 1 << bits_w))
+        self.R_ws = [self.nb_v // nb_w for nb_w in self.nb_ws]
+        self.R = self.R_ws[0]
         self.lanes = self.W * self.nb_v
         if cap is None:
             # expected max virtual-bucket count: lambda + 5*sqrt(lambda)
@@ -194,17 +204,17 @@ class Geometry:
         self.cap = cap
 
     def maps(self):
-        """Static per-lane numpy maps: real-bucket key index, replica."""
+        """Static per-lane numpy maps: real-bucket key index, replica,
+        replica count and per-window bucket count (all per-lane)."""
         lane = np.arange(self.lanes)
         w = lane // self.nb_v
         off = lane % self.nb_v
-        rep = (off // self.nb).astype(np.int32)
-        b = (off % self.nb).astype(np.int32)
+        nb_l = np.asarray(self.nb_ws, np.int32)[w]
+        R_l = np.asarray(self.R_ws, np.int32)[w]
+        rep = (off // nb_l).astype(np.int32)
+        b = (off % nb_l).astype(np.int32)
         key_of_lane = (w * (self.nb + 1) + b).astype(np.int32)
-        rep_of_lane = rep
-        R_of_lane = np.full(self.lanes, self.R, np.int32)
-        weight_ok = np.ones(self.lanes, bool)
-        return key_of_lane, rep_of_lane, R_of_lane, weight_ok
+        return key_of_lane, rep, R_l, nb_l
 
 
 # ---------------------------------------------------------------------------
@@ -452,32 +462,40 @@ def _msm_v2_raw(geo: Geometry, B: int):
         # full add.) Wrap-around lanes of the jnp.roll are masked to
         # identity so cross-window contamination never lands.
         off = np.arange(lanes) % nb_v
+        w_of = np.arange(lanes) // nb_v
+        nb_l = np.asarray(geo.nb_ws, np.int32)[w_of]
         steps_list, masks_list = [], []
 
         def plan_step(step, keep):
             steps_list.append(step)
             masks_list.append(keep)
 
-        # replica folds (layout rep*nb + b): fold upper replica halves on
-        r = geo.R
-        while r > 1:
-            half = r // 2
-            plan_step(half * nb, off < half * nb)
-            r = half
-        # After the folds, lanes beyond the first replica (off >= nb) are
-        # stale. No explicit masking is needed: every subsequent step's
-        # keep-mask only ADDS from sources with off + step < nb (live by
-        # induction), and only lane 0 per window is read at the end.
-        live = off < nb
+        # replica folds (layout rep*nb_w + b): fold upper replica halves.
+        # Windows with different (nb_w, R_w) need different shift
+        # distances, so folds are planned per distinct class; the keep
+        # masks confine each fold to its class's lanes.
+        for nb_w, R_w in sorted(set(zip(geo.nb_ws, geo.R_ws))):
+            in_class = nb_l == nb_w
+            r = R_w
+            while r > 1:
+                half = r // 2
+                plan_step(half * nb_w, in_class & (off < half * nb_w))
+                r = half
+        # After the folds, lanes beyond the first replica (off >= nb_w)
+        # are stale. No explicit masking is needed: every subsequent
+        # step's keep-mask only ADDS from sources with off + step < nb_w
+        # (live by induction), and only lane 0 per window is read at the
+        # end.
+        live = off < nb_l
         # suffix scan: SS_i = sum_{j>=i} S_j per window (Hillis-Steele)
         step = 1
         while step < nb:
-            plan_step(step, (off + step < nb) & live)
+            plan_step(step, (off + step < nb_l) & live)
             step *= 2
         # tree sum: T_w = sum_i SS_i = sum_j (j+1) S_j
         step = 1
         while step < nb:
-            plan_step(step, (off % (2 * step) == 0) & (off + step < nb))
+            plan_step(step, (off % (2 * step) == 0) & (off + step < nb_l))
             step *= 2
 
         steps_arr = jnp.asarray(np.array(steps_list, np.int32))
@@ -607,14 +625,41 @@ def msm_g1_v2(table_u16, scalar_limbs, n: int, c: int | None = None,
     geo, fn = _msm_v2_fn(n, c, B, cap)
     jacs, dropped = fn(table_u16, scalar_limbs)
     if dropped:
-        # adversarial/degenerate digit distribution exceeded the static
-        # round cap: retry with a cap that provably fits (max run length)
+        # degenerate digit distribution exceeded the static round cap:
+        # retry once with 4x headroom, then fall back to the host-int
+        # Pippenger (a cap-of-n device pipeline would allocate
+        # cap*lanes*192B of schedule slots — uncompilable at scale)
         geo, fn2 = _msm_v2_fn(n, c, B, geo.cap * 4 + 64)
         jacs, dropped = fn2(table_u16, scalar_limbs)
         if dropped:
-            geo, fn3 = _msm_v2_fn(n, c, B, n)
-            jacs, dropped = fn3(table_u16, scalar_limbs)
+            return _host_fallback(table_u16, scalar_limbs, n)
     return _combine(jacs[:geo.W], c)
+
+
+def _host_fallback(table_u16, scalar_limbs, n: int):
+    """Adversarial-distribution escape hatch: exact host-integer MSM over
+    the unpacked table (csrc/g1_msm.c when available, else sw_fast)."""
+    from ..curves import sw_fast as g1f
+    tbl = np.asarray(table_u16)[:n].astype(np.uint64)
+    sl = np.asarray(scalar_limbs)[:n].astype(np.uint64)
+    rinv = pow(_R13_MONT, -1, P.Q)
+    shifts16 = [16 * i for i in range(24)]
+    pts, scs = [], []
+    for i in range(n):
+        s = 0
+        for j in range(16):
+            s |= int(sl[i, j]) << (16 * j)
+        if s == 0:
+            continue
+        x = sum(int(tbl[i, j]) << shifts16[j] for j in range(24)) * rinv % P.Q
+        y = sum(int(tbl[i, 24 + j]) << shifts16[j] for j in range(24)) * rinv % P.Q
+        if x == 0 and y == 0:
+            continue
+        pts.append((x, y))
+        scs.append(s)
+    if not pts:
+        return (0, 1, 0)
+    return g1f.msm(pts, scs)
 
 
 def _combine(jacs, c: int):

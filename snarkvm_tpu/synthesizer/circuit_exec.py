@@ -33,6 +33,16 @@ class CircuitValue:
         self.gadget = gadget
 
 
+class FutureGadget:
+    """Circuit-side finalize future (circuit/program/src/data/future):
+    the console Future plus the argument gadgets, so the response
+    output-ID hash can recompose Future::to_fields from bound bits."""
+
+    def __init__(self, future, arg_gadgets):
+        self.future = future          # console Future
+        self.arg_gadgets = arg_gadgets  # [(type_name, gadget|None, console_arg)]
+
+
 def _inject(builder, lit: Literal, mode: str):
     t = lit.type_name
     if t == "field":
@@ -240,7 +250,8 @@ class DualStack:
 
     def execute_function(self, name: str, inputs, input_visibility=None,
                          builder: CircuitBuilder | None = None,
-                         input_gadgets=None, expose_outputs: bool = True):
+                         input_gadgets=None, expose_outputs: bool = True,
+                         ctx=None):
         """inputs: console literals (or strings). Returns (outputs, builder).
 
         Public inputs become public circuit variables; private inputs
@@ -252,6 +263,15 @@ class DualStack:
             raise HaltError(f"no function {name}")
         builder = builder if builder is not None else CircuitBuilder()
         regs = {}
+        if ctx is not None:
+            # bind self.signer / self.caller to the request-verification
+            # gadgets (stack/execute.rs:245-252 set_signer/caller_circuit)
+            regs["self.signer"] = CircuitValue(
+                Literal("address", (ctx.signer.x.value, ctx.signer.y.value)),
+                ctx.signer)
+            regs["self.caller"] = CircuitValue(
+                Literal("address", (ctx.caller.x.value, ctx.caller.y.value)),
+                ctx.caller)
         for idx, (finput, value) in enumerate(zip(fn.inputs, inputs)):
             lit = value
             if isinstance(lit, str):
@@ -307,6 +327,24 @@ class DualStack:
     def _execute(self, builder, inst, regs):
         op = inst.opcode
         ld = lambda o: self._load(builder, regs, o)
+        if op == "async":
+            # `async fn r0 ... into rN` -> FutureGadget carrying the
+            # argument gadgets (the response hashes Future::to_fields
+            # from these bound bits)
+            from ..console.types import Value, future_from_value
+            fname = inst.operands[0]
+            args_cv = [ld(o) for o in inst.operands[1:]]
+            fut_v = Value("future", (self.stack.program.id, fname,
+                                     [cv.literal for cv in args_cv]))
+            fut = future_from_value(fut_v)
+            arg_gadgets = []
+            for cv in args_cv:
+                tname = getattr(cv.literal, "type_name", None)
+                arg_gadgets.append((tname, cv.gadget if tname else None,
+                                    cv.literal))
+            regs[inst.destinations[0]] = CircuitValue(
+                fut_v, FutureGadget(fut, arg_gadgets))
+            return
         if op in ("add", "add.w", "sub", "sub.w", "mul", "mul.w",
                   "div", "div.w", "rem", "rem.w", "mod"):
             a, b = ld(inst.operands[0]), ld(inst.operands[1])
@@ -639,7 +677,12 @@ class DualStack:
         from .process import Registers
         creg = Registers()
         for name, cv in regs.items():
-            creg.store(name, cv.literal)
+            if name == "self.signer":
+                creg.signer = cv.literal.value
+            elif name == "self.caller":
+                creg.caller = cv.literal.value
+            else:
+                creg.store(name, cv.literal)
         self.stack._execute(inst, creg)
         for d in inst.destinations:
             raw = creg.load(d)

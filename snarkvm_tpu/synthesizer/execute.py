@@ -243,19 +243,19 @@ def execute_function(stack: Stack, request: Request, input_types,
                                 f"follow-up)")
             typed_gadgets.append(g)
             input_field_gadgets.append(plaintext_fields_gadget(builder, g, t))
-        tvk_g = verify_request_gadget(builder, request, input_types,
-                                      input_field_gadgets, return_tvk=True)
-        tcm_g, tvk_g = tvk_g if isinstance(tvk_g, tuple) else (tvk_g, None)
+        ctx = verify_request_gadget(builder, request, input_types,
+                                    input_field_gadgets)
+        tcm_g, tvk_g = ctx.tcm, ctx.tvk
         dual_outputs, _ = dual.execute_function(
             request.function_name, inputs, builder=builder,
-            input_gadgets=typed_gadgets, expose_outputs=False)
+            input_gadgets=typed_gadgets, expose_outputs=False, ctx=ctx)
         # Response::from_outputs over the output gadgets
         output_types = [(o.value_type.split(".")[-1], o.value_type.split(".")[0])
                         for o in fn.outputs]
         out_field_gadgets = []
         for cv, (vis, tname) in zip(dual_outputs, output_types):
             if vis == "future":
-                out_field_gadgets.append(None)
+                out_field_gadgets.append(cv.gadget)  # FutureGadget
             else:
                 out_field_gadgets.append(
                     plaintext_fields_gadget(builder, cv.gadget, cv.literal.type_name))
