@@ -432,24 +432,71 @@ def _schedule_body(geo: Geometry, table_u16, slimbs):
     return xy, meta, dropped
 
 
+def _schedule_light(geo: Geometry, slimbs):
+    """Recode + sort + per-lane run geometry WITHOUT materializing the
+    [cap, ...] slot tensors: the TPU driver gathers point rows per round
+    inside the accumulation loop, so rounds past the true max run length
+    (tmax <= cap) skip both their gather and their EC work."""
+    n, c, W, nb = geo.n, geo.c, geo.W, geo.nb
+    cap = geo.cap
+    key_of_lane, rep_of_lane, R_of_lane, _ = geo.maps()
+    nkeys = W * (nb + 1)
+
+    mag, sign = signed_digits(slimbs, c, W)
+    bucket = mag - 1
+    key = (jnp.arange(W, dtype=jnp.int32)[:, None] * (nb + 1)
+           + jnp.where(bucket < 0, nb, bucket))
+    payload = (jnp.arange(n, dtype=jnp.int32)[None, :]
+               | (sign.astype(jnp.int32) << 30))
+    skey, spay = jax.lax.sort(
+        (key.reshape(W * n), payload.reshape(W * n)),
+        dimension=0, num_keys=1)
+    starts = jnp.searchsorted(skey, jnp.arange(nkeys, dtype=jnp.int32),
+                              side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(skey, jnp.arange(nkeys, dtype=jnp.int32),
+                            side="right").astype(jnp.int32)
+    kol = jnp.asarray(key_of_lane)
+    start_l = jnp.take(starts, kol)
+    end_l = jnp.take(ends, kol)
+    R_l = jnp.asarray(R_of_lane)
+    rep_l = jnp.asarray(rep_of_lane)
+    r0 = (rep_l - start_l) % R_l
+    base_l = start_l + r0
+    need = jnp.maximum((end_l - base_l + R_l - 1) // R_l, 0)
+    tmax = jnp.minimum(jnp.max(need), cap)
+    dropped = jnp.sum(need - jnp.minimum(need, cap))
+    return spay, base_l, end_l, R_l, tmax, dropped
+
+
 def _msm_v2_raw(geo: Geometry, B: int):
     n, c, W, nb = geo.n, geo.c, geo.W, geo.nb
     nb_v, lanes, cap = geo.nb_v, geo.lanes, geo.cap
+    ntiles = lanes // 128
 
     def run(table_u16, slimbs):
-        xy, meta, dropped = _schedule_body(geo, table_u16, slimbs)
+        spay, base_l, end_l, R_l, tmax, dropped = _schedule_light(geo, slimbs)
 
         ident = ep._identity_lm(lanes)
 
         def body(t, acc3):
-            xyt = jax.lax.dynamic_slice(
-                xy, (t, 0, 0), (1, 48, lanes))[0]
-            mt = jax.lax.dynamic_slice(meta, (t, 0, 0), (1, 1, lanes))[0]
+            # materialize THIS round's points: elementwise positions ->
+            # payload -> u16 point rows -> batched tile transpose
+            pos = base_l + t * R_l                       # [lanes]
+            valid = pos < end_l
+            src = jnp.take(spay, jnp.where(valid, pos, 0))
+            pt_idx = src & ((1 << 30) - 1)
+            neg = (src >> 30) & 1
+            rows = jnp.take(table_u16, pt_idx, axis=0)   # [lanes, 48]
+            xyt = jnp.transpose(
+                rows.reshape(ntiles, 128, 48).astype(jnp.uint32),
+                (0, 2, 1))                               # [nt, 48, 128]
+            xyt = jnp.transpose(xyt, (1, 0, 2)).reshape(48, lanes)
+            mt = (valid.astype(jnp.int32) | (neg << 1)).reshape(1, lanes)
             acc = {"X": acc3[0], "Y": acc3[1], "Z": acc3[2]}
             out = _acc_round(acc, xyt, mt)
             return (out["X"], out["Y"], out["Z"])
 
-        acc3 = jax.lax.fori_loop(0, cap, body,
+        acc3 = jax.lax.fori_loop(0, tmax, body,
                                  (ident["X"], ident["Y"], ident["Z"]))
         acc = {"X": acc3[0], "Y": acc3[1], "Z": acc3[2]}
 

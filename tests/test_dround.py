@@ -168,20 +168,34 @@ def test_device_prove_matches_host_prove_exactly():
     circ = Sq()
     pk, vk = varuna.circuit_setup(srs, circ, varuna.VarunaNonHidingMode)
 
-    def prove(mode_env):
+    def prove(mode_env, msm_min=None):
         old = os.environ.get("SNARKVM_TPU_DEVICE_POLY")
+        old_min = os.environ.get("SNARKVM_TPU_DEVICE_MSM_MIN")
         os.environ["SNARKVM_TPU_DEVICE_POLY"] = mode_env
+        old_msm = os.environ.get("SNARKVM_TPU_DEVICE_MSM")
+        if msm_min is not None and jax.default_backend() != "cpu":
+            # on-chip runs force the grouped device-MSM commit paths;
+            # on the XLA CPU backend the fused MSM pipeline's compile
+            # alone exceeds the test budget, so the env stays inert there
+            os.environ["SNARKVM_TPU_DEVICE_MSM"] = "always"
+            # force the grouped commit_many_dpoly / batched witness-MSM
+            # device paths even on tiny domains (ADVICE r1: otherwise no
+            # test exercises them end-to-end below the 2^13 threshold)
+            os.environ["SNARKVM_TPU_DEVICE_MSM_MIN"] = str(msm_min)
         try:
             return varuna.prove_batch(srs, [(pk, [circ])], random.Random(4),
                                       varuna.VarunaNonHidingMode)
         finally:
-            if old is None:
-                os.environ.pop("SNARKVM_TPU_DEVICE_POLY", None)
-            else:
-                os.environ["SNARKVM_TPU_DEVICE_POLY"] = old
+            for key, val in (("SNARKVM_TPU_DEVICE_POLY", old),
+                             ("SNARKVM_TPU_DEVICE_MSM", old_msm),
+                             ("SNARKVM_TPU_DEVICE_MSM_MIN", old_min)):
+                if val is None:
+                    os.environ.pop(key, None)
+                else:
+                    os.environ[key] = val
 
     p_host = prove("off")
-    p_dev = prove("always")
+    p_dev = prove("always", msm_min=1)
     assert p_host.g_1_eval == p_dev.g_1_eval
     assert p_host.g_a_evals == p_dev.g_a_evals
     assert p_host.g_b_evals == p_dev.g_b_evals
