@@ -295,7 +295,7 @@ class DualStack:
         for out in fn.outputs:
             cv = regs[out.operand.split(".")[0]]
             outputs.append(cv)
-            if not expose_outputs or cv.gadget is None:
+            if not expose_outputs or cv.gadget is None or isinstance(cv.gadget, FutureGadget):
                 continue  # futures/gadgetless values have no public exposure
             # outputs surface as public variables (response commitments in the
             # full protocol; direct exposure in the run-mode circuit)

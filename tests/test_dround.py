@@ -2,6 +2,8 @@
 (reference ahp/prover/round_functions/{third,fourth}.rs semantics)."""
 import random
 
+import jax
+
 import numpy as np
 import jax.numpy as jnp
 
