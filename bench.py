@@ -50,7 +50,7 @@ def bench_poseidon():
         "metric": f"poseidon2_permutations_per_s_batch_2^{b.bit_length()-1}",
         "value": round(rate, 3), "unit": "Mperm/s",
         "vs_baseline": round(rate / 1.0, 3),
-    }))
+    }), flush=True)
 
 
 def bench_msm_host():
@@ -79,7 +79,7 @@ def bench_msm_host():
         "metric": f"msm_g1_host_native_2^{n.bit_length()-1}_points_per_s",
         "value": round(rate, 3), "unit": "Mpoint/s",
         "vs_baseline": round(rate / 1.0, 3),
-    }))
+    }), flush=True)
 
 
 def bench_msm_tpu():
@@ -112,7 +112,7 @@ def bench_msm_tpu():
         "metric": f"msm_g1_tpu_2^{n.bit_length()-1}_points_per_s",
         "value": round(rate, 4), "unit": "Mpoint/s",
         "vs_baseline": round(rate / 1.0, 4),
-    }))
+    }), flush=True)
 
 
 def bench_msm_v2():
@@ -146,7 +146,7 @@ def bench_msm_v2():
         "metric": f"msm_g1_tpu_v2_2^{n.bit_length()-1}_points_per_s",
         "value": round(rate, 4), "unit": "Mpoint/s",
         "vs_baseline": round(rate / 25.0, 4),
-    }))
+    }), flush=True)
 
 
 def bench_varuna():
@@ -192,7 +192,7 @@ def bench_varuna():
         "metric": f"varuna_prove_2^{logn}_constraints_proofs_per_min",
         "value": round(rate, 3), "unit": "proofs/min",
         "vs_baseline": round(rate / 1.0, 3),
-    }))
+    }), flush=True)
 
 
 def main():
@@ -208,18 +208,47 @@ def main():
     if metric == "msm_v2":
         return bench_msm_v2()
     if metric == "all":
-        # the full north-star metric set, one JSON line each (failures
-        # are reported on stderr and skip the line, so one bad metric
-        # never hides the others)
-        import traceback
-        for fn in (bench_ntt, bench_msm_v2, bench_varuna, bench_poseidon):
-            try:
-                fn()
-            except Exception:
-                print(f"[bench] {fn.__name__} failed:", file=sys.stderr)
-                traceback.print_exc()
-        return
+        return bench_all()
     return bench_ntt()
+
+
+def bench_all():
+    """The full north-star metric set, one JSON line each, streamed as
+    soon as each exists. Every metric runs in its OWN subprocess with a
+    wall-clock cap (a slow/hung metric is killed + noted on stderr and
+    never hides the others — BENCH_r02 died with only one line out), and
+    a total budget guarantees rc=0 before the driver's own timeout.
+    Compiles persist via the jax_compilation_cache_dir set in
+    snarkvm_tpu/__init__.py, so warmed caches make the caps generous."""
+    import subprocess
+
+    total_budget = float(os.environ.get("BENCH_TOTAL_BUDGET", "540"))
+    t_start = time.monotonic()
+    plan = [
+        ("ntt", {}, 150.0),
+        ("poseidon", {}, 90.0),
+        ("msm_v2", {"MSM_LOG2": "16"}, 240.0),
+        ("varuna", {}, 240.0),
+        ("msm_v2", {"MSM_LOG2": "20"}, 300.0),
+    ]
+    for name, extra, cap in plan:
+        remaining = total_budget - (time.monotonic() - t_start)
+        tag = name + (f" {extra}" if extra else "")
+        if remaining < 20:
+            print(f"[bench] total budget exhausted; skipping {tag}",
+                  file=sys.stderr, flush=True)
+            continue
+        child_env = dict(os.environ, METRIC=name, **extra)
+        try:
+            rc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=child_env, timeout=min(cap, remaining)).returncode
+            if rc != 0:
+                print(f"[bench] {tag} exited rc={rc}",
+                      file=sys.stderr, flush=True)
+        except subprocess.TimeoutExpired:
+            print(f"[bench] {tag} exceeded {min(cap, remaining):.0f}s cap; "
+                  "killed", file=sys.stderr, flush=True)
 
 
 def bench_ntt():
@@ -312,7 +341,7 @@ def bench_ntt():
         "value": round(rate, 3),
         "unit": "Mbutterfly/s",
         "vs_baseline": round(vs_baseline, 3),
-    }))
+    }), flush=True)
 
 
 if __name__ == "__main__":

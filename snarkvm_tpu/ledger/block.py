@@ -126,6 +126,11 @@ class Transaction:
     transitions: list
     payload: object = None       # Deployment / Execution extra data
     fee_amount: int | None = None  # base fee paid by the fee transition
+    # proof-carrying lifecycle (transaction/execution: one batched Varuna
+    # proof over the body transitions; fee/mod.rs: the fee's own proof)
+    proof: object = None
+    fee_proof: object = None
+    global_state_root: int = 0
 
     def id(self) -> int:
         leaves = [int_to_bits_le(t.id(), 253) for t in self.transitions]
@@ -165,7 +170,9 @@ def fee_only_transaction(tx: "Transaction") -> "Transaction":
               if t.program_id == "credits.aleo"
               and t.function_name.startswith("fee_")]
     assert fee_ts, "rejected transaction has no fee transition"
-    return Transaction("fee", fee_ts, fee_amount=tx.fee_amount)
+    return Transaction("fee", fee_ts, fee_amount=tx.fee_amount,
+                       fee_proof=tx.fee_proof,
+                       global_state_root=tx.global_state_root)
 
 
 def transactions_root(transactions) -> int:

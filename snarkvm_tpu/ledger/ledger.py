@@ -68,13 +68,16 @@ def ratifications_root(ratifies) -> int:
 
 class Ledger:
     def __init__(self, validator_keys, rng, public_balances=None,
-                 store_path: str | None = None, _resume: bool = False):
+                 store_path: str | None = None, _resume: bool = False,
+                 srs=None):
         """validator_keys: >=3 console PrivateKeys forming the genesis
         committee (each bonded at MIN_VALIDATOR_STAKE). store_path: SQLite
         file for the persistent finalize + block stores. Use Ledger.load
         to resume from an existing store (SURVEY §5.4: the ledger IS the
-        checkpoint)."""
-        self.vm = VM(rng, store_path=store_path)
+        checkpoint). srs: when given, the VM is proof-carrying and
+        check_next_block re-verifies every transaction's Varuna proofs
+        (check_next_block.rs → VM::check_transactions)."""
+        self.vm = VM(rng, store_path=store_path, srs=srs)
         self.rng = rng
         self.puzzle = Puzzle()
         self.history = None   # History instance => per-block staking dumps
@@ -350,6 +353,11 @@ class Ledger:
         # transactions
         if block.header.transactions_root != transactions_root(block.transactions):
             raise ValueError("transactions root mismatch")
+        # execution/fee proof re-verification (check_next_block.rs →
+        # VM::check_transactions: batched Varuna verify per transaction)
+        if self.vm.srs is not None:
+            for tx in block.transactions:
+                self.vm._check_transaction_proofs(tx)
         # record double-spend / commitment uniqueness
         seen_sns = set()
         for tx in block.transactions:

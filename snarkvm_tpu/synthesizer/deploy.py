@@ -116,6 +116,38 @@ def deploy(srs: kzg.UniversalSRS, stack: Stack, rng,
     return Deployment(stack.program.id, program_text, vks, weak_ops=weak)
 
 
+def synthesize_protocol_keys(srs: kzg.UniversalSRS, stack: Stack,
+                             fname: str, rng):
+    """(pk, vk) for a function's FULL transition circuit — in-circuit
+    Request::verify + body + Response::from_outputs — synthesized from a
+    burner request over sampled inputs (the CallStack::CheckDeployment
+    shape, process/src/deploy.rs; the circuit STRUCTURE is
+    input-independent, so verifier-side re-synthesis yields the same
+    matrices the prover used)."""
+    from ..console import account
+    from ..console.request import Request
+    from ..console.types import Plaintext
+    from . import execute as E
+
+    fn = stack.program.functions[fname]
+    types = [(fi.value_type.split(".")[-1], fi.value_type.split(".")[0])
+             for fi in fn.inputs]
+    for attempt in range(64):
+        burner = account.PrivateKey.new(rng)
+        inputs = [Plaintext("literal", sample_input(rng, fi.value_type))
+                  for fi in fn.inputs]
+        req = Request.sign(burner, stack.program.id, fname, inputs, types, rng)
+        try:
+            tt = E.execute_function(stack, req, types, verify_in_circuit=True)
+            break
+        except HaltError:
+            # sampled values can halt the console run (overflow, div by
+            # zero) — resample; the circuit shape is unaffected
+            if attempt == 63:
+                raise
+    return varuna.circuit_setup(srs, tt.builder.to_synthesizer())
+
+
 def verify_deployment(srs: kzg.UniversalSRS, stack: Stack, deployment: Deployment, rng) -> bool:
     """Re-synthesize every function circuit and check each certificate.
     NOTE: re-synthesis must be input-independent for the circuit SHAPE —

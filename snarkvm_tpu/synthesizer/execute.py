@@ -83,17 +83,27 @@ class Trace:
         return [ledger_inclusion_assignment(sp, c, gamma, sn)
                 for sp, c, gamma, sn in (self._inclusion_paths or [])]
 
-    def prove_execution(self, srs: kzg.UniversalSRS, rng, mode=varuna.VarunaNonHidingMode):
+    def prove_execution(self, srs: kzg.UniversalSRS, rng, mode=varuna.VarunaNonHidingMode,
+                        key_cache: dict | None = None):
         """One batched Varuna proof across all transitions, grouped per
-        circuit (function) like prove_batch's keys_to_constraints."""
+        circuit (function) like prove_batch's keys_to_constraints.
+
+        key_cache: optional {function_key: (pk, vk)} shared across calls
+        (Stack.proving_keys analog, process/src/stack/mod.rs:186) so
+        repeated executions of one function skip the indexer."""
         groups = {}
         for tt in self.traced:
             groups.setdefault(tt.function_key, []).append(tt)
         keys = []
         vks = []
         for fkey, tts in sorted(groups.items()):
-            synth = tts[0].builder.to_synthesizer()
-            pk, vk = varuna.circuit_setup(srs, synth, mode)
+            if key_cache is not None and fkey in key_cache:
+                pk, vk = key_cache[fkey]
+            else:
+                synth = tts[0].builder.to_synthesizer()
+                pk, vk = varuna.circuit_setup(srs, synth, mode)
+                if key_cache is not None:
+                    key_cache[fkey] = (pk, vk)
             keys.append((pk, [t.builder.to_synthesizer() for t in tts]))
             vks.append((fkey, vk, [t.public_inputs for t in tts]))
         inclusion = self._inclusion_builders()
@@ -275,28 +285,44 @@ def execute_function(stack: Stack, request: Request, input_types,
     # transition record
     t_inputs = [(iid.kind, (iid.fields[0][0] if isinstance(iid.fields[0], tuple) else iid.fields[0]) % R)
                 for iid in request.input_ids]
-    t_outputs = []
-    for out in dual_outputs:
-        lit = out.literal
-        if not hasattr(lit, "value") or isinstance(lit.value, str):
-            # future/struct output: recorded by value, no field id here
-            t_outputs.append(("future", 0))
-            continue
-        val = lit.value
-        if isinstance(val, tuple) and val and isinstance(val[0], int):
-            x = val[0]
-        elif isinstance(val, (int, bool)):
-            x = int(val) % R
-        else:
-            t_outputs.append(("future", 0))
-            continue
-        t_outputs.append(("public", x % R))
+    tpk = None
+    if verify_in_circuit:
+        # the full protocol circuit's public layout is
+        #   [1, tpk.x, tpk.y, tcm, scm, input_ids..., is_root, parent.x,
+        #    parent.y, output_ids...]
+        # (stack/execute.rs:225-238 + response/from_outputs.rs); lift tpk
+        # and the in-circuit output IDs straight off the public vector so
+        # the wire transition carries exactly what the proof binds
+        # (block/src/transition/mod.rs:51 Input/Output id semantics).
+        pubs = builder.public
+        tpk = (pubs[1], pubs[2])
+        n_out = len(fn.outputs)
+        out_ids = pubs[len(pubs) - n_out:] if n_out else []
+        out_vis = [o.value_type.split(".")[-1] for o in fn.outputs]
+        t_outputs = list(zip(out_vis, [v % R for v in out_ids]))
+    else:
+        t_outputs = []
+        for out in dual_outputs:
+            lit = out.literal
+            if not hasattr(lit, "value") or isinstance(lit.value, str):
+                # future/struct output: recorded by value, no field id here
+                t_outputs.append(("future", 0))
+                continue
+            val = lit.value
+            if isinstance(val, tuple) and val and isinstance(val[0], int):
+                x = val[0]
+            elif isinstance(val, (int, bool)):
+                x = int(val) % R
+            else:
+                t_outputs.append(("future", 0))
+                continue
+            t_outputs.append(("public", x % R))
     transition = Transition(
         program_id=request.program_id,
         function_name=request.function_name,
         inputs=t_inputs,
         outputs=t_outputs,
-        tpk=None,
+        tpk=tpk,
         tcm=request.tcm,
         scm=request.scm,
         input_values=list(inputs),
@@ -337,3 +363,49 @@ def verify_execution(srs, proof, ordered_vks, mode=None) -> bool:
     if mode is None:
         mode = varuna.VarunaHidingMode if proof.is_hiding() else varuna.VarunaNonHidingMode
     return varuna.verify_batch(srs, keys_to_inputs, proof, mode)
+
+
+def transition_public_inputs(t, is_root: bool = True,
+                             parent: tuple | None = None) -> list:
+    """Reconstruct the full protocol circuit's public-input vector from a
+    wire Transition — the reference's verifier-side derivation
+    (process/src/verify_execution.rs:22: inputs are built from each
+    transition's tpk/tcm/scm + input/output IDs, NEVER taken from the
+    prover). Layout matches verify_request_gadget + from_outputs_gadget:
+      [1, tpk.x, tpk.y, tcm, scm, input_ids..., is_root, parent.x,
+       parent.y, output_ids...]
+    """
+    if t.tpk is None:
+        raise ValueError(f"transition {t.program_id}/{t.function_name} "
+                         "carries no tpk (not proven with the protocol circuit)")
+    if parent is None:
+        parent = N.program_address(t.program_id)
+    pubs = [1, t.tpk[0] % R, t.tpk[1] % R, t.tcm % R, t.scm % R]
+    pubs += [v % R for _, v in t.inputs]
+    pubs += [1 if is_root else 0, parent[0] % R, parent[1] % R]
+    pubs += [v % R for _, v in t.outputs]
+    return pubs
+
+
+def verify_execution_transitions(srs, transitions, vk_resolver, proof,
+                                 mode=varuna.VarunaNonHidingMode) -> bool:
+    """Process::verify_execution analog (verify_execution.rs:22): group
+    the transitions per function, resolve each function's TRUSTED
+    verifying key via vk_resolver(fkey) (deployment store / locally
+    re-synthesized — never the prover's claim), reconstruct every public
+    input vector from the transitions themselves, and run one batched
+    Varuna verify. Raises ValueError on structural problems; returns the
+    batch-verify outcome."""
+    groups = {}
+    for t in transitions:
+        groups.setdefault((t.program_id, t.function_name), []).append(t)
+    entries = []
+    for fkey, ts in sorted(groups.items()):
+        vk = vk_resolver(fkey)
+        if vk is None:
+            raise ValueError(f"no verifying key for {fkey[0]}/{fkey[1]}")
+        entries.append((vk, [transition_public_inputs(t) for t in ts]))
+    # prove_execution orders circuit groups by circuit id (varuna.rs:336
+    # prove_batch's BTreeMap key order) — mirror it
+    entries.sort(key=lambda e: e[0].id)
+    return varuna.verify_batch(srs, entries, proof, mode)

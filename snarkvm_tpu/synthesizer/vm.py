@@ -67,15 +67,29 @@ class PendingTransaction:
 
 
 class VM:
-    def __init__(self, rng=None, store_path: str | None = None):
+    def __init__(self, rng=None, store_path: str | None = None, srs=None):
         """store_path: SQLite file for a persistent finalize store
-        (ledger/store/src/helpers/rocksdb analog); default in-memory."""
+        (ledger/store/src/helpers/rocksdb analog); default in-memory.
+
+        srs: a kzg.UniversalSRS. When given, the VM is PROOF-CARRYING:
+        execute() ends in Trace.prove_execution / prove_fee and
+        check_transaction runs the batched Varuna verify against
+        verifying keys the VM synthesizes (or takes from deployments)
+        itself — the reference lifecycle (vm/execute.rs:27,
+        vm/verify.rs:70, process/src/verify_execution.rs:22). With
+        srs=None the VM runs in the proof-less dev mode."""
         self.process = Process()
         if store_path is not None:
             from ..ledger.store_db import DbNestedMap
             self.store = F.FinalizeStore(DbNestedMap(store_path))
         else:
             self.store = F.FinalizeStore()
+        self.srs = srs
+        # (program, function) -> (pk, vk): Stack.proving_keys analog
+        # (process/src/stack/mod.rs:186); also the verifier's trusted-vk
+        # source — keys are synthesized from the program text, never
+        # taken from a transaction
+        self._key_cache = {}
         self.rng = rng or random.Random(0)
         self.block_height = 0
         self.blocks = []
@@ -94,7 +108,8 @@ class VM:
 
     # ---- transaction construction ----
     def execute(self, private_key, program_id: str, function_name: str,
-                inputs, input_types, priority_fee: int | None = None) -> PendingTransaction:
+                inputs, input_types, priority_fee: int | None = None,
+                _prove: bool = True) -> PendingTransaction:
         """Build an execute-transaction: sign request, run the function,
         collect transitions + finalize futures (vm/execute.rs shape; the
         Varuna proof attaches via Trace.prove_execution).
@@ -172,6 +187,8 @@ class VM:
         tx = Transaction("execute", [transition])
         futures = [(pid, fname, args, transition.id()) for pid, fname, args, _ in futures]
         pending = PendingTransaction(tx, futures, outputs=list(outs))
+        pending._proof_jobs = [(stack, req, input_types)]
+        pending._fee_jobs = []
 
         if priority_fee is not None:
             # attach a credits.aleo/fee_public transition covering the
@@ -183,7 +200,89 @@ class VM:
             tx.transitions.append(fee_pending.transaction.transitions[0])
             tx.fee_amount = base_fee
             pending.futures.extend(fee_pending.futures)
+            pending._fee_jobs = list(getattr(fee_pending, "_proof_jobs", []))
+        if self.srs is not None and _prove:
+            self.prove_transaction(pending)
         return pending
+
+    def prove_transaction(self, pending: "PendingTransaction") -> None:
+        """Trace::prove_execution + Trace::prove_fee (trace/mod.rs:151,179):
+        replay each signed request through the FULL transition circuit
+        (in-circuit Request::verify + body + Response::from_outputs),
+        batch-prove, and graft the protocol-grade transition data (tpk +
+        in-circuit input/output IDs) onto the wire transitions. The body
+        and the fee get separate proofs, like the reference's
+        Execution.proof / Fee.proof split."""
+        tx = pending.transaction
+        old_ids = {id(t): t.id() for t in tx.transitions}
+
+        def _prove_jobs(jobs):
+            if not jobs:
+                return None
+            trace = E.Trace()
+            tts = []
+            for stack, req, types in jobs:
+                tt = E.execute_function(stack, req, types,
+                                        verify_in_circuit=True)
+                trace.insert(tt)
+                tts.append(tt)
+            proof, _ = trace.prove_execution(self.srs, self.rng,
+                                             key_cache=self._key_cache)
+            by_tcm = {t.transition.tcm: t.transition for t in tts}
+            for t in tx.transitions:
+                src = by_tcm.get(t.tcm)
+                if src is not None:
+                    t.tpk, t.inputs, t.outputs = src.tpk, src.inputs, src.outputs
+            return proof
+
+        tx.proof = _prove_jobs(getattr(pending, "_proof_jobs", []))
+        tx.fee_proof = _prove_jobs(getattr(pending, "_fee_jobs", []))
+        # transition ids changed (outputs now carry in-circuit IDs):
+        # remap the finalize futures' transition-id column
+        id_map = {old_ids[id(t)]: t.id() for t in tx.transitions}
+        pending.futures = [(pid, fname, args, id_map.get(tid, tid))
+                           for pid, fname, args, tid in pending.futures]
+
+    def _function_vk(self, fkey):
+        """Trusted verifying key for (program, function): cached from this
+        VM's own synthesis or deployment certification — NEVER from a
+        transaction (verify_execution.rs:22 uses the Stack's keys)."""
+        if fkey in self._key_cache:
+            return self._key_cache[fkey][1]
+        from . import deploy as D
+        stack = self.process.get_stack(fkey[0])
+        pk, vk = D.synthesize_protocol_keys(self.srs, stack, fkey[1], self.rng)
+        self._key_cache[fkey] = (pk, vk)
+        return vk
+
+    @staticmethod
+    def _split_fee(transitions):
+        body, fee_ts = [], []
+        for t in transitions:
+            is_fee = (t.program_id == "credits.aleo"
+                      and t.function_name.startswith("fee_"))
+            (fee_ts if is_fee else body).append(t)
+        return body, fee_ts
+
+    def _check_transaction_proofs(self, tx) -> None:
+        """Batched Varuna verification of a transaction's execution + fee
+        proofs against reconstructed public inputs (vm/verify.rs:70 →
+        process/src/verify_execution.rs:22 / verify_fee.rs:22). Raises
+        ValueError on any failure."""
+        from . import execute as E2
+        body, fee_ts = self._split_fee(tx.transitions)
+        if tx.kind == "execute" and body:
+            if tx.proof is None:
+                raise ValueError("execute transaction carries no proof")
+            if not E2.verify_execution_transitions(
+                    self.srs, body, self._function_vk, tx.proof):
+                raise ValueError("invalid execution proof")
+        if fee_ts:
+            if tx.fee_proof is None:
+                raise ValueError("transaction carries no fee proof")
+            if not E2.verify_execution_transitions(
+                    self.srs, fee_ts, self._function_vk, tx.fee_proof):
+                raise ValueError("invalid fee proof")
 
     def deploy_transaction(self, private_key, program_text: str, srs=None,
                            priority_fee: int | None = None,
@@ -222,6 +321,9 @@ class VM:
             tx.transitions.append(fee_pending.transaction.transitions[0])
             tx.fee_amount = base_fee
             pending.futures.extend(fee_pending.futures)
+            pending._fee_jobs = list(getattr(fee_pending, "_proof_jobs", []))
+            if self.srs is not None:
+                self.prove_transaction(pending)
         return pending
 
     def _fee_public(self, private_key, base_fee: int, priority_fee: int,
@@ -231,7 +333,8 @@ class VM:
             private_key, "credits.aleo", "fee_public",
             [f"{base_fee}u64", f"{priority_fee}u64",
              f"{deployment_or_execution_id}field"],
-            [("public", "u64"), ("public", "u64"), ("public", "field")])
+            [("public", "u64"), ("public", "u64"), ("public", "field")],
+            _prove=False)
 
     TRANSACTION_SPEND_LIMIT = 100_000_000   # console/network/src/lib.rs
 
@@ -261,10 +364,9 @@ class VM:
             if owner is not None and deployment is not None and \
                     not owner.verify(deployment.to_deployment_id()):
                 raise ValueError("invalid program owner signature")
-        body = [t for t in pending.transaction.transitions
-                if not (t.program_id == "credits.aleo"
-                        and t.function_name.startswith("fee_"))]
-        fee_ts = [t for t in pending.transaction.transitions if t not in body]
+        body, fee_ts = self._split_fee(pending.transaction.transitions)
+        if self.srs is not None:
+            self._check_transaction_proofs(pending.transaction)
         required, _ = C.execution_cost(self.process, body) if body else (0, (0, 0))
         if pending.transaction.kind == "execute" and \
                 required > self.TRANSACTION_SPEND_LIMIT:

@@ -1,0 +1,108 @@
+"""Proof-carrying VM/ledger lifecycle (VERDICT r2 #4).
+
+The reference's VM::execute ends in Trace::prove_execution and every
+check_transaction runs verify_execution (synthesizer/src/vm/execute.rs:27,
+vm/verify.rs:70, process/src/verify_execution.rs:22): transactions carry
+a batched Varuna proof and the chain REJECTS unproven/tampered state
+transitions. These tests drive that wiring end-to-end on a small program.
+"""
+import random
+
+import pytest
+
+from snarkvm_tpu.console import account
+from snarkvm_tpu.polycommit import kzg
+from snarkvm_tpu.synthesizer.vm import VM
+
+PROGRAM = """
+program proofy.aleo;
+
+function double:
+    input r0 as u32.private;
+    add r0 r0 into r1;
+    output r1 as u32.private;
+"""
+
+
+@pytest.fixture(scope="module")
+def srs():
+    return kzg.test_srs(1 << 16)
+
+
+@pytest.fixture(scope="module")
+def proven(srs):
+    """One proof-carrying transaction, shared across the checks below."""
+    rng = random.Random(77)
+    vm = VM(rng, srs=srs)
+    vm.process.deploy(PROGRAM)
+    sk = account.PrivateKey.new(rng)
+    p = vm.execute(sk, "proofy.aleo", "double", ["21u32"],
+                   [("private", "u32")])
+    return vm, p
+
+
+def test_execute_attaches_proof(proven):
+    vm, p = proven
+    tx = p.transaction
+    assert tx.proof is not None
+    t = tx.transitions[0]
+    # protocol-grade transition data: tpk + in-circuit output IDs
+    assert t.tpk is not None
+    assert len(t.outputs) == 1 and t.outputs[0][0] == "private"
+    vm._check_transaction_proofs(tx)   # does not raise
+
+
+def test_unproven_transaction_rejected(proven):
+    vm, p = proven
+    saved = p.transaction.proof
+    p.transaction.proof = None
+    try:
+        with pytest.raises(ValueError, match="carries no proof"):
+            vm._check_transaction_proofs(p.transaction)
+    finally:
+        p.transaction.proof = saved
+
+
+def test_tampered_transition_rejected(proven):
+    vm, p = proven
+    t = p.transaction.transitions[0]
+    saved = list(t.outputs)
+    t.outputs[0] = (t.outputs[0][0], t.outputs[0][1] ^ 1)
+    try:
+        with pytest.raises(ValueError, match="invalid execution proof"):
+            vm._check_transaction_proofs(p.transaction)
+    finally:
+        t.outputs[:] = saved
+
+
+def test_independent_verifier_accepts(proven, srs):
+    """A verifier VM that shares NOTHING with the prover synthesizes its
+    own verifying keys from the program text and accepts the proof —
+    prover/verifier circuit identity (verify_deployment.rs's
+    re-synthesis contract)."""
+    _, p = proven
+    rng2 = random.Random(5150)
+    vm2 = VM(rng2, srs=srs)
+    vm2.process.deploy(PROGRAM)
+    vm2._check_transaction_proofs(p.transaction)   # does not raise
+
+
+def test_ledger_rejects_tampered_block(proven, srs):
+    """check_next_block re-verifies proofs: a block holding a tampered
+    execute-transaction is rejected (check_next_block.rs →
+    VM::check_transactions)."""
+    from snarkvm_tpu.ledger.ledger import Ledger
+    rng = random.Random(99)
+    keys = [account.PrivateKey.new(rng) for _ in range(3)]
+    led = Ledger(keys, rng, srs=srs)
+    led.vm.process.deploy(PROGRAM)
+    _, p = proven
+    block = led.prepare_advance_to_next_beacon_block([p])
+    led.check_next_block(block, pending=[p])       # sane block passes
+    t = block.transactions[0].transitions[0]
+    t.outputs[0] = (t.outputs[0][0], t.outputs[0][1] ^ 1)
+    # keep the Merkle roots consistent so the PROOF check is what fails
+    from snarkvm_tpu.ledger.block import transactions_root
+    block.header.transactions_root = transactions_root(block.transactions)
+    with pytest.raises(ValueError, match="proof"):
+        led.check_next_block(block, pending=None)
