@@ -13,6 +13,13 @@ def _enable_compile_cache():
     try:
         import jax
 
+        # CPU-only processes (tests, the driver's virtual-mesh dryrun)
+        # must NOT use the persistent cache: XLA:CPU AOT entries embed
+        # host machine features and fail to load across hosts/flag sets,
+        # spamming errors and recompiling anyway. The cache pays off on
+        # TPU, where Mosaic kernel compiles take minutes.
+        if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+            return
         path = _os.environ.get(
             "SNARKVM_TPU_JAX_CACHE",
             _os.path.expanduser("~/.cache/snarkvm_tpu_jax"),

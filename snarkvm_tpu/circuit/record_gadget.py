@@ -1,63 +1,206 @@
-"""In-circuit record commitment — the R1CS mirror of
-Record::to_commitment (console/program/src/data/record/to_commitment.rs):
-BHP1024(program_id bits || record_name bits || record bits), where the
-record bit serialization (record/to_bits.rs) covers the owner, every data
-entry (identifier + visibility + plaintext bits) and the nonce.
+"""In-circuit Record: bit encoding, commitment, serial number, tag, and
+encryption — the gadget side of console/record.py, mirroring
+circuit/program/src/data/record/{to_bits_le,to_commitment,
+serial_number,tag,encrypt}.rs.
 
-Structural headers (lengths, identifiers, visibilities) are compile-time
-constants of the record TYPE; the owner, entry values and nonce are
-witness gadgets, so the commitment binds exactly the private data."""
+These feed the two protocol-circuit arms the reference requires:
+  * Request::verify record inputs (request/verify.rs:214-266):
+    commitment recomputation, serial number from gamma, tag, owner check;
+  * Response::from_outputs record outputs (response/from_outputs.rs):
+    nonce = G^randomizer, in-circuit encryption, commitment + checksum.
+"""
 from __future__ import annotations
 
+from ..params import bls12_377 as P
+from ..curves import edwards as ed
 from ..console import network as N
-from ..console.types import bytes_to_bits_le
-from .builder import CircuitBuilder
-from .types import CBool, CField
-from .bhp_gadget import bhp_hash_gadget
-from .response_gadget import _plaintext_bit_stream
+from ..console.types import (Identifier, Literal, Plaintext, int_to_bits_le,
+                             bytes_to_bits_le, INT_WIDTHS)
+from .builder import CircuitBuilder, LinearCombination, PUBLIC, PRIVATE
+from .types import CField, CBool, CGroup, CAddress, CInteger, CScalar
+from . import poseidon_gadget
+from .bhp_gadget import bhp_hash_gadget, bhp_hash_point_gadget
 
+R = P.R
 FIELD_BITS = 253
-_VIS_IDX = {"constant": 0, "public": 1, "private": 2}
 
 
-def _const_bits(builder, bits):
-    return [CBool.constant(builder, b) for b in bits]
+def const_bits(builder, value: int, width: int):
+    return [CBool.constant(builder, (value >> i) & 1 == 1)
+            for i in range(width)]
 
 
-def _u8(v):
-    return [(v >> i) & 1 == 1 for i in range(8)]
+def literal_gadget_bits(builder, gadget, type_name: str):
+    """Little-endian bit gadgets of a typed literal gadget — matches the
+    console Literal.to_bits_le layout (console/types.py:77)."""
+    if type_name in INT_WIDTHS:
+        return list(gadget.bits)
+    if type_name == "field":
+        return gadget.to_bits_le(FIELD_BITS, canonical=True)
+    if type_name == "boolean":
+        return [gadget]
+    if type_name == "scalar":
+        return list(gadget.bits)
+    if type_name in ("address", "group"):
+        g = gadget.group if isinstance(gadget, CAddress) else gadget
+        return g.x.to_bits_le(FIELD_BITS, canonical=True)
+    raise NotImplementedError(f"record entry bits for {type_name}")
 
 
-def _u16(v):
-    return [(v >> i) & 1 == 1 for i in range(16)]
-
-
-def record_bits_gadget(builder: CircuitBuilder, owner_x: CField,
-                       entries, nonce_x: CField):
-    """record/to_bits.rs for a plaintext record with a private owner.
-    entries: [(name: str, visibility: str, type_name: str, gadget)]."""
-    bits = [CBool.constant(builder, True)]          # owner visibility bit
-    bits += owner_x.to_bits_le(FIELD_BITS)
-    bits += _const_bits(builder, _u8(len(entries)))
-    for name, visibility, type_name, gadget in entries:
-        name_bits = bytes_to_bits_le(name.encode())
-        bits += _const_bits(builder, _u8(len(name_bits)))
-        bits += _const_bits(builder, name_bits)
-        bits += _const_bits(builder, _u8(_VIS_IDX[visibility]))
-        stream = _plaintext_bit_stream(gadget, type_name, marker=False)
-        bits += _const_bits(builder, _u16(len(stream)))
-        for kind, item in stream:
-            bits.append(CBool.constant(builder, item) if kind == "c" else item)
-    bits += nonce_x.to_bits_le(FIELD_BITS)
+def plaintext_literal_bits(builder, gadget, lit: Literal):
+    """Plaintext::Literal bit layout: [0,0] + variant(8) + size(16) + bits
+    (console/types.py:167)."""
+    bits = [CBool.constant(builder, False), CBool.constant(builder, False)]
+    bits += const_bits(builder, lit.variant(), 8)
+    bits += const_bits(builder, lit.size_in_bits(), 16)
+    bits += literal_gadget_bits(builder, gadget, lit.type_name)
     return bits
 
 
-def record_commitment_gadget(builder: CircuitBuilder, program_id: str,
-                             record_name: str, owner_x: CField,
-                             entries, nonce_x: CField) -> CField:
-    """Record::to_commitment: BHP1024 over program id + record name +
-    record bits. Returns the commitment field gadget."""
-    preimage = _const_bits(builder, bytes_to_bits_le(program_id.encode()))
-    preimage += _const_bits(builder, bytes_to_bits_le(record_name.encode()))
-    preimage += record_bits_gadget(builder, owner_x, entries, nonce_x)
-    return bhp_hash_gadget(builder, 1024, "AleoBHP1024", preimage)
+class RecordGadget:
+    """Circuit record (plaintext form): owner address gadget + literal
+    entry gadgets + nonce group gadget, with the console record alongside
+    for structural constants (identifiers, visibilities, lengths)."""
+
+    def __init__(self, builder: CircuitBuilder, owner: CAddress,
+                 data: list, nonce: CGroup, record):
+        """data: [(Identifier, visibility, Literal, gadget)] in record
+        order; record: the console Record (plaintext)."""
+        self.b = builder
+        self.owner = owner
+        self.data = data
+        self.nonce = nonce
+        self.record = record
+
+    @classmethod
+    def inject(cls, builder: CircuitBuilder, record, mode=PRIVATE) -> "RecordGadget":
+        """Inject a console plaintext record: owner address + each entry's
+        literal + the nonce (record/mod.rs Inject: all Mode::Private)."""
+        owner = CAddress.new(builder, mode, record.owner)
+        data = []
+        for ident, entry in record.data:
+            pt = entry.value
+            assert isinstance(pt, Plaintext) and pt.kind == "literal", \
+                "record entry gadgets support literal entries"
+            lit = pt.value
+            t = lit.type_name
+            if t == "field":
+                g = CField.new(builder, mode, lit.value)
+            elif t == "boolean":
+                g = CBool.new(builder, mode, lit.value)
+            elif t in INT_WIDTHS:
+                g = CInteger.new(builder, mode, lit.value, INT_WIDTHS[t], t[0] == "i")
+            elif t == "scalar":
+                g = CScalar.new(builder, mode, lit.value)
+            elif t in ("address", "group"):
+                g = (CAddress if t == "address" else CGroup).new(builder, mode, lit.value)
+            else:
+                raise NotImplementedError(f"record entry type {t}")
+            data.append((ident, entry.visibility, lit, g))
+        nonce = CGroup.new(builder, mode, record.nonce)
+        return cls(builder, owner, data, nonce, record)
+
+    # -- bit encoding (record/to_bits.rs; console record.py:54) --
+    def to_bits_le(self):
+        b = self.b
+        rec = self.record
+        bits = [CBool.constant(b, rec.owner_visibility == "private")]
+        bits += self.owner.group.x.to_bits_le(FIELD_BITS, canonical=True)
+        bits += const_bits(b, len(self.data), 8)
+        for ident, vis, lit, g in self.data:
+            bits += const_bits(b, ident.size_in_bits(), 8)
+            bits += [CBool.constant(b, v) for v in ident.to_bits_le()]
+            vis_idx = {"constant": 0, "public": 1, "private": 2}[vis]
+            bits += const_bits(b, vis_idx, 8)
+            vb = plaintext_literal_bits(b, g, lit)
+            bits += const_bits(b, len(vb), 16)
+            bits += vb
+        bits += self.nonce.x.to_bits_le(FIELD_BITS, canonical=True)
+        return bits
+
+    def to_commitment(self, program_id: str, record_name: str) -> CField:
+        """BHP1024(program_id bits || record name bits || record bits)
+        (record/to_commitment.rs)."""
+        b = self.b
+        pid = [CBool.constant(b, v) for v in bytes_to_bits_le(program_id.encode())]
+        name = [CBool.constant(b, v) for v in bytes_to_bits_le(record_name.encode())]
+        return bhp_hash_gadget(b, 1024, "AleoBHP1024", pid + name + self.to_bits_le())
+
+
+def bhp_commit_gadget(builder, variant: int, bits, randomizer_bits) -> CField:
+    """BHP::commit — hash_uncompressed(bits) + Σ r_i·(2^i·random_base)
+    (bhp/commit_uncompressed.rs; console hashes/bhp.py:127): conditional
+    constant-point adds over the randomizer bits."""
+    bhp = N._bhp(variant)
+    acc = bhp_hash_point_gadget(builder, variant, f"AleoBHP{variant}", bits)
+    for i, bit in enumerate(randomizer_bits):
+        base = CGroup.constant(builder, ed.to_affine(bhp.random_base[i]))
+        added = acc + base
+        acc = CGroup(builder, added.x.ternary(bit, acc.x),
+                     added.y.ternary(bit, acc.y))
+    return acc.x
+
+
+def serial_number_from_gamma_gadget(builder, gamma: CGroup,
+                                    commitment: CField) -> CField:
+    """record/serial_number.rs: clear gamma's cofactor, derive the
+    commit randomizer via HashToScalar_psd2, BHP512-commit over
+    (SN domain || commitment) bits."""
+    from .request_gadget import hash_to_scalar_bits_gadget
+    g2 = gamma + gamma
+    cleared = g2 + g2                       # cofactor 4
+    sn_nonce_bits = hash_to_scalar_bits_gadget(
+        builder, 2, [CField.constant(builder, N.SERIAL_NUMBER_DOMAIN),
+                     cleared.x])
+    bits = const_bits(builder, N.SERIAL_NUMBER_DOMAIN, FIELD_BITS)
+    bits += commitment.to_bits_le(FIELD_BITS, canonical=True)
+    return bhp_commit_gadget(builder, 512, bits, sn_nonce_bits)
+
+
+def record_tag_gadget(builder, sk_tag: CField, commitment: CField) -> CField:
+    """record/tag.rs: Poseidon2([sk_tag, commitment])."""
+    return poseidon_gadget.hash_psd(builder, 2, [sk_tag, commitment])[0]
+
+
+def encrypt_record_gadget(builder, record: RecordGadget, randomizer_bits):
+    """record/encrypt.rs in-circuit: rvk = (owner · randomizer).x,
+    randomizer stream via HashMany_psd8, private fields masked — returns
+    the CIPHERTEXT record bit gadgets (for the output checksum) without
+    materializing a ciphertext record object."""
+    from .request_gadget import var_scalar_multiply_gadget
+    from .response_gadget import plaintext_fields_gadget
+
+    b = builder
+    rec = record.record
+    rvk = var_scalar_multiply_gadget(b, record.owner.group, randomizer_bits).x
+    n_rand = rec.num_randomizers()
+    randomizers = poseidon_gadget.hash_psd(
+        b, 8, [CField.constant(b, N.ENCRYPTION_DOMAIN), rvk],
+        num_outputs=max(1, n_rand))[:n_rand]
+    index = 0
+    bits = [CBool.constant(b, rec.owner_visibility == "private")]
+    if rec.owner_visibility == "private":
+        enc_owner = record.owner.group.x + randomizers[index]
+        index += 1
+        bits += enc_owner.to_bits_le(FIELD_BITS, canonical=True)
+    else:
+        bits += record.owner.group.x.to_bits_le(FIELD_BITS, canonical=True)
+    bits += const_bits(b, len(record.data), 8)
+    for ident, vis, lit, g in record.data:
+        bits += const_bits(b, ident.size_in_bits(), 8)
+        bits += [CBool.constant(b, v) for v in ident.to_bits_le()]
+        vis_idx = {"constant": 0, "public": 1, "private": 2}[vis]
+        bits += const_bits(b, vis_idx, 8)
+        if vis == "private":
+            fields = plaintext_fields_gadget(b, g, lit.type_name)
+            enc = [f + randomizers[index + i] for i, f in enumerate(fields)]
+            index += len(fields)
+            vb = []
+            for f in enc:
+                vb += f.to_bits_le(FIELD_BITS, canonical=True)
+        else:
+            vb = plaintext_literal_bits(b, g, lit)
+        bits += const_bits(b, len(vb), 16)
+        bits += vb
+    bits += record.nonce.x.to_bits_le(FIELD_BITS, canonical=True)
+    return bits

@@ -115,8 +115,19 @@ def verify_request_gadget(builder: CircuitBuilder, request: Request, input_types
     iid_pubs = []
     for iid in request.input_ids:
         if iid.kind == "record":
-            raise NotImplementedError("in-circuit record input (round-3)")
-        iid_pubs.append(CField.new(builder, PUBLIC, iid.fields[0]))
+            # request/mod.rs Inject record arm: commitment + gamma
+            # Mode::Private, serial number + tag Mode::Public — the
+            # transition's verifier inputs are exactly (sn, tag)
+            # (transition/input/mod.rs:104 verifier_inputs)
+            commitment_c, gamma_pt, sn_c, tag_c = iid.fields
+            iid_pubs.append((
+                CField.new(builder, PRIVATE, commitment_c),
+                CGroup.new(builder, PRIVATE, gamma_pt),
+                CField.new(builder, PUBLIC, sn_c),
+                CField.new(builder, PUBLIC, tag_c),
+            ))
+        else:
+            iid_pubs.append(CField.new(builder, PUBLIC, iid.fields[0]))
     signer = CGroup.new(builder, PRIVATE, request.signer)
     pk_sig = CGroup.new(builder, PRIVATE, pk_sig_pt)
     pr_sig = CGroup.new(builder, PRIVATE, request.signature.compute_key.pr_sig)
@@ -135,6 +146,7 @@ def verify_request_gadget(builder: CircuitBuilder, request: Request, input_types
     # --- input ID checks + message (verify.rs:110 check_input_ids) ---
     input_hashes = []
     checks = []
+    sk_tag_g = None
     for index, ((vis, _name), gadgets, iid_pub) in enumerate(
             zip(input_types, input_gadgets, iid_pubs)):
         if vis in ("public", "constant"):
@@ -154,6 +166,34 @@ def verify_request_gadget(builder: CircuitBuilder, request: Request, input_types
             h = poseidon_gadget.hash_psd(builder, 8, ct)[0]
             checks.append(iid_pub.is_equal(h))
             input_hashes.append(iid_pub)
+        elif vis == "record":
+            # verify.rs:214-266 record arm
+            from .record_gadget import (RecordGadget,
+                                        serial_number_from_gamma_gadget,
+                                        record_tag_gadget)
+            commitment_g, gamma_g, sn_pub, tag_pub = iid_pub
+            record_g = gadgets          # a RecordGadget (not field list)
+            assert isinstance(record_g, RecordGadget), \
+                "record input requires a RecordGadget"
+            if sk_tag_g is None:
+                sk_tag_g = CField.new(builder, PRIVATE, request.sk_tag)
+            cand_commitment = record_g.to_commitment(request.program_id, _name)
+            cand_sn = serial_number_from_gamma_gadget(
+                builder, gamma_g, cand_commitment)
+            cand_tag = record_tag_gadget(builder, sk_tag_g, cand_commitment)
+            # H = HashToGroup_psd2([SN domain, commitment]);
+            # h_r = gamma*challenge + H*response  (== r*H)
+            from .elligator_gadget import hash_to_group_gadget
+            h_pt = hash_to_group_gadget(
+                builder, 2, [CField.constant(builder, N.SERIAL_NUMBER_DOMAIN),
+                             cand_commitment])
+            h_r = (var_scalar_multiply_gadget(builder, gamma_g, chal_bits)
+                   + var_scalar_multiply_gadget(builder, h_pt, resp_bits))
+            input_hashes += [h_pt.x, h_r.x, gamma_g.x, cand_tag]
+            checks.append(sn_pub.is_equal(cand_sn))
+            checks.append(commitment_g.is_equal(cand_commitment))
+            checks.append(tag_pub.is_equal(cand_tag))
+            checks.append(record_g.owner.group.is_equal(signer))
         else:
             raise NotImplementedError(f"in-circuit input kind {vis} (round-3)")
 

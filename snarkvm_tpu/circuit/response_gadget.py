@@ -13,7 +13,7 @@ from __future__ import annotations
 from ..params import bls12_377 as P
 from ..console import network as N
 from ..console.request import compute_function_id
-from .builder import CircuitBuilder, PUBLIC, PRIVATE
+from .builder import CircuitBuilder, LinearCombination, PUBLIC, PRIVATE
 from .types import CField
 from . import poseidon_gadget
 
@@ -150,10 +150,15 @@ def future_fields_gadget(builder, fut_gadget):
 
 def from_outputs_gadget(builder: CircuitBuilder, request, output_types,
                         output_field_gadgets, num_inputs: int,
-                        tvk_gadget: CField, tcm_gadget: CField):
+                        tvk_gadget: CField, tcm_gadget: CField,
+                        output_registers=None):
     """output_field_gadgets: per output, the list of CField gadgets of its
-    plaintext fields (None for futures). Returns the list of public
-    output-ID CFields, asserted equal to the in-circuit recomputation."""
+    plaintext fields (None for futures; a RecordGadget for records).
+    output_registers: per output, the destination register locator (record
+    outputs derive their encryption randomizer from it,
+    response/from_outputs.rs:118-120). Returns the list of public
+    output-ID CFields — a (commitment, checksum) pair for records —
+    asserted equal to the in-circuit recomputation."""
     fid_const = compute_function_id(request.network_id, request.program_id,
                                     request.function_name)
     fid = CField.constant(builder, fid_const)
@@ -181,6 +186,37 @@ def from_outputs_gadget(builder: CircuitBuilder, request, output_types,
             fut_fields = future_fields_gadget(builder, gadgets)
             preimage = [fid] + fut_fields + [tcm_gadget, idx_const]
             h = poseidon_gadget.hash_psd(builder, 8, preimage)[0]
+        elif vis == "record":
+            # from_outputs.rs:99-127 record arm: commitment, randomizer
+            # from (tvk, output register locator), in-circuit encryption,
+            # BHP1024 checksum; commitment + checksum become the two
+            # public verifier inputs (transition/output/mod.rs:150)
+            from .record_gadget import RecordGadget, encrypt_record_gadget
+            from .request_gadget import (g_scalar_multiply_gadget,
+                                         hash_to_scalar_bits_gadget)
+            from .bhp_gadget import bhp_hash_gadget
+            rg = gadgets
+            assert isinstance(rg, RecordGadget), \
+                "record output requires a RecordGadget"
+            commitment = rg.to_commitment(request.program_id, _name)
+            locator = (output_registers or [None] * len(output_types))[index]
+            assert locator is not None, "record output requires its register"
+            rand_bits = getattr(rg, "randomizer_bits", None)
+            if rand_bits is None or getattr(rg, "locator", None) != locator:
+                rand_bits = hash_to_scalar_bits_gadget(
+                    builder, 2, [tvk_gadget, CField.constant(builder, locator)])
+                # bind the record's nonce: nonce == G^randomizer
+                nonce_check = g_scalar_multiply_gadget(builder, rand_bits)
+                ok = rg.nonce.is_equal(nonce_check)
+                builder.assert_eq(ok.lc, LinearCombination(1))
+            ct_bits = encrypt_record_gadget(builder, rg, rand_bits)
+            checksum = bhp_hash_gadget(builder, 1024, "AleoBHP1024", ct_bits)
+            pub_c = CField.new(builder, PUBLIC, builder.value_of(commitment.lc))
+            commitment.assert_eq(pub_c)
+            pub_k = CField.new(builder, PUBLIC, builder.value_of(checksum.lc))
+            checksum.assert_eq(pub_k)
+            out_ids.append((pub_c, pub_k))
+            continue
         else:
             raise NotImplementedError(f"in-circuit output kind {vis}")
         pub = CField.new(builder, PUBLIC, builder.value_of(h.lc))

@@ -78,6 +78,8 @@ class Ledger:
         check_next_block re-verifies every transaction's Varuna proofs
         (check_next_block.rs → VM::check_transactions)."""
         self.vm = VM(rng, store_path=store_path, srs=srs)
+        from .query import Query
+        self.vm.query = Query(self)
         self.rng = rng
         self.puzzle = Puzzle()
         self.history = None   # History instance => per-block staking dumps

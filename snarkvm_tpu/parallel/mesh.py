@@ -174,3 +174,52 @@ def batch_parallel_ntt(mesh: Mesh, domain: Domain, axis: str = "x"):
     return jax.jit(
         shard_map(local, mesh=mesh, in_specs=P(ax, None, None), out_specs=P(ax, None, None), check_rep=False)
     )
+
+
+def witness_polys_mesh(mesh: Mesh, jobs, vd: int, idd: int, axis: str = "x"):
+    """Instance-DP for Varuna's first prover round (the reference's
+    batch-proving scale axis, varuna.rs:336 / SURVEY §2.8 P4): the
+    per-instance witness-polynomial pipeline (x-poly NTT -> off-coset
+    witness combine -> iNTT) runs with the INSTANCE batch sharded over
+    the mesh. Bit-exact vs the single-device path (same kernels, same
+    data — only the batch placement differs).
+
+    jobs: [(private_vals, x_poly_coeffs)] — all instances of one circuit
+    (shared vd/idd). Returns one DPoly per job (pre-vanishing-division),
+    exactly what dround.witness_poly_device yields per instance.
+    """
+    from ..snark.dround import _witness_maps
+    from ..snark.dpoly import DPoly, _ints_to_mont
+
+    D = mesh.shape[axis]
+    d = Domain(vd)
+    d._jitted
+    mask, src = _witness_maps(vd, idd)
+
+    w_ext, x_planes = [], []
+    for private_vals, x_coeffs in jobs:
+        pv = list(private_vals)
+        w_ext.append(_ints_to_mont(pv + [0] * (vd - idd - len(pv))))
+        xc = list(x_coeffs)
+        x_planes.append(_ints_to_mont(xc + [0] * (vd - len(xc))))
+    b = len(jobs)
+    pad = (-b) % D
+    for _ in range(pad):                 # shard_map needs D | batch
+        w_ext.append(w_ext[-1])
+        x_planes.append(x_planes[-1])
+    w_ext = jnp.stack(w_ext)
+    x_planes = jnp.stack(x_planes)
+
+    def local(xp, we):
+        x_evals = d.fft(xp)              # [b/D, vd, L]
+        wg = jnp.take(we, src, axis=1)
+        w_evals = jnp.where(mask[None, :, None], limb._sub(wg, x_evals, FR),
+                            jnp.zeros_like(wg))
+        return d.ifft(w_evals)
+
+    fn = jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis, None, None)),
+        out_specs=P(axis, None, None), check_rep=False))
+    coeffs = fn(x_planes, w_ext)
+    return [DPoly.from_mont_plane(coeffs[i], vd) for i in range(b)]

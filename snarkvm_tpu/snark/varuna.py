@@ -460,9 +460,15 @@ def _transpose(matrix, variable_size, input_size):
     return out
 
 
-def prove_batch(srs: kzg.UniversalSRS, keys_to_constraints, rng, mode=VarunaNonHidingMode):
+def prove_batch(srs: kzg.UniversalSRS, keys_to_constraints, rng, mode=VarunaNonHidingMode,
+                mesh=None):
     """keys_to_constraints: list of (CircuitProvingKey, [ConstraintSynthesizer,...]).
-    Returns Proof. (varuna.rs:336)"""
+    Returns Proof. (varuna.rs:336)
+
+    mesh: optional jax.sharding.Mesh — instance-DP for the first-round
+    witness pipeline (parallel/mesh.py witness_polys_mesh): the instance
+    batch of one circuit is sharded across the mesh devices. Bit-exact
+    vs mesh=None (SURVEY §2.8 P4's multi-chip axis)."""
     from ..utils.timer import timer
     t = timer("varuna_prove_batch")
     zkb = zk_bound(mode)
@@ -582,8 +588,16 @@ def prove_batch(srs: kzg.UniversalSRS, keys_to_constraints, rng, mode=VarunaNonH
         circuit = st["circuit"]
         vd, idd = circuit.variable_domain, circuit.input_domain
         ratio = vd // idd
+        mesh_wpolys = None
+        if mesh is not None and st["batch_size"] >= 1:
+            from ..parallel.mesh import witness_polys_mesh
+            jobs = [(st["private"][j], st["x_polys"][j].c)
+                    for j in range(st["batch_size"])]
+            mesh_wpolys = witness_polys_mesh(mesh, jobs, vd, idd)
         for j in range(st["batch_size"]):
-            if _use_device_poly(vd):
+            if mesh_wpolys is not None:
+                w_poly = mesh_wpolys[j]
+            elif _use_device_poly(vd):
                 from . import dround
                 w_poly = dround.witness_poly_device(
                     st["private"][j], st["x_polys"][j].c, vd, idd)

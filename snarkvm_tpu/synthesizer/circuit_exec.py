@@ -263,6 +263,9 @@ class DualStack:
             raise HaltError(f"no function {name}")
         builder = builder if builder is not None else CircuitBuilder()
         regs = {}
+        self._ctx = ctx
+        self._tvk_console = (builder.value_of(ctx.tvk.lc)
+                             if ctx is not None else None)
         if ctx is not None:
             # bind self.signer / self.caller to the request-verification
             # gadgets (stack/execute.rs:245-252 set_signer/caller_circuit)
@@ -277,7 +280,9 @@ class DualStack:
             if isinstance(lit, str):
                 from .process import parse_plaintext_str
                 lit = parse_plaintext_str(lit)
-            lit = _as_literal(lit) if not isinstance(lit, Literal) else lit
+            from ..console.record import Record as _Record
+            if not isinstance(lit, (Literal, _Record)):
+                lit = _as_literal(lit)
             if input_gadgets is not None:
                 regs[finput.register] = CircuitValue(lit, input_gadgets[idx])
                 continue
@@ -320,6 +325,33 @@ class DualStack:
     def _load(self, builder, regs, operand):
         if operand in regs:
             return regs[operand]
+        base = operand.split(".", 1)[0]
+        if "." in operand and base in regs:
+            # record/struct member access (stack/registers load_member)
+            cv = regs[base]
+            member = operand.split(".", 1)[1]
+            from ..circuit.record_gadget import RecordGadget
+            from ..console.record import Record
+            if isinstance(cv.gadget, RecordGadget):
+                if member == "owner":
+                    rec = cv.gadget.record
+                    return CircuitValue(Literal("address", rec.owner),
+                                        cv.gadget.owner)
+                for ident, vis, lit, g in cv.gadget.data:
+                    if ident.name == member:
+                        return CircuitValue(lit, g)
+                raise HaltError(f"record has no entry '{member}'")
+            if isinstance(cv.literal, Record) and cv.gadget is None:
+                rec = cv.literal
+                if member == "owner":
+                    return CircuitValue(Literal("address", rec.owner), None)
+                for ident, entry in rec.data:
+                    if ident.name == member:
+                        val = entry.value
+                        lit = val.value if hasattr(val, "kind") and \
+                            val.kind == "literal" else val
+                        return CircuitValue(lit, None)
+                raise HaltError(f"record has no entry '{member}'")
         from ..console.types import literal_from_str
         lit = literal_from_str(operand)
         return _inject(builder, lit, "constant")
@@ -651,6 +683,53 @@ class DualStack:
                 gadget = self._weak_witness(builder, op, console)
             regs[inst.destinations[0]] = CircuitValue(console, gadget)
             return
+        if op == "cast" and inst.as_type and inst.as_type.endswith(".record") \
+                and inst.as_type.split(".")[0] in self.stack.program.records \
+                and getattr(self, "_ctx", None) is not None:
+            # record cast in-circuit (circuit cast.rs record arm): build
+            # the RecordGadget from the operand gadgets; nonce =
+            # G^HashToScalar_psd2([tvk, dest locator]) computed in-circuit
+            rec_base = inst.as_type.split(".")[0]
+            rt = self.stack.program.records[rec_base]
+            operand_cvs = [ld(o) for o in inst.operands]
+            if all(cv.gadget is not None for cv in operand_cvs):
+                from ..circuit.record_gadget import RecordGadget
+                from ..circuit.request_gadget import (
+                    g_scalar_multiply_gadget, hash_to_scalar_bits_gadget)
+                from ..circuit.types import CAddress as _CAddr
+                from ..console.record import Record, Entry
+                from ..console.types import Identifier, _group_from_x, Plaintext
+                owner_cv = operand_cvs[0]
+                owner_g = owner_cv.gadget
+                if not isinstance(owner_g, _CAddr):
+                    owner_g = _CAddr(builder, owner_g)   # CGroup -> address view
+                locator = int(inst.destinations[0][1:])
+                rand_bits = hash_to_scalar_bits_gadget(
+                    builder, 2, [self._ctx.tvk,
+                                 CField.constant(builder, locator)])
+                nonce_g = g_scalar_multiply_gadget(builder, rand_bits)
+                # console twin (process.py cast record arm)
+                tvk_c = self._tvk_console
+                if tvk_c is None:
+                    raise HaltError("record cast requires a transition view key")
+                randomizer_c = N.hash_to_scalar_psd(2, [tvk_c, locator])
+                nonce_c = N.g_scalar_multiply(randomizer_c)
+                owner_lit = owner_cv.literal
+                owner_pt = owner_lit.value if isinstance(owner_lit.value, tuple) \
+                    else _group_from_x(owner_lit.value)
+                data_c, data_g = [], []
+                for (ename, etype), cv in zip(rt.entries, operand_cvs[1:]):
+                    vis = etype.split(".")[-1]
+                    lit = cv.literal
+                    data_c.append((Identifier(ename),
+                                   Entry(vis, Plaintext("literal", lit))))
+                    data_g.append((Identifier(ename), vis, lit, cv.gadget))
+                record_c = Record(owner_pt, rt.owner_visibility, data_c, nonce_c)
+                rg = RecordGadget(builder, owner_g, data_g, nonce_g, record_c)
+                rg.randomizer_bits = rand_bits
+                rg.locator = locator
+                regs[inst.destinations[0]] = CircuitValue(record_c, rg)
+                return
         if op in ("cast", "cast.lossy") and len(inst.operands) == 1 and \
                 inst.as_type:
             dest_type = inst.as_type.split(".")[0]
@@ -675,7 +754,7 @@ class DualStack:
         # constrained (self.weak_ops + warning; SNARKVM_TPU_STRICT_CIRCUIT
         # raises) — per-opcode gadgets replace these as they land.
         from .process import Registers
-        creg = Registers()
+        creg = Registers(tvk=getattr(self, "_tvk_console", None))
         for name, cv in regs.items():
             if name == "self.signer":
                 creg.signer = cv.literal.value

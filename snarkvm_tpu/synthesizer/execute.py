@@ -108,8 +108,13 @@ class Trace:
             vks.append((fkey, vk, [t.public_inputs for t in tts]))
         inclusion = self._inclusion_builders()
         if inclusion:
-            synth = inclusion[0].to_synthesizer()
-            pk, vk = varuna.circuit_setup(srs, synth, mode)
+            if key_cache is not None and INCLUSION_KEY in key_cache:
+                pk, vk = key_cache[INCLUSION_KEY]
+            else:
+                synth = inclusion[0].to_synthesizer()
+                pk, vk = varuna.circuit_setup(srs, synth, mode)
+                if key_cache is not None:
+                    key_cache[INCLUSION_KEY] = (pk, vk)
             keys.append((pk, [b.to_synthesizer() for b in inclusion]))
             vks.append((INCLUSION_KEY, vk,
                         [[1] + b.public[1:] for b in inclusion]))
@@ -228,10 +233,19 @@ def execute_function(stack: Stack, request: Request, input_types,
 
         # typed input gadgets, with their packed plaintext fields BOUND to
         # the same bits (request/verify + function body share witnesses)
+        from ..console.record import Record as _Rec
+        from ..circuit.record_gadget import RecordGadget as _RG
         typed_gadgets = []
         input_field_gadgets = []
         for inp, finput in zip(inputs, fn.inputs):
             lit = inp.value if isinstance(inp, Plaintext) and inp.kind == "literal" else inp
+            if isinstance(lit, _Rec):
+                # record input: one RecordGadget feeds both the request
+                # gadget's record arm and the function body registers
+                g = _RG.inject(builder, lit)
+                typed_gadgets.append(g)
+                input_field_gadgets.append(g)
+                continue
             t = lit.type_name if isinstance(lit, _Lit) else None
             if t == "field":
                 g = CField.new(builder, _PRIV, lit.value)
@@ -264,13 +278,16 @@ def execute_function(stack: Stack, request: Request, input_types,
                         for o in fn.outputs]
         out_field_gadgets = []
         for cv, (vis, tname) in zip(dual_outputs, output_types):
-            if vis == "future":
-                out_field_gadgets.append(cv.gadget)  # FutureGadget
+            if vis in ("future", "record"):
+                out_field_gadgets.append(cv.gadget)  # FutureGadget / RecordGadget
             else:
                 out_field_gadgets.append(
                     plaintext_fields_gadget(builder, cv.gadget, cv.literal.type_name))
-        from_outputs_gadget(builder, request, output_types, out_field_gadgets,
-                            len(inputs), tvk_g, tcm_g)
+        output_registers = [int(o.operand.split(".")[0][1:])
+                            for o in fn.outputs]
+        out_entries = from_outputs_gadget(
+            builder, request, output_types, out_field_gadgets,
+            len(inputs), tvk_g, tcm_g, output_registers=output_registers)
         assert builder.is_satisfied(), "protocol circuit unsatisfied"
     else:
         # public request context: tcm + input id fields (round-1 light path)
@@ -283,9 +300,20 @@ def execute_function(stack: Stack, request: Request, input_types,
         _merge_builders(builder, fn_builder)
 
     # transition record
-    t_inputs = [(iid.kind, (iid.fields[0][0] if isinstance(iid.fields[0], tuple) else iid.fields[0]) % R)
-                for iid in request.input_ids]
+    t_inputs = []
+    input_tags = []
+    for iid in request.input_ids:
+        if iid.kind == "record":
+            # Input::Record(serial_number, tag) — the wire carries sn+tag
+            # (transition/input/mod.rs:104 verifier_inputs)
+            t_inputs.append(("record", iid.fields[2] % R))
+            input_tags.append(iid.fields[3] % R)
+        else:
+            f0 = iid.fields[0][0] if isinstance(iid.fields[0], tuple) else iid.fields[0]
+            t_inputs.append((iid.kind, f0 % R))
+            input_tags.append(None)
     tpk = None
+    output_records = []
     if verify_in_circuit:
         # the full protocol circuit's public layout is
         #   [1, tpk.x, tpk.y, tcm, scm, input_ids..., is_root, parent.x,
@@ -296,10 +324,21 @@ def execute_function(stack: Stack, request: Request, input_types,
         # (block/src/transition/mod.rs:51 Input/Output id semantics).
         pubs = builder.public
         tpk = (pubs[1], pubs[2])
-        n_out = len(fn.outputs)
-        out_ids = pubs[len(pubs) - n_out:] if n_out else []
-        out_vis = [o.value_type.split(".")[-1] for o in fn.outputs]
-        t_outputs = list(zip(out_vis, [v % R for v in out_ids]))
+        t_outputs = []
+        for (vis, tname), entry, cv, fn_out in zip(
+                [(o.value_type.split(".")[-1], o.value_type.split(".")[0])
+                 for o in fn.outputs], out_entries, dual_outputs, fn.outputs):
+            if vis == "record":
+                com = builder.value_of(entry[0].lc) % R
+                cks = builder.value_of(entry[1].lc) % R
+                t_outputs.append(("record", com))
+                # console encrypted record for the wire (Output::Record)
+                locator = int(fn_out.operand.split(".")[0][1:])
+                randomizer = N.hash_to_scalar_psd(2, [request.tvk, locator])
+                enc = cv.literal.encrypt(randomizer)
+                output_records.append((com, cks, enc))
+            else:
+                t_outputs.append((vis, builder.value_of(entry.lc) % R))
     else:
         t_outputs = []
         for out in dual_outputs:
@@ -328,6 +367,8 @@ def execute_function(stack: Stack, request: Request, input_types,
         input_values=list(inputs),
         output_values=[out.literal for out in dual_outputs],
     )
+    transition.input_tags = input_tags
+    transition.output_records = output_records
     public = [1] + builder.public[1:]
     record_inputs = [(iid.fields[0], iid.fields[1], iid.fields[2])
                      for iid in request.input_ids if iid.kind == "record"]
@@ -381,30 +422,62 @@ def transition_public_inputs(t, is_root: bool = True,
     if parent is None:
         parent = N.program_address(t.program_id)
     pubs = [1, t.tpk[0] % R, t.tpk[1] % R, t.tcm % R, t.scm % R]
-    pubs += [v % R for _, v in t.inputs]
+    input_tags = getattr(t, "input_tags", None) or [None] * len(t.inputs)
+    for (kind, v), tag in zip(t.inputs, input_tags):
+        if kind == "record":
+            # Input::Record contributes (serial_number, tag)
+            if tag is None:
+                raise ValueError("record input carries no tag")
+            pubs += [v % R, tag % R]
+        else:
+            pubs.append(v % R)
     pubs += [1 if is_root else 0, parent[0] % R, parent[1] % R]
-    pubs += [v % R for _, v in t.outputs]
+    checksums = {com % R: cks % R
+                 for com, cks, _ in getattr(t, "output_records", None) or []}
+    for kind, v in t.outputs:
+        if kind == "record":
+            # Output::Record contributes (commitment, checksum)
+            if v % R not in checksums:
+                raise ValueError("record output carries no checksum")
+            pubs += [v % R, checksums[v % R]]
+        else:
+            pubs.append(v % R)
     return pubs
 
 
 def verify_execution_transitions(srs, transitions, vk_resolver, proof,
-                                 mode=varuna.VarunaNonHidingMode) -> bool:
+                                 mode=varuna.VarunaNonHidingMode,
+                                 global_state_root: int | None = None) -> bool:
     """Process::verify_execution analog (verify_execution.rs:22): group
     the transitions per function, resolve each function's TRUSTED
     verifying key via vk_resolver(fkey) (deployment store / locally
     re-synthesized — never the prover's claim), reconstruct every public
     input vector from the transitions themselves, and run one batched
-    Varuna verify. Raises ValueError on structural problems; returns the
-    batch-verify outcome."""
+    Varuna verify. Record inputs add one inclusion instance each with
+    publics [1, global_state_root, serial_number] (trace/mod.rs:260;
+    inclusion_gadget.ledger_inclusion_assignment layout). Raises
+    ValueError on structural problems; returns the batch-verify outcome."""
     groups = {}
+    inclusion_publics = []
     for t in transitions:
         groups.setdefault((t.program_id, t.function_name), []).append(t)
+        for kind, v in t.inputs:
+            if kind == "record":
+                if not global_state_root:
+                    raise ValueError(
+                        "record inputs require a global state root")
+                inclusion_publics.append([1, global_state_root % R, v % R])
     entries = []
     for fkey, ts in sorted(groups.items()):
         vk = vk_resolver(fkey)
         if vk is None:
             raise ValueError(f"no verifying key for {fkey[0]}/{fkey[1]}")
         entries.append((vk, [transition_public_inputs(t) for t in ts]))
+    if inclusion_publics:
+        vk = vk_resolver(INCLUSION_KEY)
+        if vk is None:
+            raise ValueError("no inclusion verifying key")
+        entries.append((vk, inclusion_publics))
     # prove_execution orders circuit groups by circuit id (varuna.rs:336
     # prove_batch's BTreeMap key order) — mirror it
     entries.sort(key=lambda e: e[0].id)

@@ -85,6 +85,9 @@ class VM:
         else:
             self.store = F.FinalizeStore()
         self.srs = srs
+        # state-path source for record-input inclusion proofs
+        # (ledger/query; set by Ledger to Query(self))
+        self.query = None
         # (program, function) -> (pk, vk): Stack.proving_keys analog
         # (process/src/stack/mod.rs:186); also the verifier's trusted-vk
         # source — keys are synthesized from the program text, never
@@ -226,6 +229,12 @@ class VM:
                                         verify_in_circuit=True)
                 trace.insert(tt)
                 tts.append(tt)
+            if trace.inclusion_tasks:
+                if self.query is None:
+                    raise HaltError("record inputs require a ledger Query "
+                                    "for inclusion proofs")
+                trace.prepare(self.query)
+                tx.global_state_root = self.query.current_state_root()
             proof, _ = trace.prove_execution(self.srs, self.rng,
                                              key_cache=self._key_cache)
             by_tcm = {t.transition.tcm: t.transition for t in tts}
@@ -233,6 +242,9 @@ class VM:
                 src = by_tcm.get(t.tcm)
                 if src is not None:
                     t.tpk, t.inputs, t.outputs = src.tpk, src.inputs, src.outputs
+                    t.input_tags = getattr(src, "input_tags", None)
+                    if not getattr(t, "output_records", None):
+                        t.output_records = getattr(src, "output_records", [])
             return proof
 
         tx.proof = _prove_jobs(getattr(pending, "_proof_jobs", []))
@@ -249,6 +261,23 @@ class VM:
         transaction (verify_execution.rs:22 uses the Stack's keys)."""
         if fkey in self._key_cache:
             return self._key_cache[fkey][1]
+        if fkey == E.INCLUSION_KEY:
+            # inclusion circuit keys need a (shape-fixed) state path; the
+            # verifier synthesizes from any commitment its ledger knows
+            if self.query is None:
+                return None
+            com = next(iter(self.record_commitments), None)
+            if com is None:
+                return None
+            from ..circuit.inclusion_gadget import ledger_inclusion_assignment
+            sp = self.query.get_state_path_for_commitment(com)
+            # structure-only synthesis: index matrices don't depend on
+            # witness satisfaction, so a placeholder gamma/sn is fine
+            b = ledger_inclusion_assignment(sp, com, (0, 1), 0)
+            from ..snark import varuna
+            pk, vk = varuna.circuit_setup(self.srs, b.to_synthesizer())
+            self._key_cache[fkey] = (pk, vk)
+            return vk
         from . import deploy as D
         stack = self.process.get_stack(fkey[0])
         pk, vk = D.synthesize_protocol_keys(self.srs, stack, fkey[1], self.rng)
@@ -275,13 +304,15 @@ class VM:
             if tx.proof is None:
                 raise ValueError("execute transaction carries no proof")
             if not E2.verify_execution_transitions(
-                    self.srs, body, self._function_vk, tx.proof):
+                    self.srs, body, self._function_vk, tx.proof,
+                    global_state_root=tx.global_state_root):
                 raise ValueError("invalid execution proof")
         if fee_ts:
             if tx.fee_proof is None:
                 raise ValueError("transaction carries no fee proof")
             if not E2.verify_execution_transitions(
-                    self.srs, fee_ts, self._function_vk, tx.fee_proof):
+                    self.srs, fee_ts, self._function_vk, tx.fee_proof,
+                    global_state_root=tx.global_state_root):
                 raise ValueError("invalid fee proof")
 
     def deploy_transaction(self, private_key, program_text: str, srs=None,

@@ -17,3 +17,12 @@ if "host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_configure(config):
+    # with pytest-xdist active (-n N), group tests by file: the
+    # compile-heavy field/curve modules must not interleave across
+    # workers. Bare pytest (or no xdist installed) is unaffected.
+    if getattr(config.option, "numprocesses", None) and \
+            getattr(config.option, "dist", "no") in ("no", "load"):
+        config.option.dist = "loadfile"

@@ -64,7 +64,10 @@ def test_execute_with_in_circuit_request_verify():
     tt = E.execute_function(stack, req, [("private", "field")], verify_in_circuit=True)
     assert tt.builder.is_satisfied()
     assert tt.builder.num_constraints > 5000  # request verification dominates
-    assert tt.transition.outputs[0][1] == 16
+    # full mode carries the in-circuit OUTPUT ID (not the raw value) —
+    # reconstructible from the wire transition (verify_execution.rs:186)
+    assert tt.transition.output_values[0].value == 16
+    assert E.transition_public_inputs(tt.transition) == [1] + tt.builder.public[1:]
 
 
 def test_authorize_then_execute_authorization():

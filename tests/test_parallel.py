@@ -54,3 +54,44 @@ def test_sharded_msm_matches_scalar():
     got = ec.g1_to_affine_ints(fn(pts_dev, sc_dev))[0]
     want = sw.G1.msm_naive(pts, scalars)
     assert got == (want[0].v, want[1].v)
+
+
+def test_prove_batch_mesh_instance_dp_proof_equality():
+    """Instance-DP through prove_batch (VERDICT r2 #2 / SURVEY §2.8 P4):
+    the first-round witness pipeline sharded over the 8-device mesh
+    yields a BIT-IDENTICAL proof to the single-device path."""
+    import random as _rand
+    from snarkvm_tpu.snark import varuna, r1cs
+    from snarkvm_tpu.polycommit import kzg
+
+    R = P.R
+    n = 56
+
+    class Chain:
+        def __init__(self, x0):
+            self.x0 = x0
+
+        def generate_constraints(self, cs):
+            x = cs.alloc_input(3)
+            cur_v, cur = cs.alloc(self.x0), self.x0
+            for _ in range(n):
+                nv = cur * cur % R
+                nxt = cs.alloc(nv)
+                cs.enforce([(1, cur_v)], [(1, cur_v)], [(1, nxt)])
+                cur_v, cur = nxt, nv
+            cs.enforce([(0, x)], [(1, cur_v)], [(0, cs.one)])
+
+    srs = kzg.test_srs(1 << 9)
+    pk, vk = varuna.circuit_setup(srs, Chain(5), varuna.VarunaNonHidingMode)
+    insts = []
+    for x0 in (5, 7, 9, 11, 13, 2, 3, 8):   # 8 instances over 8 devices
+        cs = r1cs.ConstraintSystem()
+        Chain(x0).generate_constraints(cs)
+        cs.pad_input_to_power_of_two()
+        insts.append(cs)
+    want = varuna.prove_batch(srs, [(pk, insts)], _rand.Random(1),
+                              varuna.VarunaNonHidingMode)
+    m = pm.make_mesh(8)
+    got = varuna.prove_batch(srs, [(pk, insts)], _rand.Random(1),
+                             varuna.VarunaNonHidingMode, mesh=m)
+    assert got == want   # bit-identical proof

@@ -71,20 +71,21 @@ def main(names):
         except Exception as e:
             print(f"{fname}: synthesis failed: {type(e).__name__}: {e}")
             continue
-        nza = sum(len(a.terms) + (1 if a.constant else 0)
-                  for a, _, _ in builder.constraints)
-        nzb = sum(len(b.terms) + (1 if b.constant else 0)
-                  for _, b, _ in builder.constraints)
-        nzc = sum(len(c.terms) + (1 if c.constant else 0)
-                  for _, _, c in builder.constraints)
+        # apples-to-apples: the reference CircuitInfo records the
+        # POST-PADDING counts (ahp/indexer/indexer.rs:170
+        # num_padded_public_variables) — index ours the same way
+        from snarkvm_tpu.snark import varuna as V
+        circ = V.index(builder.to_synthesizer(), V.VarunaNonHidingMode)
+        info = circ.info
         try:
             vk, _ = credits_verifying_key(fname)
             ref = vk.circuit_info
             print(f"{fname}:")
-            print(f"  ours:    constraints={builder.num_constraints} "
-                  f"variables={builder.num_public + builder.num_private} "
-                  f"public={builder.num_public} "
-                  f"nz=({nza}, {nzb}, {nzc})")
+            print(f"  ours:    constraints={info.num_constraints} "
+                  f"variables={info.num_variables} "
+                  f"public={info.num_public_inputs} "
+                  f"nz=({info.num_non_zero_a}, {info.num_non_zero_b}, "
+                  f"{info.num_non_zero_c})")
             print(f"  shipped: constraints={ref.num_constraints} "
                   f"variables={ref.num_variables} "
                   f"public={ref.num_public_inputs} "
