@@ -127,26 +127,13 @@ class RecordGadget:
         return bhp_hash_gadget(b, 1024, "AleoBHP1024", pid + name + self.to_bits_le())
 
 
-def bhp_commit_gadget(builder, variant: int, bits, randomizer_bits) -> CField:
-    """BHP::commit — hash_uncompressed(bits) + Σ r_i·(2^i·random_base)
-    (bhp/commit_uncompressed.rs; console hashes/bhp.py:127): conditional
-    constant-point adds over the randomizer bits."""
-    bhp = N._bhp(variant)
-    acc = bhp_hash_point_gadget(builder, variant, f"AleoBHP{variant}", bits)
-    for i, bit in enumerate(randomizer_bits):
-        base = CGroup.constant(builder, ed.to_affine(bhp.random_base[i]))
-        added = acc + base
-        acc = CGroup(builder, added.x.ternary(bit, acc.x),
-                     added.y.ternary(bit, acc.y))
-    return acc.x
-
-
 def serial_number_from_gamma_gadget(builder, gamma: CGroup,
                                     commitment: CField) -> CField:
     """record/serial_number.rs: clear gamma's cofactor, derive the
     commit randomizer via HashToScalar_psd2, BHP512-commit over
     (SN domain || commitment) bits."""
     from .request_gadget import hash_to_scalar_bits_gadget
+    from .inclusion_gadget import bhp_commit_gadget
     g2 = gamma + gamma
     cleared = g2 + g2                       # cofactor 4
     sn_nonce_bits = hash_to_scalar_bits_gadget(
@@ -154,7 +141,7 @@ def serial_number_from_gamma_gadget(builder, gamma: CGroup,
                      cleared.x])
     bits = const_bits(builder, N.SERIAL_NUMBER_DOMAIN, FIELD_BITS)
     bits += commitment.to_bits_le(FIELD_BITS, canonical=True)
-    return bhp_commit_gadget(builder, 512, bits, sn_nonce_bits)
+    return bhp_commit_gadget(builder, 512, "AleoBHP512", bits, sn_nonce_bits)
 
 
 def record_tag_gadget(builder, sk_tag: CField, commitment: CField) -> CField:

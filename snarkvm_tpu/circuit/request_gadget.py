@@ -85,6 +85,31 @@ def hash_to_scalar_bits_gadget(builder, rate, inputs):
     return bits[:250]
 
 
+def signature_verify_gadget(builder: CircuitBuilder, sig, address: CGroup,
+                            msg_fields) -> "CBool":
+    """circuit/account/src/signature/verify.rs: g_r recompute, challenge
+    re-derivation over [g_r.x, pk_sig.x, pr_sig.x, addr.x, message...],
+    and address == pk_sig + pr_sig + G^sk_prf. Returns a Boolean gadget
+    (the `sign.verify` opcode yields a value, it does not assert)."""
+    chal_bits, chal_field = scalar_to_bits_gadget(builder, sig.challenge % S)
+    resp_bits, _ = scalar_to_bits_gadget(builder, sig.response % S)
+    pk_sig = CGroup.new(builder, PRIVATE, sig.compute_key.pk_sig)
+    pr_sig = CGroup.new(builder, PRIVATE, sig.compute_key.pr_sig)
+    g_r = (g_scalar_multiply_gadget(builder, resp_bits)
+           + var_scalar_multiply_gadget(builder, pk_sig, chal_bits))
+    preimage = [g_r.x, pk_sig.x, pr_sig.x, address.x] + list(msg_fields)
+    cand_bits = hash_to_scalar_bits_gadget(builder, 8, preimage)
+    acc = LinearCombination(0)
+    coeff = 1
+    for b in cand_bits:
+        acc = acc.add(b.lc, coeff)
+        coeff = coeff * 2 % R
+    eq_chal = chal_field.is_equal(CField(builder, acc))
+    sk_prf_bits = hash_to_scalar_bits_gadget(builder, 4, [pk_sig.x, pr_sig.x])
+    cand_addr = pk_sig + pr_sig + g_scalar_multiply_gadget(builder, sk_prf_bits)
+    return eq_chal & address.is_equal(cand_addr)
+
+
 def verify_request_gadget(builder: CircuitBuilder, request: Request, input_types,
                           input_gadgets, is_root: bool = True,
                           parent: tuple | None = None,

@@ -101,8 +101,10 @@ def cmd_build(args):
     build = os.path.join(path, "build")
     os.makedirs(build, exist_ok=True)
     rng = random.Random(0)
-    srs = kzg.test_srs(1 << 12)
-    deployment = D.deploy(srs, stack, rng, program_text=text)
+    # srs=None: deploy sizes a dev SRS to the largest FULL transition
+    # circuit (request verify + body + response, the reference's only
+    # deployment circuit shape)
+    deployment = D.deploy(None, stack, rng, program_text=text)
     for fname, vk, cert in deployment.verifying_keys:
         # VerifierFile wire format (vm/file/verifier.rs:186): identifier
         # (u8 len + utf8) + the verifying key's reference byte form

@@ -109,17 +109,25 @@ def _index(tree, i):
 
 
 def _bucket_windows(points, scalar_limbs, c, windows, add_fn, neg_fn, identity_fn):
-    """Shared Pippenger core; returns stacked per-window sums (leading dim = windows)."""
-    n = scalar_limbs.shape[0]
+    """Shared Pippenger core; returns stacked per-window sums (leading dim
+    = windows). The per-window body is traced ONCE and vmapped over the
+    window axis — unrolling it (the old shape) made XLA:CPU compiles of
+    the 32-window/253-bit configuration take tens of minutes."""
     nb = 1 << c
-    outs = []
-    for w in range(windows):
-        digits = _extract_digits(scalar_limbs, w, c)          # [n]
+    digits_all = jnp.stack([_extract_digits(scalar_limbs, w, c)
+                            for w in range(windows)])          # [W, n]
+    ident1 = jax.tree_util.tree_map(lambda x: x[0], identity_fn((1,)))
+
+    def one_window(digits):
         order = jnp.argsort(digits)
         sorted_digits = digits[order]
         sorted_pts = jax.tree_util.tree_map(lambda x: x[order], points)
-        # prefix scan of point adds
-        prefix = _scan_add(sorted_pts, add_fn)                 # [n]
+        # prefix fold of point adds (lax.scan: one small traced body —
+        # the unrolled associative_scan made the graph enormous)
+        def pstep(carry, pt):
+            nxt = add_fn(carry, pt)
+            return nxt, nxt
+        _, prefix = jax.lax.scan(pstep, ident1, sorted_pts)    # [n]
         # boundary index for bucket b: last position with digit <= b.
         # S[b] = prefix sum up to that boundary (identity when nothing <= b);
         # bucket_b = S[b] - S[b-1], which is automatically the identity for
@@ -140,13 +148,17 @@ def _bucket_windows(points, scalar_limbs, c, windows, add_fn, neg_fn, identity_f
         buckets = add_fn(S, neg_fn(S_prev))                    # [nb]
         # drop bucket 0 (digit 0 contributes nothing)
         buckets = jax.tree_util.tree_map(lambda x: x[1:], buckets)
-        # window total = sum_b b * bucket_b = sum of suffix sums
+        # window total = sum_b b * bucket_b = running-suffix fold
         rev = jax.tree_util.tree_map(lambda x: x[::-1], buckets)
-        suffix = _scan_add(rev, add_fn)                         # running sums
-        # total = fold of suffix sums
-        total = _tree_reduce(suffix, add_fn, nb - 1, identity_fn)
-        outs.append(total)
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)
+        def sstep(carry, b):
+            suffix, total = carry
+            suffix = add_fn(suffix, b)
+            total = add_fn(total, suffix)
+            return (suffix, total), 0
+        (_, total), _ = jax.lax.scan(sstep, (ident1, ident1), rev)
+        return total
+
+    return jax.vmap(one_window)(digits_all)
 
 
 def _bc(mask, arr):

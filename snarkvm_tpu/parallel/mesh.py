@@ -148,13 +148,21 @@ def sharded_msm_g1(mesh: Mesh, c: int, num_bits: int, axis: str = "x"):
         check_rep=False,
     )
 
+    @jax.jit
     def run(points, scalar_limbs):
+        # window combination inside the SAME jit as a lax.scan (eagerly
+        # it was ~w*c sequential dispatches; unrolled it bloats compile)
         sums = fn(points, scalar_limbs)           # [windows, ...] replicated
-        total = msm._index(sums, windows - 1)
-        for w in range(windows - 2, -1, -1):
-            for _ in range(c):
+
+        def step(total, s):
+            for _ in range(c):                     # c is small + static
                 total = ec.g1_double(total)
-            total = ec.g1_add(total, msm._index(sums, w))
+            return ec.g1_add(total, s), 0
+
+        init = msm._index(sums, windows - 1)
+        rest = jax.tree_util.tree_map(
+            lambda x: x[windows - 2::-1] if windows > 1 else x[:0], sums)
+        total, _ = jax.lax.scan(step, init, rest)
         return total
 
     return run

@@ -683,6 +683,59 @@ class DualStack:
                 gadget = self._weak_witness(builder, op, console)
             regs[inst.destinations[0]] = CircuitValue(console, gadget)
             return
+        if op == "sign.verify":
+            # circuit/account/src/signature/verify.rs gadget (VERDICT r2
+            # #5 straggler): signature components enter as fresh private
+            # witnesses, the result is a Boolean VALUE
+            a_sig, a_addr, a_msg = (ld(inst.operands[0]), ld(inst.operands[1]),
+                                    ld(inst.operands[2]))
+            from ..console.types import _group_from_x
+            from .process import _as_plaintext
+            sig_lit, addr_lit = a_sig.literal, a_addr.literal
+            fields = _as_plaintext(a_msg.literal).to_fields()
+            addr_pt = addr_lit.value if isinstance(addr_lit.value, tuple) \
+                else _group_from_x(addr_lit.value)
+            console = Literal("boolean", sig_lit.value.verify(addr_pt, fields))
+            addr_g = a_addr.gadget.group if isinstance(a_addr.gadget, CAddress) \
+                else a_addr.gadget
+            gadget = None
+            if getattr(sig_lit, "type_name", None) == "signature" and \
+                    isinstance(addr_g, CGroup) and a_msg.gadget is not None \
+                    and not isinstance(a_msg.gadget, FutureGadget):
+                from ..circuit.request_gadget import signature_verify_gadget
+                from ..circuit.response_gadget import plaintext_fields_gadget
+                try:
+                    msg_fields = plaintext_fields_gadget(
+                        builder, a_msg.gadget, a_msg.literal.type_name)
+                    gadget = signature_verify_gadget(builder, sig_lit.value,
+                                                     addr_g, msg_fields)
+                except (NotImplementedError, AssertionError):
+                    gadget = None
+            if gadget is None:
+                gadget = self._weak_witness(builder, op, console)
+            regs[inst.destinations[0]] = CircuitValue(console, gadget)
+            return
+        if op.startswith("hash_many.psd"):
+            a = ld(inst.operands[0])
+            from .interpreter import hash_many_instruction
+            k = len(inst.destinations)
+            outs = hash_many_instruction(op, a.literal, k)
+            if a.gadget is not None and not isinstance(a.gadget, FutureGadget):
+                from ..circuit.response_gadget import plaintext_fields_gadget
+                rate = int(op.split("psd")[1])
+                try:
+                    fg = plaintext_fields_gadget(builder, a.gadget,
+                                                 a.literal.type_name)
+                    hs = poseidon_gadget.hash_psd(builder, rate, fg,
+                                                  num_outputs=k)
+                    for d, lit, h in zip(inst.destinations, outs, hs):
+                        regs[d] = CircuitValue(lit, h)
+                    return
+                except (NotImplementedError, AssertionError):
+                    pass
+            for d, lit in zip(inst.destinations, outs):
+                regs[d] = CircuitValue(lit, self._weak_witness(builder, op, lit))
+            return
         if op == "cast" and inst.as_type and inst.as_type.endswith(".record") \
                 and inst.as_type.split(".")[0] in self.stack.program.records \
                 and getattr(self, "_ctx", None) is not None:

@@ -194,7 +194,7 @@ def authorize(stack: Stack, private_key, function_name: str, inputs,
 
 
 def execute_authorization(stack: Stack, auth: Authorization,
-                          verify_in_circuit: bool = False) -> "Trace":
+                          verify_in_circuit: bool = True) -> "Trace":
     """Process::execute (process/src/execute.rs:21): replay the
     authorization's requests through dual execution (CallStack::EXECUTE),
     accumulating a Trace ready for prove_execution."""
@@ -372,9 +372,11 @@ def execute_function(stack: Stack, request: Request, input_types,
     public = [1] + builder.public[1:]
     record_inputs = [(iid.fields[0], iid.fields[1], iid.fields[2])
                      for iid in request.input_ids if iid.kind == "record"]
-    return TracedTransition(transition, builder, public,
-                            (request.program_id, request.function_name),
-                            record_inputs=record_inputs)
+    tt = TracedTransition(transition, builder, public,
+                          (request.program_id, request.function_name),
+                          record_inputs=record_inputs)
+    tt.weak_ops = list(dual.weak_ops)
+    return tt
 
 
 def _merge_builders(dst: CircuitBuilder, src: CircuitBuilder):

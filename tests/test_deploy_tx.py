@@ -71,7 +71,7 @@ class TestDeployTransactions:
         from snarkvm_tpu.polycommit import kzg
         from snarkvm_tpu.synthesizer import deploy as D
         led = ledger
-        srs = kzg.test_srs(1 << 12)
+        srs = kzg.test_srs(1 << 16)   # full transition circuits (~12.5k constraints)
         text = COUNTER.replace("counter.aleo", "counter2.aleo")
         p = led.vm.deploy_transaction(led._key, text, srs=srs)
         dep = p.deployment

@@ -86,7 +86,10 @@ def test_authorize_then_execute_authorization():
     assert not auth.is_fee()
     assert auth.next().function_name == "combine"
 
-    trace = E.execute_authorization(stack, auth)
+    # light mode explicitly: this test exercises the authorize->replay
+    # plumbing at toy SRS scale (the full protocol circuit is covered by
+    # test_vm_proofs / test_transfer_private)
+    trace = E.execute_authorization(stack, auth, verify_in_circuit=False)
     assert len(auth.transitions) == 1
     assert auth.to_execution_id() != 0
     proof, vks = trace.prove_execution(srs, rng)

@@ -1,0 +1,81 @@
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import os, time
+import numpy as np
+import jax, jax.numpy as jnp
+from snarkvm_tpu.ops import msm_v2 as m2
+from snarkvm_tpu.ops import ec_pallas as ep
+from snarkvm_tpu.curves import sw_fast as g1f
+from snarkvm_tpu.params import bls12_377 as P
+
+n = 1 << int(os.environ.get("LOG2", "20"))
+base = g1f.from_affine((P.G1_GENERATOR_X, P.G1_GENERATOR_Y))
+cycle, cur = [], base
+for _ in range(256):
+    cycle.append(g1f.to_affine(cur)); cur = g1f.jac_add(cur, g1f.jac_double(cur))
+tbl256, _ = m2.pack_points_u16(cycle)
+reps = (n + 255) // 256
+tbl = jnp.asarray(np.tile(np.asarray(tbl256), (reps, 1))[:n])
+rng_np = np.random.default_rng(9)
+sl = rng_np.integers(0, 1 << 16, size=(n, 16), dtype=np.uint32)
+sl[:, 15] &= 0x0FFF
+sl = jnp.asarray(sl)
+
+from snarkvm_tpu.ops.msm_v2 import Geometry, _schedule_light, _acc_round
+c = None
+# replicate msm_g1_v2's window choice
+from snarkvm_tpu.ops import msm as msm_mod
+c = msm_mod.device_window(n) if c is None else c
+geo = Geometry(n, c)
+print(f"n=2^{n.bit_length()-1} c={c} W={geo.W} lanes={geo.lanes} cap={geo.cap}", flush=True)
+
+sched = jax.jit(lambda s: _schedule_light(geo, s))
+out = sched(sl); jax.block_until_ready(out)
+t0 = time.perf_counter(); out = sched(sl); jax.block_until_ready(out)
+t_sched = time.perf_counter() - t0
+print(f"schedule: {t_sched*1e3:.0f} ms (tmax={int(out[4])})", flush=True)
+
+spay, base_l, end_l, R_l, tmax, dropped = out
+lanes, ntiles = geo.lanes, geo.lanes // 128
+
+def accum(table_u16, spay, base_l, end_l, R_l, tmax):
+    ident = ep._identity_lm(lanes)
+    def body(t, acc3):
+        pos = base_l + t * R_l
+        valid = pos < end_l
+        src = jnp.take(spay, jnp.where(valid, pos, 0))
+        pt_idx = src & ((1 << 30) - 1)
+        neg = (src >> 30) & 1
+        rows = jnp.take(table_u16, pt_idx, axis=0)
+        xyt = jnp.transpose(rows.reshape(ntiles, 128, 48).astype(jnp.uint32), (0, 2, 1))
+        xyt = jnp.transpose(xyt, (1, 0, 2)).reshape(48, lanes)
+        mt = (valid.astype(jnp.int32) | (neg << 1)).reshape(1, lanes)
+        acc = {"X": acc3[0], "Y": acc3[1], "Z": acc3[2]}
+        o = m2._acc_round(acc, xyt, mt)
+        return (o["X"], o["Y"], o["Z"])
+    acc3 = jax.lax.fori_loop(0, tmax, body, (ident["X"], ident["Y"], ident["Z"]))
+    return acc3
+
+accj = jax.jit(accum)
+a = accj(tbl, spay, base_l, end_l, R_l, tmax); jax.block_until_ready(a)
+t0 = time.perf_counter(); a = accj(tbl, spay, base_l, end_l, R_l, tmax); jax.block_until_ready(a)
+t_acc = time.perf_counter() - t0
+print(f"accumulation ({int(tmax)} rounds): {t_acc*1e3:.0f} ms", flush=True)
+
+# gather-only variant: same loop, no EC math (xor-fold the rows into acc)
+def gather_only(table_u16, spay, base_l, end_l, R_l, tmax):
+    def body(t, acc):
+        pos = base_l + t * R_l
+        valid = pos < end_l
+        src = jnp.take(spay, jnp.where(valid, pos, 0))
+        pt_idx = src & ((1 << 30) - 1)
+        rows = jnp.take(table_u16, pt_idx, axis=0)
+        xyt = jnp.transpose(rows.reshape(ntiles, 128, 48).astype(jnp.uint32), (0, 2, 1))
+        xyt = jnp.transpose(xyt, (1, 0, 2)).reshape(48, lanes)
+        return acc ^ xyt
+    return jax.lax.fori_loop(0, tmax, body, jnp.zeros((48, lanes), jnp.uint32))
+
+gj = jax.jit(gather_only)
+g = gj(tbl, spay, base_l, end_l, R_l, tmax); jax.block_until_ready(g)
+t0 = time.perf_counter(); g = gj(tbl, spay, base_l, end_l, R_l, tmax); jax.block_until_ready(g)
+print(f"gather-only ({int(tmax)} rounds): {(time.perf_counter()-t0)*1e3:.0f} ms", flush=True)
