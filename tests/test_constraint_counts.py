@@ -111,6 +111,117 @@ def _bhp(b, variant, nbits):
     return bhp_hash_gadget(b, variant, f"AleoBHP{variant}", bits)
 
 
+# round-3 sweep: the core integer op families at EVERY width x signedness
+# (the reference's count_is! covers each op of each type —
+# circuit/types/integers/src/*; this is the matching regression net)
+def _add_int_sweep():
+    ops = {
+        "add_checked": lambda a, b2: a.add_checked(b2),
+        "add_wrapped": lambda a, b2: a.add_wrapped(b2),
+        "sub_checked": lambda a, b2: a.sub_checked(b2),
+        "sub_wrapped": lambda a, b2: a.sub_wrapped(b2),
+        "mul_checked": lambda a, b2: a.mul_checked(b2),
+        "mul_wrapped": lambda a, b2: a.mul_wrapped(b2),
+        "div_checked": lambda a, b2: a.div_checked(b2),
+        "div_wrapped": lambda a, b2: a.div_wrapped(b2),
+        "rem_checked": lambda a, b2: a.rem_checked(b2),
+        "rem_wrapped": lambda a, b2: a.rem_wrapped(b2),
+        "modulo": lambda a, b2: a.modulo(b2),
+        "bitand": lambda a, b2: a.bitand(b2),
+        "bitor": lambda a, b2: a.bitor(b2),
+        "bitxor": lambda a, b2: a.bitxor(b2),
+        "nand": lambda a, b2: a.nand_int(b2),
+        "nor": lambda a, b2: a.nor_int(b2),
+        "lt": lambda a, b2: a.lt(b2),
+        "lte": lambda a, b2: a.lte(b2),
+        "gt": lambda a, b2: a.gt(b2),
+        "gte": lambda a, b2: a.gte(b2),
+        "is_equal": lambda a, b2: a.is_equal(b2),
+        "ternary": lambda a, b2: a.ternary(
+            CBool.new(a.b, PRIVATE, True), b2),
+    }
+    unary = {
+        "bitnot": lambda a: a.bitnot(),
+        "neg_wrapped": lambda a: a.neg_wrapped(),
+        "abs_checked": lambda a: a.abs_checked(),
+        "abs_wrapped": lambda a: a.abs_wrapped(),
+        "is_zero": lambda a: a.is_zero(),
+        "to_field": lambda a: a.to_field(),
+    }
+    shift = {
+        "shl_checked": lambda a, s: a.shl_checked(s),
+        "shr_checked": lambda a, s: a.shr_checked(s),
+        "shl_wrapped": lambda a, s: a.shl_wrapped(s),
+        "shr_wrapped": lambda a, s: a.shr_wrapped(s),
+    }
+    for w in (8, 16, 32, 64, 128):
+        for signed in (False, True):
+            t = ("i" if signed else "u") + str(w)
+            va = 7 if not signed else -7
+            vb = 3
+            for name, fn in ops.items():
+                if name == "modulo" and signed:
+                    continue     # modulo is unsigned-only (console halts)
+                CASES[f"{t}_{name}"] = (
+                    lambda b, fn=fn, w=w, s=signed, va=va, vb=vb:
+                    fn(_int(b, va, w, s), _int(b, vb, w, s)))
+            for name, fn in unary.items():
+                if name.startswith(("abs", "neg")) and not signed:
+                    continue     # signed-only ops
+                CASES[f"{t}_{name}"] = (
+                    lambda b, fn=fn, w=w, s=signed, va=va: fn(_int(b, va, w, s)))
+            for name, fn in shift.items():
+                CASES[f"{t}_{name}"] = (
+                    lambda b, fn=fn, w=w, s=signed, va=va:
+                    fn(_int(b, va, w, s), _int(b, 2, 8)))
+
+
+_add_int_sweep()
+
+
+def _record_fixture(b):
+    import random as _r
+    from snarkvm_tpu.console import account, network as NW
+    from snarkvm_tpu.console.record import Record, Entry
+    from snarkvm_tpu.console.types import Identifier, Plaintext
+    from snarkvm_tpu.circuit.record_gadget import RecordGadget
+    from snarkvm_tpu.params import bls12_377 as PP
+    rng = _r.Random(5)
+    sk = account.PrivateKey.new(rng)
+    rec = Record(sk.to_address(), "private",
+                 [(Identifier("amount"),
+                   Entry("private", Plaintext.literal("u64", 777)))],
+                 NW.g_scalar_multiply(rng.randrange(PP.S)))
+    return RecordGadget.inject(b, rec)
+
+
+# round-3 gadget families (records, serial numbers, sign.verify, sponge)
+CASES.update({
+    "record_to_commitment": lambda b: _record_fixture(b)
+        .to_commitment("credits.aleo", "credits"),
+    "record_serial_number_from_gamma": lambda b: __import__(
+        "snarkvm_tpu.circuit.record_gadget", fromlist=["x"])
+        .serial_number_from_gamma_gadget(
+            b, CGroup.new(b, PRIVATE, ed.mul(ed.GENERATOR, 7)),
+            CField.new(b, PRIVATE, 12345)),
+    "record_tag": lambda b: __import__(
+        "snarkvm_tpu.circuit.record_gadget", fromlist=["x"])
+        .record_tag_gadget(b, CField.new(b, PRIVATE, 5),
+                           CField.new(b, PRIVATE, 7)),
+    "poseidon4_hash_2": lambda b: poseidon_gadget.hash_psd(
+        b, 4, [CField.new(b, PRIVATE, 7), CField.new(b, PRIVATE, 9)]),
+    "poseidon8_hash_4": lambda b: poseidon_gadget.hash_psd(
+        b, 8, [CField.new(b, PRIVATE, i + 2) for i in range(4)]),
+    "scalar_to_field": lambda b: _scalar(b, 9).to_field(),
+    "group_ternary": lambda b: CGroup.new(b, PRIVATE, ed.GENERATOR).ternary(
+        CBool.new(b, PRIVATE, True),
+        CGroup.new(b, PRIVATE, ed.mul(ed.GENERATOR, 2))),
+    "field_square": lambda b: CField.new(b, PRIVATE, 3).square(),
+    "bool_or": lambda b: CBool.new(b, PRIVATE, True) | CBool.new(b, PRIVATE, False),
+    "bool_not": lambda b: ~CBool.new(b, PRIVATE, True),
+})
+
+
 def test_constraint_counts():
     got = {name: _counts(fn) for name, fn in CASES.items()}
     if os.environ.get("UPDATE_COUNT") == "1" or not os.path.exists(GOLDEN):

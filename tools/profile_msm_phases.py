@@ -79,3 +79,20 @@ gj = jax.jit(gather_only)
 g = gj(tbl, spay, base_l, end_l, R_l, tmax); jax.block_until_ready(g)
 t0 = time.perf_counter(); g = gj(tbl, spay, base_l, end_l, R_l, tmax); jax.block_until_ready(g)
 print(f"gather-only ({int(tmax)} rounds): {(time.perf_counter()-t0)*1e3:.0f} ms", flush=True)
+
+# sort-only cost at this n (the schedule's n*W-scaling component)
+W = geo.W
+def sort_only(s):
+    mag, sign = m2.signed_digits(s, geo.c, W)
+    bucket = mag - 1
+    key = (jnp.arange(W, dtype=jnp.int32)[:, None] * (geo.nb + 1)
+           + jnp.where(bucket < 0, geo.nb, bucket))
+    payload = (jnp.arange(n, dtype=jnp.int32)[None, :]
+               | (sign.astype(jnp.int32) << 30))
+    skey, spay = jax.lax.sort((key.reshape(W * n), payload.reshape(W * n)),
+                              dimension=0, num_keys=1)
+    return skey[0], spay[0]
+sj = jax.jit(sort_only)
+r = sj(sl); jax.block_until_ready(r)
+t0 = time.perf_counter(); r = sj(sl); jax.block_until_ready(r)
+print(f"recode+sort only: {(time.perf_counter()-t0)*1e3:.0f} ms", flush=True)
