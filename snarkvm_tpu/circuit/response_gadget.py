@@ -24,8 +24,24 @@ def _plaintext_bit_stream(gadget, type_name: str, marker: bool):
     """[("c", const_bit) | ("g", CBool)] stream of a literal Plaintext's
     bits (types.py:167 layout: [0,0] + variant u8 + size u16 + payload),
     optionally with the to_fields trailing true marker."""
-    from ..console.types import VARIANTS, INT_WIDTHS
-    from .types import CBool
+    from ..console.types import VARIANTS, INT_WIDTHS, int_to_bits_le
+    from .types import CBool, CStruct
+
+    if isinstance(gadget, CStruct):
+        # Plaintext::Struct layout (console/types.py:175): [0,1] + len(8)
+        # + per member: ident size(8) + ident bits + value-bits len(16) +
+        # the member's FULL plaintext bit stream
+        stream = [("c", False), ("c", True)]
+        stream += [("c", x) for x in int_to_bits_le(len(gadget.members), 8)]
+        for ident, tname, g in gadget.members:
+            stream += [("c", x) for x in int_to_bits_le(ident.size_in_bits(), 8)]
+            stream += [("c", x) for x in ident.to_bits_le()]
+            sub = _plaintext_bit_stream(g, tname, marker=False)
+            stream += [("c", x) for x in int_to_bits_le(len(sub), 16)]
+            stream += sub
+        if marker:
+            stream.append(("c", True))
+        return stream
 
     if type_name == "boolean":
         payload = [gadget] if isinstance(gadget, CBool) else list(gadget.bits)

@@ -1028,3 +1028,19 @@ class CAddress:
 
     def gte(self, o):
         return ~self.is_less_than(o)
+
+
+class CStruct:
+    """Struct plaintext gadget (circuit/program data/plaintext Struct
+    arm): ordered members, each a literal (or nested struct) gadget.
+    Bit/field packing flows through response_gadget._plaintext_bit_stream,
+    which mirrors console Plaintext.to_bits_le exactly."""
+
+    __slots__ = ("b", "members", "plaintext")
+
+    def __init__(self, builder, members, plaintext):
+        """members: [(Identifier, type_name, gadget)] in declaration
+        order; plaintext: the console Plaintext("struct", ...)."""
+        self.b = builder
+        self.members = members
+        self.plaintext = plaintext

@@ -637,7 +637,11 @@ def _cpu_driver(geo: Geometry, sched):
 
 
 @functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=None)
 def _msm_v2_fn(n: int, c: int, B: int, cap: int | None):
+    """Cached per (n, c, B, cap): a FRESH jax.jit wrapper per call made
+    every warm MSM pay ~1.9 s of retrace/executable-reload on top of the
+    1.2 s device program (measured tools/profile_msm_phases.py)."""
     geo = Geometry(n, c, cap=cap)
     if jax.default_backend() == "cpu":
         sched = jax.jit(

@@ -281,7 +281,9 @@ class DualStack:
                 from .process import parse_plaintext_str
                 lit = parse_plaintext_str(lit)
             from ..console.record import Record as _Record
-            if not isinstance(lit, (Literal, _Record)):
+            if isinstance(lit, Plaintext) and lit.kind != "literal":
+                pass                          # struct/array plaintext as-is
+            elif not isinstance(lit, (Literal, _Record)):
                 lit = _as_literal(lit)
             if input_gadgets is not None:
                 regs[finput.register] = CircuitValue(lit, input_gadgets[idx])
@@ -331,7 +333,16 @@ class DualStack:
             cv = regs[base]
             member = operand.split(".", 1)[1]
             from ..circuit.record_gadget import RecordGadget
+            from ..circuit.types import CStruct
             from ..console.record import Record
+            if isinstance(cv.gadget, CStruct):
+                for ident, tname, g in cv.gadget.members:
+                    if ident.name == member:
+                        pt = dict((i.name, v) for i, v in
+                                  cv.gadget.plaintext.value)[member]
+                        lit = pt.value if pt.kind == "literal" else pt
+                        return CircuitValue(lit, g)
+                raise HaltError(f"struct has no member '{member}'")
             if isinstance(cv.gadget, RecordGadget):
                 if member == "owner":
                     rec = cv.gadget.record
@@ -620,10 +631,12 @@ class DualStack:
             rate = int(op[-1])
             dest_type = (inst.as_type or "field").split(".")[0]
             from . import interpreter as I
+            from ..circuit.types import CStruct
             console = I.hash_instruction(op, a.literal, dest_type)
-            t = a.literal.type_name
-            if t in ("field", "boolean", "address", "group", "scalar") \
-                    or t in INT_WIDTHS:
+            t = getattr(a.literal, "type_name", None)
+            if (t in ("field", "boolean", "address", "group", "scalar")
+                    or t in INT_WIDTHS
+                    or isinstance(a.gadget, CStruct)):
                 from ..circuit.response_gadget import plaintext_fields_gadget
                 cfields = plaintext_fields_gadget(builder, a.gadget, t)
                 if dest_type in ("group", "address"):
@@ -642,10 +655,12 @@ class DualStack:
             a = ld(inst.operands[0])
             dest_type = (inst.as_type or "field").split(".")[0]
             from . import interpreter as I
+            from ..circuit.types import CStruct
             console = I.hash_instruction(op, a.literal, dest_type)
-            t = a.literal.type_name
-            if t in ("field", "boolean", "address", "group", "scalar") \
-                    or t in INT_WIDTHS:
+            t = getattr(a.literal, "type_name", None)
+            if (t in ("field", "boolean", "address", "group", "scalar")
+                    or t in INT_WIDTHS
+                    or isinstance(a.gadget, CStruct)):
                 from ..circuit.response_gadget import plaintext_bits_gadget
                 from ..circuit.bhp_gadget import (bhp_hash_gadget,
                                                   bhp_hash_point_gadget)
@@ -751,7 +766,7 @@ class DualStack:
                     g_scalar_multiply_gadget, hash_to_scalar_bits_gadget)
                 from ..circuit.types import CAddress as _CAddr
                 from ..console.record import Record, Entry
-                from ..console.types import Identifier, _group_from_x, Plaintext
+                from ..console.types import Identifier, _group_from_x
                 owner_cv = operand_cvs[0]
                 owner_g = owner_cv.gadget
                 if not isinstance(owner_g, _CAddr):
@@ -782,6 +797,27 @@ class DualStack:
                 rg.randomizer_bits = rand_bits
                 rg.locator = locator
                 regs[inst.destinations[0]] = CircuitValue(record_c, rg)
+                return
+        if op == "cast" and inst.as_type in self.stack.program.structs:
+            st = self.stack.program.structs[inst.as_type]
+            cvs = [ld(o) for o in inst.operands]
+            ok_gadgets = all(
+                cv.gadget is not None and not isinstance(cv.gadget, FutureGadget)
+                for cv in cvs)
+            if ok_gadgets and len(cvs) == len(st.members):
+                from ..circuit.types import CStruct
+                from ..console.types import Identifier
+                from .process import _as_plaintext
+                members_c = []
+                members_g = []
+                for (mname, _mtype), cv in zip(st.members, cvs):
+                    members_c.append((Identifier(mname),
+                                      _as_plaintext(cv.literal)))
+                    members_g.append((Identifier(mname),
+                                      cv.literal.type_name, cv.gadget))
+                pt = Plaintext("struct", members_c)
+                regs[inst.destinations[0]] = CircuitValue(
+                    pt, CStruct(builder, members_g, pt))
                 return
         if op in ("cast", "cast.lossy") and len(inst.operands) == 1 and \
                 inst.as_type:

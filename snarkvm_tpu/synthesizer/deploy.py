@@ -60,6 +60,11 @@ def sample_value(rng, stack: Stack, value_type: str, owner_pt):
                 for en, et in rt.entries]
         nonce = NW.g_scalar_multiply(rng.randrange(P.S))
         return Record(owner_pt, rt.owner_visibility, data, nonce)
+    if base in stack.program.structs:
+        st = stack.program.structs[base]
+        return Plaintext("struct", [
+            (Identifier(mn), Plaintext("literal", sample_input(rng, mt)))
+            for mn, mt in st.members])
     return Plaintext("literal", sample_input(rng, value_type))
 
 

@@ -237,6 +237,25 @@ def execute_function(stack: Stack, request: Request, input_types,
         from ..circuit.record_gadget import RecordGadget as _RG
         typed_gadgets = []
         input_field_gadgets = []
+        def inject_literal(lit):
+            t = lit.type_name if isinstance(lit, _Lit) else None
+            if t == "field":
+                return CField.new(builder, _PRIV, lit.value)
+            if t == "boolean":
+                return CBool.new(builder, _PRIV, lit.value)
+            if t in INT_WIDTHS:
+                return CInteger.new(builder, _PRIV, lit.value, INT_WIDTHS[t], t[0] == "i")
+            if t == "address":
+                from ..circuit.types import CAddress
+                return CAddress.new(builder, _PRIV, lit.value)
+            if t == "group":
+                from ..circuit.types import CGroup
+                return CGroup.new(builder, _PRIV, lit.value)
+            if t == "scalar":
+                from ..circuit.types import CScalar
+                return CScalar.new(builder, _PRIV, lit.value)
+            raise HaltError(f"in-circuit input type {t}")
+
         for inp, finput in zip(inputs, fn.inputs):
             lit = inp.value if isinstance(inp, Plaintext) and inp.kind == "literal" else inp
             if isinstance(lit, _Rec):
@@ -246,25 +265,23 @@ def execute_function(stack: Stack, request: Request, input_types,
                 typed_gadgets.append(g)
                 input_field_gadgets.append(g)
                 continue
+            if isinstance(lit, Plaintext) and lit.kind == "struct":
+                from ..circuit.types import CStruct
+                members = []
+                for ident, member_pt in lit.value:
+                    if member_pt.kind != "literal":
+                        raise HaltError("in-circuit nested-struct input "
+                                        "(follow-up)")
+                    mlit = member_pt.value
+                    members.append((ident, mlit.type_name,
+                                    inject_literal(mlit)))
+                g = CStruct(builder, members, lit)
+                typed_gadgets.append(g)
+                input_field_gadgets.append(
+                    plaintext_fields_gadget(builder, g, None))
+                continue
             t = lit.type_name if isinstance(lit, _Lit) else None
-            if t == "field":
-                g = CField.new(builder, _PRIV, lit.value)
-            elif t == "boolean":
-                g = CBool.new(builder, _PRIV, lit.value)
-            elif t in INT_WIDTHS:
-                g = CInteger.new(builder, _PRIV, lit.value, INT_WIDTHS[t], t[0] == "i")
-            elif t == "address":
-                from ..circuit.types import CAddress
-                g = CAddress.new(builder, _PRIV, lit.value)
-            elif t == "group":
-                from ..circuit.types import CGroup
-                g = CGroup.new(builder, _PRIV, lit.value)
-            elif t == "scalar":
-                from ..circuit.types import CScalar
-                g = CScalar.new(builder, _PRIV, lit.value)
-            else:
-                raise HaltError(f"in-circuit input type {t} (records/structs: "
-                                f"follow-up)")
+            g = inject_literal(lit)
             typed_gadgets.append(g)
             input_field_gadgets.append(plaintext_fields_gadget(builder, g, t))
         ctx = verify_request_gadget(builder, request, input_types,
@@ -281,8 +298,8 @@ def execute_function(stack: Stack, request: Request, input_types,
             if vis in ("future", "record"):
                 out_field_gadgets.append(cv.gadget)  # FutureGadget / RecordGadget
             else:
-                out_field_gadgets.append(
-                    plaintext_fields_gadget(builder, cv.gadget, cv.literal.type_name))
+                out_field_gadgets.append(plaintext_fields_gadget(
+                    builder, cv.gadget, getattr(cv.literal, "type_name", None)))
         output_registers = [int(o.operand.split(".")[0][1:])
                             for o in fn.outputs]
         out_entries = from_outputs_gadget(

@@ -27,9 +27,10 @@ function f2:
 
 
 def test_deploy_and_verify():
-    srs = kzg.test_srs(64)
     stack = Stack(parse_program(PROGRAM))
-    dep = D.deploy(srs, stack, rng, program_text=PROGRAM)
+    # srs=None: deploy auto-sizes to the FULL transition circuits
+    dep = D.deploy(None, stack, rng, program_text=PROGRAM)
+    srs = dep.srs
     assert len(dep.verifying_keys) == 2
     assert D.verify_deployment(srs, stack, dep, rng)
     # tampered vk id fails

@@ -96,3 +96,72 @@ sj = jax.jit(sort_only)
 r = sj(sl); jax.block_until_ready(r)
 t0 = time.perf_counter(); r = sj(sl); jax.block_until_ready(r)
 print(f"recode+sort only: {(time.perf_counter()-t0)*1e3:.0f} ms", flush=True)
+
+# reduction phase timing: feed the accumulator output through the
+# planned fold/scan/tree steps (the _msm_v2_raw reduction block)
+from snarkvm_tpu.ops.msm_v2 import _g1_add_lazy
+import numpy as _np
+nb_v, lanes = geo.nb_v, geo.lanes
+off = _np.arange(lanes) % nb_v
+w_of = _np.arange(lanes) // nb_v
+nb_l = _np.asarray(geo.nb_ws, _np.int32)[w_of]
+steps_list, masks_list = [], []
+for nb_w, R_w in sorted(set(zip(geo.nb_ws, geo.R_ws))):
+    in_class = nb_l == nb_w
+    r = R_w
+    while r > 1:
+        half = r // 2
+        steps_list.append(half * nb_w); masks_list.append(in_class & (off < half * nb_w))
+        r = half
+live = off < nb_l
+step = 1
+while step < geo.nb:
+    steps_list.append(step); masks_list.append((off + step < nb_l) & live)
+    step *= 2
+step = 1
+while step < geo.nb:
+    steps_list.append(step); masks_list.append((off % (2 * step) == 0) & (off + step < nb_l))
+    step *= 2
+print(f"reduction steps: {len(steps_list)}", flush=True)
+steps_arr = jnp.asarray(_np.array(steps_list, _np.int32))
+masks_arr = jnp.asarray(_np.stack(masks_list))
+
+def reduce_only(ax, ay, az):
+    def red_body(i, acc3):
+        acc_d = {"X": acc3[0], "Y": acc3[1], "Z": acc3[2]}
+        stp = steps_arr[i]
+        keep = masks_arr[i]
+        shifted = {k: jnp.roll(v, -stp, axis=1) for k, v in acc_d.items()}
+        shifted = ep._mask_identity(shifted, keep)
+        o = _g1_add_lazy(acc_d, shifted)
+        return (o["X"], o["Y"], o["Z"])
+    return jax.lax.fori_loop(0, len(steps_list), red_body, (ax, ay, az))
+
+rj = jax.jit(reduce_only)
+r2 = rj(*a); jax.block_until_ready(r2)
+t0 = time.perf_counter(); r2 = rj(*a); jax.block_until_ready(r2)
+print(f"reduction: {(time.perf_counter()-t0)*1e3:.0f} ms", flush=True)
+
+# end-to-end msm_g1_v2 in this same process, phase-subtracted
+t0 = time.perf_counter()
+out = m2.msm_g1_v2(tbl, sl, n)
+t_first = time.perf_counter() - t0
+t0 = time.perf_counter()
+out = m2.msm_g1_v2(tbl, sl, n)
+t_e2e = time.perf_counter() - t0
+print(f"msm_g1_v2 end-to-end: first {t_first:.2f}s, warm {t_e2e*1e3:.0f} ms", flush=True)
+
+# split the production c=13 path: fused device jit vs host tail
+B = tbl.shape[0]
+geo2 = m2.Geometry(n, 13)
+print(f"prod geometry: c=13 W={geo2.W} lanes={geo2.lanes} cap={geo2.cap}", flush=True)
+raw = jax.jit(m2._msm_v2_raw(geo2, B))
+o = raw(tbl, sl); jax.block_until_ready(o[:3])
+t0 = time.perf_counter(); o = raw(tbl, sl); jax.block_until_ready(o[:3])
+t_raw = time.perf_counter() - t0
+print(f"fused device jit (c=13): {t_raw*1e3:.0f} ms", flush=True)
+t0 = time.perf_counter()
+sums = {"X": o[0], "Y": o[1], "Z": o[2]}
+jacs = m2._lm_proj_to_jac_ints(sums)[:geo2.W]
+res = m2._combine(jacs, 13)
+print(f"host tail (extract+combine): {(time.perf_counter()-t0)*1e3:.0f} ms", flush=True)
