@@ -197,10 +197,15 @@ class Geometry:
         self.R = self.R_ws[0]
         self.lanes = self.W * self.nb_v
         if cap is None:
-            # expected max virtual-bucket count: lambda + 5*sqrt(lambda)
-            # over ~lanes Poisson bins, padded ~12%
+            # The TOP window's digit range is data-dependent (scalars < r
+            # occupy only ~r/2^(c(W-1)) of its 2^bits_w magnitudes), so
+            # live lanes there see up to ~2x the mean load — measured:
+            # tmax 605 vs lambda 256 at n=2^20/c=12. cap is only the
+            # fori upper bound (the traced tmax bound stops at the ACTUAL
+            # max run), so headroom is free; a tight cap forced a silent
+            # drop->retry that DOUBLED every warm MSM.
             lam = max(n / self.nb_v, 1.0)
-            cap = int(lam + 5.0 * math.sqrt(lam) + 8)
+            cap = int(2 * lam + 10.0 * math.sqrt(lam) + 64)
         self.cap = cap
 
     def maps(self):
@@ -667,8 +672,10 @@ def msm_g1_v2(table_u16, scalar_limbs, n: int, c: int | None = None,
     host Jacobian int tuple. scalar_limbs: [n, 16] u32 canonical Fr limbs.
     ident_mask: optional [B] bool (identity rows contribute nothing)."""
     if c is None:
+        # c=12 beats c=13 at 2^20 on v5e (fewer lanes: 45k vs 82k; the
+        # c=12 top window is tiny and well-replicated) — see SCALING.md
         c = int(os.environ.get("SNARKVM_TPU_MSM_V2_C", "0")) or \
-            (13 if n >= (1 << 16) else 12 if n >= (1 << 12) else 10)
+            (12 if n >= (1 << 12) else 10)
     if ident_mask is not None and np.any(ident_mask[:n]):
         scalar_limbs = jnp.where(
             jnp.asarray(ident_mask[:n])[:, None], 0, scalar_limbs)
