@@ -44,6 +44,8 @@ def literal_gadget_bits(builder, gadget, type_name: str):
     if type_name in ("address", "group"):
         g = gadget.group if isinstance(gadget, CAddress) else gadget
         return g.x.to_bits_le(FIELD_BITS, canonical=True)
+    if type_name == "string":
+        return gadget.to_bits_le()
     raise NotImplementedError(f"record entry bits for {type_name}")
 
 

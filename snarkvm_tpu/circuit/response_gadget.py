@@ -61,6 +61,11 @@ def _plaintext_bit_stream(gadget, type_name: str, marker: bool):
     elif type_name == "scalar":
         payload = list(gadget.bits)
         size = 251
+    elif type_name == "string":
+        from .types import CString
+        assert isinstance(gadget, CString)
+        payload = gadget.to_bits_le()
+        size = len(payload)
     else:
         raise NotImplementedError(f"plaintext packing for {type_name}")
 

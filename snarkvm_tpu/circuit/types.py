@@ -1044,3 +1044,38 @@ class CStruct:
         self.b = builder
         self.members = members
         self.plaintext = plaintext
+
+
+class CString:
+    """String gadget (circuit/types/string): a byte vector of U8 gadgets
+    (lib.rs:46-66). Equality over same-length strings is the AND of byte
+    equalities; different lengths are constantly unequal."""
+
+    __slots__ = ("b", "bytes_g", "value")
+
+    def __init__(self, builder, bytes_g, value: str):
+        self.b = builder
+        self.bytes_g = bytes_g
+        self.value = value
+
+    @classmethod
+    def new(cls, builder, mode, s: str):
+        bg = [CInteger.new(builder, mode, byte, 8) for byte in s.encode()]
+        return cls(builder, bg, s)
+
+    def to_bits_le(self):
+        out = []
+        for byte in self.bytes_g:
+            out += list(byte.bits)
+        return out
+
+    def is_equal(self, o: "CString") -> CBool:
+        if len(self.bytes_g) != len(o.bytes_g):
+            return CBool.constant(self.b, False)
+        if not self.bytes_g:
+            return CBool.constant(self.b, True)
+        acc = None
+        for a, b2 in zip(self.bytes_g, o.bytes_g):
+            e = a.is_equal(b2)
+            acc = e if acc is None else (acc & e)
+        return acc

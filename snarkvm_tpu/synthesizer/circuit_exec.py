@@ -57,6 +57,9 @@ def _inject(builder, lit: Literal, mode: str):
         return CircuitValue(lit, CScalar.new(builder, mode, lit.value))
     if t == "address":
         return CircuitValue(lit, CAddress.new(builder, mode, lit.value))
+    if t == "string":
+        from ..circuit.types import CString
+        return CircuitValue(lit, CString.new(builder, mode, lit.value))
     raise HaltError(f"circuit injection unsupported for {t}")
 
 
@@ -577,8 +580,9 @@ class DualStack:
             from . import interpreter as I
             eqv = I.plaintext_eq(a.literal, b.literal)
             eq_console = Literal("boolean", eqv if op == "is.eq" else not eqv)
+            from ..circuit.types import CString
             if isinstance(a.gadget, (CField, CInteger, CGroup, CScalar,
-                                     CAddress)) and type(a.gadget) is type(b.gadget):
+                                     CAddress, CString)) and type(a.gadget) is type(b.gadget):
                 gadget = a.gadget.is_equal(b.gadget)
             elif isinstance(a.gadget, CBool) and isinstance(b.gadget, CBool):
                 gadget = ~(a.gadget ^ b.gadget)

@@ -254,6 +254,9 @@ def execute_function(stack: Stack, request: Request, input_types,
             if t == "scalar":
                 from ..circuit.types import CScalar
                 return CScalar.new(builder, _PRIV, lit.value)
+            if t == "string":
+                from ..circuit.types import CString
+                return CString.new(builder, _PRIV, lit.value)
             raise HaltError(f"in-circuit input type {t}")
 
         for inp, finput in zip(inputs, fn.inputs):
