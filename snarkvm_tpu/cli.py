@@ -135,22 +135,48 @@ def cmd_run(args):
 
 
 def cmd_execute(args):
+    """vm/cli/commands/execute.rs analog: sign a request with a burner
+    key, run the FULL transition circuit (in-circuit Request::verify +
+    body + Response::from_outputs), batch-prove, and verify the proof
+    the way the chain would — against an INDEPENDENTLY re-synthesized
+    verifying key with public inputs reconstructed from the wire
+    transition (verify_execution.rs)."""
     from .polycommit import kzg
-    from .synthesizer.circuit_exec import prove_run
     from .snark import varuna
-    from .synthesizer.process import value_to_str
+    from .console import account
+    from .console.request import Request
+    from .console.types import literal_to_str
+    from .synthesizer import execute as E
+    from .synthesizer import deploy as D
+    from .synthesizer.process import parse_plaintext_str
 
     path, text, stack = _load_package(args)
     rng = random.Random()
-    # srs=None -> prove_run sizes a test SRS to the synthesized circuit
-    outs, proof, vk, public, srs = prove_run(None, stack, args.function,
-                                             list(args.inputs), rng)
-    ok = varuna.verify_batch(srs, [(vk, [public])], proof)
+    sk = account.PrivateKey.new(rng)
+    fn = stack.program.functions[args.function]
+    types = [(fi.value_type.split(".")[-1], fi.value_type.split(".")[0])
+             for fi in fn.inputs]
+    from .console.types import Plaintext, Literal
+    inputs = [parse_plaintext_str(i) for i in args.inputs]
+    inputs = [Plaintext("literal", i) if isinstance(i, Literal) else i
+              for i in inputs]
+    req = Request.sign(sk, stack.program.id, args.function, inputs, types, rng)
+    tt = E.execute_function(stack, req, types, verify_in_circuit=True)
+    circ = varuna.index(tt.builder.to_synthesizer(), varuna.VarunaNonHidingMode)
+    need = circ.max_degree(varuna.VarunaNonHidingMode) + 2
+    srs = kzg.test_srs(1 << (need - 1).bit_length())
+    trace = E.Trace()
+    trace.insert(tt)
+    proof, _ = trace.prove_execution(srs, rng)
+    # verifier posture: fresh key synthesis, transition-derived publics
+    _pk2, vk2 = D.synthesize_protocol_keys(srs, stack, args.function,
+                                           random.Random(1))
+    ok = E.verify_execution_transitions(srs, [tt.transition],
+                                        lambda _k: vk2, proof)
     print(f"✅ Executed '{stack.program.id}/{args.function}' with a Varuna proof "
           f"(verified: {ok}):")
-    for i, out in enumerate(outs):
-        from .console.types import literal_to_str
-        print(f"  • output #{i}: {literal_to_str(out.literal)}")
+    for i, out in enumerate(tt.transition.output_values):
+        print(f"  • output #{i}: {literal_to_str(out)}")
 
 
 def cmd_clean(args):
