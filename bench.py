@@ -226,9 +226,9 @@ def bench_all():
     t_start = time.monotonic()
     plan = [
         ("ntt", {}, 150.0),
-        ("poseidon", {}, 90.0),
-        ("msm_v2", {"MSM_LOG2": "16"}, 240.0),
-        ("varuna", {}, 240.0),
+        ("poseidon", {}, 150.0),
+        ("msm_v2", {"MSM_LOG2": "16"}, 200.0),
+        ("varuna", {}, 280.0),
         ("msm_v2", {"MSM_LOG2": "20"}, 300.0),
     ]
     for name, extra, cap in plan:
