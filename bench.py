@@ -214,41 +214,58 @@ def main():
 
 def bench_all():
     """The full north-star metric set, one JSON line each, streamed as
-    soon as each exists. Every metric runs in its OWN subprocess with a
-    wall-clock cap (a slow/hung metric is killed + noted on stderr and
-    never hides the others — BENCH_r02 died with only one line out), and
-    a total budget guarantees rc=0 before the driver's own timeout.
-    Compiles persist via the jax_compilation_cache_dir set in
-    snarkvm_tpu/__init__.py, so warmed caches make the caps generous."""
-    import subprocess
+    soon as each exists, HIGH-VALUE METRICS FIRST. All metrics run in
+    THIS process (a subprocess per metric re-uploaded each cached
+    executable over the tunnel — 10s-100s of volatile seconds per
+    child); per-metric SIGALRM caps keep one slow metric from hiding
+    the rest, and a total budget guarantees an exit before the driver's
+    own timeout. Compiles persist via jax_compilation_cache_dir
+    (snarkvm_tpu/__init__.py)."""
+    import signal
+    import traceback
 
     total_budget = float(os.environ.get("BENCH_TOTAL_BUDGET", "540"))
     t_start = time.monotonic()
     plan = [
-        ("ntt", {}, 150.0),
-        ("poseidon", {}, 150.0),
-        ("msm_v2", {"MSM_LOG2": "16"}, 200.0),
-        ("varuna", {}, 280.0),
-        ("msm_v2", {"MSM_LOG2": "20"}, 300.0),
+        (bench_msm_v2, {"MSM_LOG2": "16"}, 150.0),
+        (bench_msm_v2, {"MSM_LOG2": "20"}, 200.0),
+        (bench_varuna, {}, 240.0),
+        (bench_poseidon, {}, 100.0),
+        (bench_ntt, {}, 150.0),
     ]
-    for name, extra, cap in plan:
+
+    class _MetricTimeout(Exception):
+        pass
+
+    def _alarm(_sig, _frm):
+        raise _MetricTimeout()
+
+    signal.signal(signal.SIGALRM, _alarm)
+    for fn, extra, cap in plan:
         remaining = total_budget - (time.monotonic() - t_start)
-        tag = name + (f" {extra}" if extra else "")
+        tag = fn.__name__ + (f" {extra}" if extra else "")
         if remaining < 20:
             print(f"[bench] total budget exhausted; skipping {tag}",
                   file=sys.stderr, flush=True)
             continue
-        child_env = dict(os.environ, METRIC=name, **extra)
+        saved = {k: os.environ.get(k) for k in extra}
+        os.environ.update(extra)
+        signal.alarm(int(min(cap, remaining)))
         try:
-            rc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=child_env, timeout=min(cap, remaining)).returncode
-            if rc != 0:
-                print(f"[bench] {tag} exited rc={rc}",
-                      file=sys.stderr, flush=True)
-        except subprocess.TimeoutExpired:
+            fn()
+        except _MetricTimeout:
             print(f"[bench] {tag} exceeded {min(cap, remaining):.0f}s cap; "
-                  "killed", file=sys.stderr, flush=True)
+                  "aborted", file=sys.stderr, flush=True)
+        except Exception:
+            print(f"[bench] {tag} failed:", file=sys.stderr, flush=True)
+            traceback.print_exc()
+        finally:
+            signal.alarm(0)
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
 
 
 def bench_ntt():
@@ -313,14 +330,14 @@ def bench_ntt():
     # slope removes that fixed cost and reports true on-chip throughput
     # (production provers batch many NTTs per dispatch, so the marginal
     # rate is what the Varuna pipeline actually sees).
-    k_lo, k_hi = 1, 17
+    k_lo, k_hi = 1, 9
     run_hi = chain(k_hi)
     y = run_hi(x)
     np.asarray(y[0, :1])
 
     def timed(f):
         best = float("inf")
-        for _ in range(5):
+        for _ in range(3):
             t0 = time.perf_counter()
             np.asarray(f(x)[0, :1])
             best = min(best, time.perf_counter() - t0)
