@@ -359,6 +359,18 @@ class Ledger:
         # VM::check_transactions: batched Varuna verify per transaction)
         if self.vm.srs is not None:
             for tx in block.transactions:
+                # inclusion proofs are only sound against a state root THIS
+                # ledger has produced (check_transaction_basic's
+                # contains_state_root gate, ledger/src/check_transaction_basic.rs):
+                # without it an attacker proves inclusion against a
+                # fabricated one-block chain and spends a record that never
+                # existed on-chain.
+                has_record_inputs = any(
+                    kind == "record" for t in tx.transitions
+                    for kind, _ in t.inputs)
+                if has_record_inputs and not self.contains_state_root(
+                        getattr(tx, "global_state_root", None)):
+                    raise ValueError("unknown global state root")
                 self.vm._check_transaction_proofs(tx)
         # record double-spend / commitment uniqueness
         seen_sns = set()

@@ -642,7 +642,6 @@ def _cpu_driver(geo: Geometry, sched):
 
 
 @functools.lru_cache(maxsize=None)
-@functools.lru_cache(maxsize=None)
 def _msm_v2_fn(n: int, c: int, B: int, cap: int | None):
     """Cached per (n, c, B, cap): a FRESH jax.jit wrapper per call made
     every warm MSM pay ~1.9 s of retrace/executable-reload on top of the

@@ -255,8 +255,14 @@ def execute_function(stack: Stack, request: Request, input_types,
                 from ..circuit.types import CScalar
                 return CScalar.new(builder, _PRIV, lit.value)
             if t == "string":
-                from ..circuit.types import CString
-                return CString.new(builder, _PRIV, lit.value)
+                # a CString allocates 8 bits PER BYTE of the concrete
+                # value, so the circuit shape would depend on the input —
+                # breaking prover/verifier circuit identity (the verifier's
+                # vk is synthesized from sampled inputs and key caches are
+                # keyed per (program, function)). The reference forbids
+                # string-typed function inputs for the same reason.
+                raise HaltError("string-typed function inputs are not "
+                                "provable (input-dependent circuit shape)")
             raise HaltError(f"in-circuit input type {t}")
 
         for inp, finput in zip(inputs, fn.inputs):

@@ -198,12 +198,21 @@ class VM:
             # execution cost (vm/execute.rs:execute_fee_raw shape)
             from . import cost as C
             base_fee, _ = C.execution_cost(self.process, tx.transitions)
-            fee_pending = self._fee_public(private_key, base_fee, priority_fee,
-                                           execution_id(tx.transitions))
-            tx.transitions.append(fee_pending.transaction.transitions[0])
-            tx.fee_amount = base_fee
-            pending.futures.extend(fee_pending.futures)
-            pending._fee_jobs = list(getattr(fee_pending, "_proof_jobs", []))
+            if self.srs is not None and _prove:
+                # the fee must sign the FINAL execution id — proving grafts
+                # in-circuit output IDs onto the body transitions, changing
+                # their ids — so it is built inside prove_transaction after
+                # the body proof lands (vm/execute.rs fee-after-execution
+                # ordering)
+                pending._deferred_fee = (private_key, base_fee, priority_fee)
+            else:
+                fee_pending = self._fee_public(private_key, base_fee,
+                                               priority_fee,
+                                               execution_id(tx.transitions))
+                tx.transitions.append(fee_pending.transaction.transitions[0])
+                tx.fee_amount = base_fee
+                pending.futures.extend(fee_pending.futures)
+                pending._fee_jobs = list(getattr(fee_pending, "_proof_jobs", []))
         if self.srs is not None and _prove:
             self.prove_transaction(pending)
         return pending
@@ -248,6 +257,21 @@ class VM:
             return proof
 
         tx.proof = _prove_jobs(getattr(pending, "_proof_jobs", []))
+        deferred = getattr(pending, "_deferred_fee", None)
+        if deferred is not None:
+            # body transition ids are final now — sign the fee over the
+            # real execution id (verify_fee.rs binds
+            # deployment_or_execution_id to the execution it pays for)
+            pk_, base_fee, priority_fee = deferred
+            fee_pending = self._fee_public(pk_, base_fee, priority_fee,
+                                           execution_id(tx.transitions))
+            fee_t = fee_pending.transaction.transitions[0]
+            tx.transitions.append(fee_t)
+            old_ids[id(fee_t)] = fee_t.id()
+            tx.fee_amount = base_fee
+            pending.futures.extend(fee_pending.futures)
+            pending._fee_jobs = list(getattr(fee_pending, "_proof_jobs", []))
+            pending._deferred_fee = None
         tx.fee_proof = _prove_jobs(getattr(pending, "_fee_jobs", []))
         # transition ids changed (outputs now carry in-circuit IDs):
         # remap the finalize futures' transition-id column
@@ -314,6 +338,36 @@ class VM:
                     self.srs, fee_ts, self._function_vk, tx.fee_proof,
                     global_state_root=tx.global_state_root):
                 raise ValueError("invalid fee proof")
+            self._check_fee_binding(tx)
+
+    def _check_fee_binding(self, tx) -> None:
+        """The fee transition's deployment_or_execution_id input must bind
+        the body it pays for (verify_fee.rs: `fee.deployment_or_execution_id`
+        comparison) — otherwise a fee could be detached from one transaction
+        and reattached to another. The bound id rides the fee request's
+        third PUBLIC input, whose input id is
+        Psd8([function_id, fields(id), tcm, 2]) (request/sign: InputID
+        for public inputs) — recomputable by any verifier from the wire
+        transition. Raises ValueError on mismatch."""
+        from ..console import network as N
+        from ..console.request import compute_function_id
+        from ..console.types import Plaintext, Literal
+        body, fee_ts = self._split_fee(tx.transitions)
+        if not fee_ts:
+            return
+        fee_t = fee_ts[0]
+        if tx.kind == "execute":
+            bind_id = execution_id(body)
+        elif tx.kind == "deploy" and tx.payload is not None:
+            bind_id = tx.payload.to_deployment_id()
+        else:
+            return
+        fid = compute_function_id(N.ID, fee_t.program_id, fee_t.function_name)
+        fields = Plaintext("literal", Literal("field", bind_id)).to_fields()
+        expect = N.hash_psd(8, [fid] + fields + [fee_t.tcm, 2])
+        if len(fee_t.inputs) < 3 or fee_t.inputs[2][1] != expect:
+            raise ValueError("fee is not bound to this transaction's "
+                             "deployment/execution id")
 
     def deploy_transaction(self, private_key, program_text: str, srs=None,
                            priority_fee: int | None = None,
@@ -347,8 +401,10 @@ class VM:
         pending.deployment = deployment
         if priority_fee is not None:
             base_fee, _ = C.deployment_cost(deployment)
+            # the fee signs the deployment id (vm/deploy.rs binds
+            # deployment_or_execution_id = deployment.to_deployment_id())
             fee_pending = self._fee_public(private_key, base_fee, priority_fee,
-                                           execution_id([]) or 1)
+                                           deployment.to_deployment_id())
             tx.transitions.append(fee_pending.transaction.transitions[0])
             tx.fee_amount = base_fee
             pending.futures.extend(fee_pending.futures)
@@ -398,6 +454,9 @@ class VM:
         body, fee_ts = self._split_fee(pending.transaction.transitions)
         if self.srs is not None:
             self._check_transaction_proofs(pending.transaction)
+        else:
+            # dev mode still enforces the fee<->body binding (cheap hashes)
+            self._check_fee_binding(pending.transaction)
         required, _ = C.execution_cost(self.process, body) if body else (0, (0, 0))
         if pending.transaction.kind == "execute" and \
                 required > self.TRANSACTION_SPEND_LIMIT:

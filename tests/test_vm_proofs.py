@@ -106,3 +106,56 @@ def test_ledger_rejects_tampered_block(proven, srs):
     block.header.transactions_root = transactions_root(block.transactions)
     with pytest.raises(ValueError, match="proof"):
         led.check_next_block(block, pending=None)
+
+
+def test_fee_binding_enforced():
+    """The fee transition's third input id must bind the body's
+    execution id (verify_fee.rs deployment_or_execution_id check):
+    swapping the body under an existing fee is rejected. Dev-mode
+    (srs=None) exercise — the binding check is pure hashing."""
+    rng = random.Random(31)
+    vm = VM(rng)
+    vm.process.deploy(PROGRAM)
+    sk = account.PrivateKey.new(rng)
+    addr = sk.to_address()
+    vm.store.mapping("credits.aleo", "account").insert(
+        addr, 10_000_000_000)
+    p = vm.execute(sk, "proofy.aleo", "double", ["21u32"],
+                   [("private", "u32")], priority_fee=0)
+    vm.check_transaction(p)   # bound fee passes
+    # re-bind attack: replace the body with a different execution
+    p2 = vm.execute(sk, "proofy.aleo", "double", ["33u32"],
+                    [("private", "u32")])
+    tampered = type(p.transaction)(
+        "execute",
+        [p2.transaction.transitions[0], p.transaction.transitions[1]])
+    from snarkvm_tpu.synthesizer.vm import PendingTransaction
+    with pytest.raises(ValueError, match="fee is not bound"):
+        vm.check_transaction(PendingTransaction(tampered, []))
+
+
+def test_unknown_state_root_rejected(proven, srs):
+    """check_next_block rejects record-spending transactions whose
+    global_state_root this ledger never produced (ADVICE r3 high:
+    fabricated-chain inclusion-proof attack)."""
+    from snarkvm_tpu.ledger.ledger import Ledger
+    rng = random.Random(123)
+    keys = [account.PrivateKey.new(rng) for _ in range(3)]
+    led = Ledger(keys, rng, srs=srs)
+    led.vm.process.deploy(PROGRAM)
+    _, p = proven
+    block = led.prepare_advance_to_next_beacon_block([p])
+    tx = block.transactions[0]
+    # graft a record input + a foreign state root onto the wire tx
+    t = tx.transitions[0]
+    saved_inputs, saved_root = list(t.inputs), tx.global_state_root
+    t.inputs.append(("record", 1234567))
+    tx.global_state_root = 0xDEAD
+    from snarkvm_tpu.ledger.block import transactions_root
+    block.header.transactions_root = transactions_root(block.transactions)
+    try:
+        with pytest.raises(ValueError, match="unknown global state root"):
+            led.check_next_block(block, pending=None)
+    finally:
+        t.inputs[:] = saved_inputs
+        tx.global_state_root = saved_root
