@@ -482,6 +482,14 @@ def _msm_v2_raw(geo: Geometry, B: int):
         spay, base_l, end_l, R_l, tmax, dropped = _schedule_light(geo, slimbs)
 
         ident = ep._identity_lm(lanes)
+        # NOTE (round-4 measurement, tools/profile_gather*.py): XLA:TPU row
+        # gathers cost ~29 ns/row for ANY materializing formulation tried
+        # (u16[48]/u32[24] tables, per-round/batched takes, transposed or
+        # reshaped-dense outputs all land 29-55 ns/row; only gathers fused
+        # into a full reduction reach ~9 ns/row). The per-round gather
+        # below is therefore already at the XLA gather floor; the next
+        # structural win is a Pallas streaming radix-partition of the rows
+        # (no random access), sketched in SCALING.md.
 
         def body(t, acc3):
             # materialize THIS round's points: elementwise positions ->
@@ -581,7 +589,11 @@ def _lm_proj_to_jac_ints(p):
     not consult the kernel-flavor env: the v2 pipeline is always
     projective (rcb13)."""
     Rinv = pow(FQ.R, -1, P.Q)
-    X, Y, Z = (np.asarray(p[k]) for k in ("X", "Y", "Z"))
+    # ONE device fetch for all three planes: each np.asarray is a full
+    # host sync (~20ms round trip on the dev tunnel); stacking makes the
+    # extract tail one round trip instead of three
+    XYZ = np.asarray(jnp.stack([p["X"], p["Y"], p["Z"]]))
+    X, Y, Z = XYZ[0], XYZ[1], XYZ[2]
     out = []
     for i in range(X.shape[1]):
         z = ep._col_to_int(Z[:, i]) * Rinv % P.Q

@@ -164,61 +164,113 @@ class Domain:
                 and jax.default_backend() != "cpu"
                 and os.environ.get("SNARKVM_TPU_NTT", "fused") == "fused")
 
+    # ---- constant planes as ARGUMENTS --------------------------------------
+    # Closure-captured device/numpy arrays lower as inline HLO constants;
+    # at a 2^21 domain the fused plan's twiddle tensors alone are ~134MB of
+    # module, which the axon remote-compile tunnel rejects (HTTP 413) and
+    # which bloats every compile. All big per-domain tensors therefore ride
+    # as jit arguments: Domain.fft/ifft pass them at call time, and the
+    # fused Varuna round functions (snark/dround.py) thread them through
+    # their own jit boundaries via {fft,ifft,...}_tensors() + apply_with().
+
+    def _fused_plan(self, inverse: bool):
+        from .ntt_fused_plan import FusedPlanML
+        key = "_fused_plan_inv" if inverse else "_fused_plan_fwd"
+        plan = getattr(self, key, None)
+        if plan is None:
+            plan = FusedPlanML(
+                self.n, self.group_gen_inv if inverse else self.group_gen,
+                inverse)
+            setattr(self, key, plan)
+        return plan
+
+    def _plan_tensors(self, inverse: bool):
+        cache = getattr(self, "_plan_tensor_cache", None)
+        if cache is None:
+            cache = self._plan_tensor_cache = {}
+        if inverse not in cache:
+            cache[inverse] = self._fused_plan(inverse)._consts()
+        return cache[inverse]
+
+    def fft_tensors(self):
+        return self._plan_tensors(False) if self._use_fused else None
+
+    def ifft_tensors(self):
+        return self._plan_tensors(True) if self._use_fused else None
+
+    def coset_fft_tensors(self):
+        if not self._use_fused:
+            return None
+        return (jnp.asarray(self._coset_powers),) + self._plan_tensors(False)
+
+    def coset_ifft_tensors(self):
+        if not self._use_fused:
+            return None
+        return self._plan_tensors(True) + \
+            (jnp.asarray(self._coset_inv_powers_only),)
+
+    def _apply_fused(self, x, tensors, inverse: bool):
+        posts, perm = tensors
+        plan = self._fused_plan(inverse)
+        return plan._run(jnp.swapaxes(x, -1, -2), posts,
+                         perm).swapaxes(-1, -2)
+
+    def apply_with(self, kind: str, x, tensors):
+        """Traceable transform with the constant planes passed in.
+        kind in {fft, ifft, coset_fft, coset_ifft}. tensors=None (CPU /
+        small domains / non-fused) falls back to the closure-constant
+        butterfly network — fine there, the planes are small."""
+        if tensors is None or x.ndim != 2:
+            if kind == "fft":
+                return self._core(x, self._fwd_twiddles)
+            if kind == "ifft":
+                y = self._core(x, self._inv_twiddles)
+                sinv = jnp.asarray(self._size_inv_mont)
+                return limb.mont_mul(y, jnp.broadcast_to(sinv, y.shape),
+                                     self.spec)
+            if kind == "coset_fft":
+                shifted = limb.mont_mul(x, jnp.asarray(self._coset_powers),
+                                        self.spec)
+                return self._core(shifted, self._fwd_twiddles)
+            if kind == "coset_ifft":
+                y = self._core(x, self._inv_twiddles)
+                return limb.mont_mul(
+                    y, jnp.asarray(self._coset_inv_powers_scaled), self.spec)
+            raise ValueError(kind)
+        if kind == "fft":
+            return self._apply_fused(x, tensors, False)
+        if kind == "ifft":
+            return self._apply_fused(x, tensors, True)
+        if kind == "coset_fft":
+            shifted = limb.mont_mul(x, tensors[0], self.spec)
+            return self._apply_fused(shifted, tensors[1:], False)
+        if kind == "coset_ifft":
+            # fused ifft already applies n^-1; scale by generator powers
+            # WITHOUT the extra n^-1 (it is folded into the plan)
+            y = self._apply_fused(x, tensors[:-1], True)
+            return limb.mont_mul(y, tensors[-1], self.spec)
+        raise ValueError(kind)
+
     @functools.cached_property
     def _jitted(self):
         # materialize all host-side constants eagerly (outside any trace)
         self._bitrev, self._fwd_twiddles, self._inv_twiddles
         self._coset_powers, self._coset_inv_powers_scaled, self._size_inv_mont
-
-        def fused(x, inverse):
-            from . import pallas_field as pf
-            return pf.ntt_limb_major(jnp.swapaxes(x, -1, -2), self,
-                                     inverse=inverse).swapaxes(-1, -2)
-
-        def fft(c):
-            if self._use_fused and c.ndim == 2:
-                return fused(c, False)
-            return self._core(c, self._fwd_twiddles)
-
-        def ifft(e):
-            if self._use_fused and e.ndim == 2:
-                return fused(e, True)
-            x = self._core(e, self._inv_twiddles)
-            sinv = jnp.asarray(self._size_inv_mont)
-            return limb.mont_mul(x, jnp.broadcast_to(sinv, x.shape), self.spec)
-
-        def coset_fft(c):
-            shifted = limb.mont_mul(c, jnp.asarray(self._coset_powers), self.spec)
-            if self._use_fused and c.ndim == 2:
-                return fused(shifted, False)
-            return self._core(shifted, self._fwd_twiddles)
-
-        def coset_ifft(e):
-            if self._use_fused and e.ndim == 2:
-                # fused ifft already applies n^-1; the coset post-scale
-                # table has n^-1 folded in, so scale by generator powers
-                # WITHOUT the extra n^-1 here
-                x = fused(e, True)
-                return limb.mont_mul(
-                    x, jnp.asarray(self._coset_inv_powers_only), self.spec)
-            x = self._core(e, self._inv_twiddles)
-            return limb.mont_mul(x, jnp.asarray(self._coset_inv_powers_scaled), self.spec)
-
-        return {k: jax.jit(v) for k, v in
-                dict(fft=fft, ifft=ifft, coset_fft=coset_fft, coset_ifft=coset_ifft).items()}
+        return {k: jax.jit(functools.partial(self.apply_with, k))
+                for k in ("fft", "ifft", "coset_fft", "coset_ifft")}
 
     def fft(self, coeffs):
         """coeffs (Mont limbs [..., n, L]) -> evals over the domain (natural order)."""
-        return self._jitted["fft"](coeffs)
+        return self._jitted["fft"](coeffs, self.fft_tensors())
 
     def ifft(self, evals):
-        return self._jitted["ifft"](evals)
+        return self._jitted["ifft"](evals, self.ifft_tensors())
 
     def coset_fft(self, coeffs):
-        return self._jitted["coset_fft"](coeffs)
+        return self._jitted["coset_fft"](coeffs, self.coset_fft_tensors())
 
     def coset_ifft(self, evals):
-        return self._jitted["coset_ifft"](evals)
+        return self._jitted["coset_ifft"](evals, self.coset_ifft_tensors())
 
 
 # ---------------------------------------------------------------------------
