@@ -248,9 +248,19 @@ def _device_constants(field: str, rate: int):
 
 
 def permute_batched(state, field: str = "fr", rate: int = 2):
-    """state: Montgomery limbs [batch, t, L] -> permuted state (same shape)."""
+    """state: Montgomery limbs [batch, t, L] -> permuted state (same shape).
+    On TPU this dispatches to the fused Pallas kernel (all rounds in
+    VMEM, ops/poseidon_pallas.py); the per-op XLA path below serves CPU
+    tests and as the SNARKVM_TPU_POSEIDON=xla escape hatch."""
+    import os
+    import jax as _jax
     import jax.numpy as jnp
     from ..fields import limb
+
+    if (_jax.default_backend() != "cpu"
+            and os.environ.get("SNARKVM_TPU_POSEIDON", "fused") == "fused"):
+        from ..ops.poseidon_pallas import permute_batched_fused
+        return permute_batched_fused(state, field, rate)
 
     p, spec, ark_np, mds_np = _device_constants(field, rate)
     ark = jnp.asarray(ark_np)
