@@ -24,13 +24,20 @@ def _timed(fn):
 
 
 def bench_poseidon():
-    """Batched Poseidon permutations on the chip (rate 2 over Fr)."""
+    """Batched Poseidon permutations on the chip (rate 2 over Fr) via the
+    fused 13-bit Pallas kernel (ops/poseidon_pallas.py).
+
+    vs_baseline: 1.0 = 0.05 Mperm/s — a single x86 core running the
+    reference's console Poseidon (t=3, 39 rounds, ~700 ~40ns field muls
+    ~= 20us/permutation; console/algorithms/benches/poseidon.rs measures
+    hashes built on this permutation but publishes no absolute numbers,
+    BASELINE.md)."""
     import jax
     import numpy as np
     from snarkvm_tpu.fields import limb
     from snarkvm_tpu.hashes import poseidon
 
-    b = 1 << int(os.environ.get("POSEIDON_BATCH_LOG2", "14"))
+    b = 1 << int(os.environ.get("POSEIDON_BATCH_LOG2", "17"))
     rng = np.random.default_rng(1)
     limbs = rng.integers(0, 1 << 16, size=(b, 3, limb.FR.L), dtype=np.uint32)
     limbs[..., -1] &= 0x1FFF
@@ -49,7 +56,7 @@ def bench_poseidon():
     print(json.dumps({
         "metric": f"poseidon2_permutations_per_s_batch_2^{b.bit_length()-1}",
         "value": round(rate, 3), "unit": "Mperm/s",
-        "vs_baseline": round(rate / 1.0, 3),
+        "vs_baseline": round(rate / 0.05, 3),
     }), flush=True)
 
 
@@ -227,11 +234,12 @@ def bench_all():
     total_budget = float(os.environ.get("BENCH_TOTAL_BUDGET", "540"))
     t_start = time.monotonic()
     plan = [
-        (bench_msm_v2, {"MSM_LOG2": "16"}, 150.0),
-        (bench_msm_v2, {"MSM_LOG2": "20"}, 200.0),
-        (bench_varuna, {}, 240.0),
-        (bench_poseidon, {}, 100.0),
-        (bench_ntt, {}, 150.0),
+        (bench_msm_v2, {"MSM_LOG2": "20"}, 120.0),
+        (bench_poseidon, {}, 60.0),
+        (bench_ntt, {"NTT_SIZE": "22"}, 90.0),
+        (bench_varuna, {"VARUNA_LOG2": "13"}, 90.0),
+        (bench_varuna, {"VARUNA_LOG2": "18"}, 240.0),
+        (bench_msm_v2, {"MSM_LOG2": "16"}, 60.0),
     ]
 
     class _MetricTimeout(Exception):

@@ -120,6 +120,23 @@ class RecordGadget:
         bits += self.nonce.x.to_bits_le(FIELD_BITS, canonical=True)
         return bits
 
+    def to_fields(self):
+        """record/to_fields.rs in-circuit: bit stream + trailing marker
+        packed into 252-bit CField chunks (the external-record id
+        preimage, request/verify.rs ExternalRecord arm)."""
+        from .builder import LinearCombination
+        from ..params import bls12_377 as P
+        bits = self.to_bits_le() + [CBool.constant(self.b, True)]
+        fields = []
+        for i in range(0, len(bits), 252):
+            acc = LinearCombination(0)
+            coeff = 1
+            for bt in bits[i : i + 252]:
+                acc = acc.add(bt.lc, coeff)
+                coeff = coeff * 2 % P.R
+            fields.append(CField(self.b, acc))
+        return fields
+
     def to_commitment(self, program_id: str, record_name: str) -> CField:
         """BHP1024(program_id bits || record name bits || record bits)
         (record/to_commitment.rs)."""

@@ -219,8 +219,21 @@ def verify_request_gadget(builder: CircuitBuilder, request: Request, input_types
             checks.append(commitment_g.is_equal(cand_commitment))
             checks.append(tag_pub.is_equal(cand_tag))
             checks.append(record_g.owner.group.is_equal(signer))
+        elif vis == "external_record":
+            # verify.rs:268 ExternalRecord arm: the input id is a tvk-keyed
+            # hash over the record's packed fields — psd8([fid] + fields +
+            # [tvk, index]); the record itself stays private.
+            from .record_gadget import RecordGadget
+            rg = gadgets
+            assert isinstance(rg, RecordGadget), \
+                "external_record input requires a RecordGadget"
+            preimage = ([fid] + rg.to_fields()
+                        + [tvk, CField.constant(builder, index)])
+            h = poseidon_gadget.hash_psd(builder, 8, preimage)[0]
+            checks.append(iid_pub.is_equal(h))
+            input_hashes.append(iid_pub)
         else:
-            raise NotImplementedError(f"in-circuit input kind {vis} (round-3)")
+            raise NotImplementedError(f"in-circuit input kind {vis}")
 
     # --- tpk / commitment checks (verify.rs:68-80) ---
     tcm_check = poseidon_gadget.hash_psd(builder, 2, [tvk])[0]

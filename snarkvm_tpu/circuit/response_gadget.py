@@ -128,6 +128,15 @@ def future_bit_stream(builder, fut_gadget):
     stream += [("c", b) for b in int_to_bits_le(len(fn_bits), 16) + fn_bits]
     stream += [("c", b) for b in int_to_bits_le(len(fut_gadget.arg_gadgets), 8)]
     for tname, gadget, console_arg in fut_gadget.arg_gadgets:
+        if tname == "future" and gadget is not None:
+            # nested future from a child call: Argument::Future variant
+            # with the CHILD FutureGadget's bound bit stream
+            sub = future_bit_stream(builder, gadget)
+            n = 1 + len(sub)
+            stream += [("c", b) for b in int_to_bits_le(n, 16)]
+            stream.append(("c", True))
+            stream += sub
+            continue
         if gadget is None:
             # console-only argument (nested future / record): constant bits
             from ..console.types import Future, future_from_value
@@ -238,6 +247,16 @@ def from_outputs_gadget(builder: CircuitBuilder, request, output_types,
             checksum.assert_eq(pub_k)
             out_ids.append((pub_c, pub_k))
             continue
+        elif vis == "external_record":
+            # from_outputs.rs ExternalRecord arm: output id =
+            # psd8([fid] + record fields + [tvk, index]) — tvk-keyed, the
+            # record rides privately to the destination program
+            from .record_gadget import RecordGadget
+            rg = gadgets
+            assert isinstance(rg, RecordGadget), \
+                "external_record output requires a RecordGadget"
+            preimage = [fid] + rg.to_fields() + [tvk_gadget, idx_const]
+            h = poseidon_gadget.hash_psd(builder, 8, preimage)[0]
         else:
             raise NotImplementedError(f"in-circuit output kind {vis}")
         pub = CField.new(builder, PUBLIC, builder.value_of(h.lc))

@@ -79,6 +79,15 @@ class Record:
         n = 1 if self.owner_visibility == "private" else 0
         return n + sum(e.num_randomizers() for _, e in self.data)
 
+    def to_fields(self):
+        """record/to_fields.rs: bits + trailing `true` marker packed into
+        252-bit field chunks — the external-record input/output id
+        preimage (request sign external_record arm)."""
+        from .types import FIELD_DATA_BITS, bits_to_int_le
+        bits = self.to_bits_le() + [True]
+        return [bits_to_int_le(bits[i : i + FIELD_DATA_BITS])
+                for i in range(0, len(bits), FIELD_DATA_BITS)]
+
     # -- encryption --
     def encrypt(self, randomizer: int) -> "Record":
         assert not self.is_ciphertext

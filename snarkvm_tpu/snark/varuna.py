@@ -655,6 +655,11 @@ def prove_batch(srs: kzg.UniversalSRS, keys_to_constraints, rng, mode=VarunaNonH
     second_polys = [kzg.LabeledPoly("h_0", h_0)]
     second_comms = commit_round(second_polys, mode.ZK)
     _absorb_commitments(sponge, second_comms)
+    # z_a/z_b/z_c evaluation planes are rowcheck-only — free them before
+    # the lineval round's own big allocations (2^20-constraint HBM peak)
+    for st in circuit_states:
+        for k in ("z_a", "z_b", "z_c"):
+            st.pop(k, None)
 
     alpha, eta_b, eta_c = verifier_second_round(max_cd, sponge)
 

@@ -385,12 +385,42 @@ class DualStack:
             fut = future_from_value(fut_v)
             arg_gadgets = []
             for cv in args_cv:
+                if isinstance(cv.gadget, FutureGadget):
+                    # child-call future argument: carry the BOUND gadget so
+                    # this future's field hash commits to the child's bits
+                    arg_gadgets.append(("future", cv.gadget, cv.literal))
+                    continue
                 tname = getattr(cv.literal, "type_name", None)
                 arg_gadgets.append((tname, cv.gadget if tname else None,
                                     cv.literal))
             regs[inst.destinations[0]] = CircuitValue(
                 fut_v, FutureGadget(fut, arg_gadgets))
             return
+        if op == "call":
+            # external/internal FUNCTION call -> child transition + the
+            # call-site gadget (stack/call/mod.rs:396: child tcm/input
+            # ids/output ids as parent publics). Closures fall through to
+            # the generic console path below.
+            callee = inst.operands[0]
+            pid, fname = (callee.split("/", 1) if "/" in callee
+                          else (self.stack.program.id, callee))
+            sub = (self.stack if pid == self.stack.program.id
+                   else (self.stack.external or {}).get(pid))
+            if sub is not None and fname in sub.program.functions:
+                args_cv = [ld(o) for o in inst.operands[1:]]
+                runner = getattr(self, "call_runner", None)
+                if runner is None:
+                    raise HaltError(
+                        "external function call requires call-tree "
+                        "execution (authorize + execute_authorization)")
+                child_tt, child_req, child_types = runner(
+                    self.stack.program.id)
+                from ..circuit.call_gadget import external_call_gadget
+                out_cvs = external_call_gadget(
+                    builder, sub, child_req, child_types, args_cv, child_tt)
+                for dest, cv in zip(inst.destinations, out_cvs):
+                    regs[dest] = cv
+                return
         if op in ("add", "add.w", "sub", "sub.w", "mul", "mul.w",
                   "div", "div.w", "rem", "rem.w", "mod"):
             a, b = ld(inst.operands[0]), ld(inst.operands[1])

@@ -79,16 +79,22 @@ def synthesize_function_circuit(stack: Stack, fname: str, rng, attempts: int = 6
     from ..console.request import Request
     from . import execute as E
 
+    from .process import fn_input_types
+
     fn = stack.program.functions[fname]
-    types = [(fi.value_type.split(".")[-1], fi.value_type.split(".")[0])
-             for fi in fn.inputs]
+    types = fn_input_types(fn)
     for attempt in range(attempts):
         burner = account.PrivateKey.new(rng)
         inputs = [sample_value(rng, stack, fi.value_type, burner.to_address())
                   for fi in fn.inputs]
-        req = Request.sign(burner, stack.program.id, fname, inputs, types, rng)
         try:
-            return E.execute_function(stack, req, types, verify_in_circuit=True)
+            # a burner AUTHORIZATION: functions with external calls sign
+            # burner child requests too, so the synthesized circuit
+            # carries the call-site gadget (shape is input-independent)
+            auth = E.authorize(stack, burner, fname, inputs, types, rng)
+            tr = E.execute_authorization(stack, auth,
+                                         verify_in_circuit=True)
+            return tr.traced[-1]       # post-order: the root is last
         except HaltError as e:
             if "in-circuit" in str(e) or attempt == attempts - 1:
                 raise

@@ -181,41 +181,112 @@ class Authorization:
 
 def authorize(stack: Stack, private_key, function_name: str, inputs,
               input_types, rng) -> Authorization:
-    """Process::authorize (process/src/authorize.rs:21): sign the request
-    and run the call tree in CallStack::AUTHORIZE mode (console only) to
-    materialize the transitions without proving."""
+    """Process::authorize (process/src/authorize.rs:21): sign the root
+    request and run the call tree in CallStack::AUTHORIZE mode (console
+    only) — every external function call signs a CHILD request into the
+    authorization (pre-order), one wire transition each."""
     request = Request.sign(private_key, stack.program.id, function_name,
                            list(inputs), input_types, rng)
     auth = Authorization([request], [input_types])
     signer = request.signer
+    authctx = {"auth": auth, "private_key": private_key, "rng": rng,
+               "root_tvk": request.tvk}
     stack.evaluate_function(function_name, list(request.inputs),
-                            signer=signer, caller=signer, tvk=request.tvk)
+                            signer=signer, caller=signer, tvk=request.tvk,
+                            authctx=authctx)
     return auth
+
+
+def call_tree_order(process_or_stacks, auth: Authorization):
+    """Post-order (request_index, parent_request_index|None) pairs for
+    the authorization's PRE-ORDER request queue, derived from the static
+    call structure of each function (the verifier reconstructs the same
+    tree from the wire transitions via construct_call_graph)."""
+    stacks = getattr(process_or_stacks, "stacks", process_or_stacks)
+    pos = {"i": 0}
+    order = []
+
+    def visit(parent_idx):
+        i = pos["i"]
+        pos["i"] += 1
+        req = auth.requests[i]
+        stack = stacks[req.program_id]
+        fn = stack.program.functions[req.function_name]
+        for inst in fn.instructions:
+            if inst.opcode != "call":
+                continue
+            callee = inst.operands[0]
+            pid, fname = (callee.split("/", 1) if "/" in callee
+                          else (req.program_id, callee))
+            sub = stacks.get(pid)
+            if sub is not None and fname in sub.program.functions:
+                visit(i)
+        order.append((i, parent_idx))
+        return i
+
+    visit(None)
+    if pos["i"] != len(auth.requests):
+        raise HaltError("authorization request count does not match the "
+                        "static call structure")
+    return order
 
 
 def execute_authorization(stack: Stack, auth: Authorization,
                           verify_in_circuit: bool = True) -> "Trace":
     """Process::execute (process/src/execute.rs:21): replay the
-    authorization's requests through dual execution (CallStack::EXECUTE),
-    accumulating a Trace ready for prove_execution."""
+    authorization's call tree through dual execution (CallStack::EXECUTE).
+    The PRE-ORDER request queue is consumed recursively: when a parent's
+    `call` instruction fires in the circuit, the next queued request runs
+    as its own transition FIRST (post-order trace insertion, like the
+    reference's Execution ordering), then the call-site gadget binds the
+    child's tcm/input ids/output ids as public inputs of the parent."""
     trace = Trace()
-    for request, types in zip(auth.requests, auth.input_types):
-        tt = execute_function(stack, request, types,
-                              verify_in_circuit=verify_in_circuit)
+    queue = list(zip(auth.requests, auth.input_types))
+    stacks = dict(getattr(stack, "external", {}) or {})
+    stacks[stack.program.id] = stack
+    pos = {"i": 0}
+    root_tvk = auth.requests[0].tvk
+
+    def run_next(parent_pid):
+        if pos["i"] >= len(queue):
+            raise HaltError("call site has no matching authorized request")
+        req, types = queue[pos["i"]]
+        pos["i"] += 1
+        sub = stacks.get(req.program_id)
+        if sub is None:
+            raise HaltError(f"program {req.program_id} not in scope")
+        tt = execute_function(sub, req, types,
+                              verify_in_circuit=verify_in_circuit,
+                              is_root=(parent_pid is None),
+                              parent_pid=parent_pid,
+                              root_tvk=root_tvk,
+                              call_runner=run_next)
         auth.transitions.append(tt.transition)
         trace.insert(tt)
+        return tt, req, types
+
+    run_next(None)
+    if pos["i"] != len(queue):
+        raise HaltError("authorization carries unconsumed requests")
     return trace
 
 
 def execute_function(stack: Stack, request: Request, input_types,
-                     verify_in_circuit: bool = False):
+                     verify_in_circuit: bool = False, is_root: bool = True,
+                     parent_pid: str | None = None,
+                     root_tvk: int | None = None, call_runner=None):
     """Stack::execute_function analog: dual-execute with request context.
     With verify_in_circuit=True the full Request::verify gadget runs inside
     the transition circuit (stack/execute.rs:225-238 A::assert(request.verify)).
-    Returns a TracedTransition."""
-    if not request.verify(input_types):
+    parent_pid/is_root/root_tvk: call-tree position (child transitions
+    verify with is_root=0 and parent = calling program's address);
+    call_runner: consumes the next authorized child request at a `call`
+    site (execute_authorization's recursive driver). Returns a
+    TracedTransition."""
+    if not request.verify(input_types, is_root=is_root):
         raise HaltError("invalid request")
     dual = DualStack(stack)
+    dual.call_runner = call_runner
     builder = CircuitBuilder()
     inputs = [inp if isinstance(inp, (Plaintext, Literal)) else inp for inp in request.inputs]
     fn = stack.program.functions.get(request.function_name)
@@ -293,8 +364,11 @@ def execute_function(stack: Stack, request: Request, input_types,
             g = inject_literal(lit)
             typed_gadgets.append(g)
             input_field_gadgets.append(plaintext_fields_gadget(builder, g, t))
+        parent_addr = (N.program_address(parent_pid)
+                       if parent_pid is not None else None)
         ctx = verify_request_gadget(builder, request, input_types,
-                                    input_field_gadgets)
+                                    input_field_gadgets, is_root=is_root,
+                                    parent=parent_addr, root_tvk=root_tvk)
         tcm_g, tvk_g = ctx.tcm, ctx.tvk
         dual_outputs, _ = dual.execute_function(
             request.function_name, inputs, builder=builder,
@@ -434,15 +508,35 @@ def verify_execution(srs, proof, ordered_vks, mode=None) -> bool:
     return varuna.verify_batch(srs, keys_to_inputs, proof, mode)
 
 
+def _input_verifier_inputs(t):
+    """Per-input public fields: record -> (serial_number, tag); else the
+    id hash (transition/input/mod.rs:104 verifier_inputs)."""
+    out = []
+    input_tags = getattr(t, "input_tags", None) or [None] * len(t.inputs)
+    for (kind, v), tag in zip(t.inputs, input_tags):
+        if kind == "record":
+            if tag is None:
+                raise ValueError("record input carries no tag")
+            out += [v % R, tag % R]
+        else:
+            out.append(v % R)
+    return out
+
+
 def transition_public_inputs(t, is_root: bool = True,
-                             parent: tuple | None = None) -> list:
+                             parent: tuple | None = None,
+                             children=()) -> list:
     """Reconstruct the full protocol circuit's public-input vector from a
     wire Transition — the reference's verifier-side derivation
-    (process/src/verify_execution.rs:22: inputs are built from each
-    transition's tpk/tcm/scm + input/output IDs, NEVER taken from the
-    prover). Layout matches verify_request_gadget + from_outputs_gadget:
+    (process/src/verify_execution.rs:164 to_transition_verifier_inputs:
+    inputs are built from each transition's tpk/tcm/scm + input/output
+    IDs, NEVER taken from the prover). Layout matches
+    verify_request_gadget + the call-site gadget + from_outputs_gadget:
       [1, tpk.x, tpk.y, tcm, scm, input_ids..., is_root, parent.x,
-       parent.y, output_ids...]
+       parent.y, (per child: tcm, input_ids..., output_ids...),
+       output_ids...]
+    `children`: this transition's direct callees (wire Transitions, call
+    order) from the reconstructed call graph.
     """
     if t.tpk is None:
         raise ValueError(f"transition {t.program_id}/{t.function_name} "
@@ -450,16 +544,14 @@ def transition_public_inputs(t, is_root: bool = True,
     if parent is None:
         parent = N.program_address(t.program_id)
     pubs = [1, t.tpk[0] % R, t.tpk[1] % R, t.tcm % R, t.scm % R]
-    input_tags = getattr(t, "input_tags", None) or [None] * len(t.inputs)
-    for (kind, v), tag in zip(t.inputs, input_tags):
-        if kind == "record":
-            # Input::Record contributes (serial_number, tag)
-            if tag is None:
-                raise ValueError("record input carries no tag")
-            pubs += [v % R, tag % R]
-        else:
-            pubs.append(v % R)
+    pubs += _input_verifier_inputs(t)
     pubs += [1 if is_root else 0, parent[0] % R, parent[1] % R]
+    for c in children:
+        # verify_execution.rs:192-203: child tcm + input IDs + output IDs
+        # (ONE id per output — record children contribute the commitment)
+        pubs.append(c.tcm % R)
+        pubs += _input_verifier_inputs(c)
+        pubs += [v % R for _kind, v in c.outputs]
     checksums = {com % R: cks % R
                  for com, cks, _ in getattr(t, "output_records", None) or []}
     for kind, v in t.outputs:
@@ -473,9 +565,77 @@ def transition_public_inputs(t, is_root: bool = True,
     return pubs
 
 
+def construct_call_graph(process, transitions):
+    """Process::construct_call_graph (verify_execution.rs:237): rebuild
+    parent->children links from the POST-ORDER wire transitions and each
+    function's static call structure. Returns {index: [child indices]}.
+    Raises ValueError if the transitions do not form a valid call tree."""
+    stacks = getattr(process, "stacks", process)
+    counter = [0]
+    graph = {}
+    uid_to_idx = {}
+    frames = []          # [{uid, pid, fname, idx, children(uids)|None}]
+
+    def new_meta(pid, fname, idx):
+        m = {"uid": counter[0], "pid": pid, "fname": fname, "idx": idx,
+             "children": None}
+        counter[0] += 1
+        return m
+
+    def complete(m):
+        return m["idx"] is not None and m["children"] is not None
+
+    def flush(m):
+        try:
+            graph[m["idx"]] = [uid_to_idx[u] for u in m["children"]]
+        except KeyError:
+            raise ValueError("invalid call-graph traversal (missing child)")
+        uid_to_idx[m["uid"]] = m["idx"]
+
+    for ti in range(len(transitions) - 1, -1, -1):
+        t = transitions[ti]
+        if not frames:
+            frames.append(new_meta(t.program_id, t.function_name, ti))
+        else:
+            head = frames[-1]
+            if head["pid"] == t.program_id and \
+                    head["fname"] == t.function_name:
+                head["idx"] = ti
+            else:
+                raise ValueError("unexpected transition in the execution")
+        top = frames[-1]
+        if complete(top):
+            flush(frames.pop())
+        else:
+            stack = stacks.get(top["pid"])
+            if stack is None:
+                raise ValueError(f"program {top['pid']} not in scope")
+            fn = stack.program.functions.get(top["fname"])
+            if fn is None:
+                raise ValueError(f"no function {top['fname']}")
+            children = []
+            for inst in fn.instructions:
+                if inst.opcode != "call":
+                    continue
+                callee = inst.operands[0]
+                pid, fname = (callee.split("/", 1) if "/" in callee
+                              else (top["pid"], callee))
+                sub = stacks.get(pid)
+                if sub is not None and fname in sub.program.functions:
+                    children.append(new_meta(pid, fname, None))
+            top["children"] = [c["uid"] for c in children]
+            frames.extend(children)
+        while frames and complete(frames[-1]):
+            flush(frames.pop())
+    if frames or counter[0] != len(transitions):
+        raise ValueError("invalid call-graph traversal")
+    return graph
+
+
 def verify_execution_transitions(srs, transitions, vk_resolver, proof,
                                  mode=varuna.VarunaNonHidingMode,
-                                 global_state_root: int | None = None) -> bool:
+                                 global_state_root: int | None = None,
+                                 process=None) -> bool:
     """Process::verify_execution analog (verify_execution.rs:22): group
     the transitions per function, resolve each function's TRUSTED
     verifying key via vk_resolver(fkey) (deployment store / locally
@@ -485,6 +645,18 @@ def verify_execution_transitions(srs, transitions, vk_resolver, proof,
     publics [1, global_state_root, serial_number] (trace/mod.rs:260;
     inclusion_gadget.ledger_inclusion_assignment layout). Raises
     ValueError on structural problems; returns the batch-verify outcome."""
+    # call-tree reconstruction: which transitions are children, of whom
+    # (with no process the transitions must all be roots with no calls)
+    if process is not None:
+        call_graph = construct_call_graph(process, transitions)
+    else:
+        call_graph = {i: [] for i in range(len(transitions))}
+    parent_pid = {}
+    for i, childs in call_graph.items():
+        for c in childs:
+            parent_pid[c] = transitions[i].program_id
+    t_index = {id(t): i for i, t in enumerate(transitions)}
+
     groups = {}
     inclusion_publics = []
     for t in transitions:
@@ -500,7 +672,16 @@ def verify_execution_transitions(srs, transitions, vk_resolver, proof,
         vk = vk_resolver(fkey)
         if vk is None:
             raise ValueError(f"no verifying key for {fkey[0]}/{fkey[1]}")
-        entries.append((vk, [transition_public_inputs(t) for t in ts]))
+        pubs = []
+        for t in ts:
+            i = t_index[id(t)]
+            is_root = i not in parent_pid
+            parent = (N.program_address(parent_pid[i])
+                      if not is_root else None)
+            children = [transitions[c] for c in call_graph.get(i, [])]
+            pubs.append(transition_public_inputs(
+                t, is_root=is_root, parent=parent, children=children))
+        entries.append((vk, pubs))
     if inclusion_publics:
         vk = vk_resolver(INCLUSION_KEY)
         if vk is None:

@@ -20,11 +20,16 @@ LITERAL_TYPES = set(INT_WIDTHS) | {"field", "group", "scalar", "boolean", "addre
 
 
 class Registers:
-    def __init__(self, signer=None, caller=None, tvk=None):
+    def __init__(self, signer=None, caller=None, tvk=None, authctx=None):
         self.regs = {}
         self.signer = signer
         self.caller = caller
         self.tvk = tvk
+        # CallStack::Authorize context (process/src/stack/call/mod.rs:230):
+        # {"auth": Authorization, "private_key", "rng", "root_tvk"} — set
+        # only while authorizing; external function calls sign CHILD
+        # requests into the authorization instead of evaluating anonymously
+        self.authctx = authctx
 
     def store(self, dest: str, value):
         assert dest.startswith("r")
@@ -203,16 +208,17 @@ class Stack:
             _validate_program(program, self.external)
 
     def evaluate_function(self, name: str, inputs, signer=None, caller=None,
-                          tvk=None):
+                          tvk=None, authctx=None):
         """Run a function (or closure) on console values; returns output list.
         tvk: the request's transition view key — record casts derive output
-        nonces from it (cast.rs:317)."""
+        nonces from it (cast.rs:317). authctx: authorize-mode context (child
+        requests get signed into the authorization at external call sites)."""
         fn = self.program.functions.get(name) or self.program.closures.get(name)
         if fn is None:
             raise HaltError(f"no function {name}")
         if len(inputs) != len(fn.inputs):
             raise HaltError("input arity mismatch")
-        regs = Registers(signer=signer, caller=caller, tvk=tvk)
+        regs = Registers(signer=signer, caller=caller, tvk=tvk, authctx=authctx)
         for finput, value in zip(fn.inputs, inputs):
             value = self._check_input_type(finput.value_type, value)
             regs.store(finput.register, value)
@@ -350,7 +356,10 @@ class Stack:
         if op == "call":
             # stack/call/mod.rs:49 — closures inherit the current caller;
             # external functions run with caller = calling program's address
-            # (ProgramID::to_address), signer preserved.
+            # (ProgramID::to_address), signer preserved. In authorize mode
+            # (regs.authctx) each external FUNCTION call signs a CHILD
+            # request into the authorization (CallStack::Authorize,
+            # call/mod.rs:230) — one transition per call on the wire.
             callee = inst.operands[0]
             args = [regs.load(o) for o in inst.operands[1:]]
             if "/" in callee:
@@ -358,14 +367,32 @@ class Stack:
                 sub = self.external.get(pid)
                 if sub is None:
                     raise HaltError(f"external program {pid} not found")
-                if fname in sub.program.closures:
-                    results = sub.evaluate_function(fname, args, regs.signer, regs.caller)
-                else:
-                    from ..console import network as _N
-                    results = sub.evaluate_function(
-                        fname, args, regs.signer, _N.program_address(self.program.id))
             else:
-                results = self.evaluate_function(callee, args, regs.signer, regs.caller)
+                pid, fname, sub = self.program.id, callee, self
+            if fname in sub.program.closures:
+                results = sub.evaluate_function(fname, args, regs.signer,
+                                                regs.caller, authctx=regs.authctx)
+            elif fname in sub.program.functions:
+                from ..console import network as _N
+                parent_addr = _N.program_address(self.program.id)
+                if regs.authctx is not None:
+                    from ..console.request import Request
+                    actx = regs.authctx
+                    types = fn_input_types(sub.program.functions[fname])
+                    vals = [_sign_value(a) for a in args]
+                    child = Request.sign(
+                        actx["private_key"], pid, fname, vals, types,
+                        actx["rng"], root_tvk=actx["root_tvk"],
+                        is_root=False)
+                    actx["auth"].push(child, types)
+                    results = sub.evaluate_function(
+                        fname, list(child.inputs), child.signer,
+                        parent_addr, tvk=child.tvk, authctx=actx)
+                else:
+                    results = sub.evaluate_function(
+                        fname, args, regs.signer, parent_addr, tvk=regs.tvk)
+            else:
+                raise HaltError(f"no function or closure {fname} in {pid}")
             for dest, res in zip(inst.destinations, results):
                 regs.store(dest, res)
             return
@@ -378,6 +405,55 @@ class Stack:
             regs.store(inst.destinations[0], future)
             return
         raise HaltError(f"unknown opcode {op}")
+
+
+def fn_input_types(fn):
+    """[(visibility, type_name)] for a function declaration — the
+    Request.sign input_types shape. Records map to ('record', name);
+    another program's records to ('external_record', name)."""
+    out = []
+    for fi in fn.inputs:
+        vt = fi.value_type
+        if vt.endswith(".record"):
+            base = vt[: -len(".record")]
+            if "/" in base:
+                out.append(("external_record", base.split("/", 1)[1]))
+            else:
+                out.append(("record", base))
+        else:
+            base, vis = vt.rsplit(".", 1)
+            out.append((vis, base))
+    return out
+
+
+def fn_output_types(fn):
+    """[(visibility, type_name)] for a function's outputs (the
+    Response.new output_types shape)."""
+    out = []
+    for fo in fn.outputs:
+        vt = fo.value_type
+        if vt.endswith(".record"):
+            base = vt[: -len(".record")]
+            if "/" in base:
+                out.append(("external_record", base.split("/", 1)[1]))
+            else:
+                out.append(("record", base))
+        elif vt.endswith(".future"):
+            out.append(("future", vt[: -len(".future")]))
+        else:
+            base, vis = vt.rsplit(".", 1)
+            out.append((vis, base))
+    return out
+
+
+def _sign_value(v):
+    """Call operand -> the Plaintext/Record shape Request.sign expects."""
+    from ..console.record import Record
+    if isinstance(v, (Record, Plaintext)):
+        return v
+    if isinstance(v, Literal):
+        return Plaintext("literal", v)
+    raise HaltError(f"cannot sign call operand of type {type(v).__name__}")
 
 
 def _as_literal(v):

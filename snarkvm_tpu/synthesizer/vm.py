@@ -138,8 +138,6 @@ class VM:
         inputs = [parse_one(i, fi.value_type)
                   for i, fi in zip(inputs, fn_decl.inputs)]
         inputs = [Plaintext("literal", i) if isinstance(i, Literal) else i for i in inputs]
-        req = Request.sign(private_key, program_id, function_name, inputs, input_types, self.rng)
-        signer = req.signer
         # input records must exist on chain and be unspent (the reference
         # fails in Trace::prepare with "Commitment ... does not exist")
         for inp, fi in zip(inputs, fn_decl.inputs):
@@ -148,50 +146,35 @@ class VM:
                 com = inp.to_commitment(program_id, rtype)
                 if com not in self.record_commitments:
                     raise HaltError(f"Commitment '{com}field' does not exist")
-        outs = stack.evaluate_function(function_name, list(inputs),
-                                       signer=signer, caller=signer, tvk=req.tvk)
-        futures = []
-        t_outputs = []
-        output_records = []
-        fn = stack.program.functions[function_name]
-        for i, out in enumerate(outs):
-            if getattr(out, "kind", None) == "future":
-                pid, fname, args = out.value
-                futures.append((pid, fname, args, 0))
-                t_outputs.append(("future", 0))
-            elif isinstance(out, Record):
-                # output record -> commitment + encrypted record + checksum
-                # (response/mod.rs:139-169: randomizer = HashToScalar_psd2
-                # ([tvk, output register locator]), checksum = BHP1024(ct))
-                from ..console import network as N
-                rtype = fn.outputs[i].value_type.split(".")[0]
-                commitment = out.to_commitment(program_id, rtype)
-                locator = int(fn.outputs[i].operand.split(".")[0][1:])
-                randomizer = N.hash_to_scalar_psd(2, [req.tvk, locator])
-                enc = out.encrypt(randomizer)
-                checksum = N.hash_bhp(1024, enc.to_bits_le())
-                output_records.append((commitment, checksum, enc))
-                t_outputs.append(("record", commitment))
-        # transition inputs: records expose (serial_number); others the id hash
-        t_inputs = []
-        for iid in req.input_ids:
-            if iid.kind == "record":
-                t_inputs.append(("record", iid.fields[2]))   # serial number
-            else:
-                f0 = iid.fields[0]
-                t_inputs.append((iid.kind, f0[0] if isinstance(f0, tuple) else f0))
-        transition = Transition(
-            program_id=program_id, function_name=function_name,
-            inputs=t_inputs,
-            outputs=t_outputs,
-            tcm=req.tcm, scm=req.scm,
-        )
-        transition.output_records = output_records
-        tx = Transaction("execute", [transition])
-        futures = [(pid, fname, args, transition.id()) for pid, fname, args, _ in futures]
-        pending = PendingTransaction(tx, futures, outputs=list(outs))
-        pending._proof_jobs = [(stack, req, input_types)]
-        pending._fee_jobs = []
+        # authorize: the root request + one CHILD request per external
+        # function call in the call tree (process/src/authorize.rs:21)
+        auth = E.authorize(stack, private_key, function_name, inputs,
+                           input_types, self.rng)
+        req = auth.requests[0]
+        signer = req.signer
+        # wire transitions in POST-ORDER (children first), like the
+        # reference's Execution (verify_execution.rs construct_call_graph)
+        order = E.call_tree_order(self.process, auth)
+        transitions = []
+        root_outs, root_futs = [], []
+        for i, parent_i in order:
+            r, tps = auth.requests[i], auth.input_types[i]
+            sub = self.process.get_stack(r.program_id)
+            ppid = (auth.requests[parent_i].program_id
+                    if parent_i is not None else None)
+            t, outs_i, futs_i = self._console_transition(sub, r, tps, ppid)
+            transitions.append(t)
+            if parent_i is None:
+                root_outs, root_futs = outs_i, futs_i
+        tx = Transaction("execute", transitions)
+        # only the ROOT transition's futures queue for finalize — child
+        # futures run through the parent's `await` (finalize engine)
+        root_tid = transitions[-1].id()
+        futures = [(pid, fname, args, root_tid)
+                   for pid, fname, args in root_futs]
+        pending = PendingTransaction(tx, futures, outputs=list(root_outs))
+        pending._proof_auths = [(stack, auth)]
+        pending._fee_auths = []
 
         if priority_fee is not None:
             # attach a credits.aleo/fee_public transition covering the
@@ -212,10 +195,57 @@ class VM:
                 tx.transitions.append(fee_pending.transaction.transitions[0])
                 tx.fee_amount = base_fee
                 pending.futures.extend(fee_pending.futures)
-                pending._fee_jobs = list(getattr(fee_pending, "_proof_jobs", []))
+                pending._fee_auths = list(getattr(fee_pending, "_proof_auths", []))
         if self.srs is not None and _prove:
             self.prove_transaction(pending)
         return pending
+
+    def _console_transition(self, stack, req, types, parent_pid=None):
+        """One wire transition from a signed request: console evaluation,
+        output records, finalize futures. Children run with caller = the
+        calling program's address (stack/call/mod.rs:49). Returns
+        (transition, console outputs, futures)."""
+        from ..console.record import Record
+        from ..console import network as N
+        fn = stack.program.functions[req.function_name]
+        caller = (N.program_address(parent_pid) if parent_pid is not None
+                  else req.signer)
+        outs = stack.evaluate_function(req.function_name, list(req.inputs),
+                                       signer=req.signer, caller=caller,
+                                       tvk=req.tvk)
+        futures, t_outputs, output_records = [], [], []
+        for i, out in enumerate(outs):
+            if getattr(out, "kind", None) == "future":
+                pid, fname, args = out.value
+                futures.append((pid, fname, args))
+                t_outputs.append(("future", 0))
+            elif isinstance(out, Record):
+                # output record -> commitment + encrypted record + checksum
+                # (response/mod.rs:139-169: randomizer = HashToScalar_psd2
+                # ([tvk, output register locator]), checksum = BHP1024(ct))
+                rtype = fn.outputs[i].value_type.split(".")[0]
+                commitment = out.to_commitment(req.program_id, rtype)
+                locator = int(fn.outputs[i].operand.split(".")[0][1:])
+                randomizer = N.hash_to_scalar_psd(2, [req.tvk, locator])
+                enc = out.encrypt(randomizer)
+                checksum = N.hash_bhp(1024, enc.to_bits_le())
+                output_records.append((commitment, checksum, enc))
+                t_outputs.append(("record", commitment))
+        t_inputs = []
+        for iid in req.input_ids:
+            if iid.kind == "record":
+                t_inputs.append(("record", iid.fields[2]))   # serial number
+            else:
+                f0 = iid.fields[0]
+                t_inputs.append((iid.kind,
+                                 f0[0] if isinstance(f0, tuple) else f0))
+        transition = Transition(
+            program_id=req.program_id, function_name=req.function_name,
+            inputs=t_inputs, outputs=t_outputs,
+            tcm=req.tcm, scm=req.scm,
+        )
+        transition.output_records = output_records
+        return transition, outs, futures
 
     def prove_transaction(self, pending: "PendingTransaction") -> None:
         """Trace::prove_execution + Trace::prove_fee (trace/mod.rs:151,179):
@@ -229,15 +259,18 @@ class VM:
         old_ids = {id(t): t.id() for t in tx.transitions}
 
         def _prove_jobs(jobs):
+            # jobs: [(stack, Authorization)] — each authorization's call
+            # tree replays through the recursive dual-execution driver
             if not jobs:
                 return None
             trace = E.Trace()
             tts = []
-            for stack, req, types in jobs:
-                tt = E.execute_function(stack, req, types,
-                                        verify_in_circuit=True)
-                trace.insert(tt)
-                tts.append(tt)
+            for stack, auth in jobs:
+                tr = E.execute_authorization(stack, auth,
+                                             verify_in_circuit=True)
+                for tt in tr.traced:
+                    trace.insert(tt)
+                    tts.append(tt)
             if trace.inclusion_tasks:
                 if self.query is None:
                     raise HaltError("record inputs require a ledger Query "
@@ -256,7 +289,7 @@ class VM:
                         t.output_records = getattr(src, "output_records", [])
             return proof
 
-        tx.proof = _prove_jobs(getattr(pending, "_proof_jobs", []))
+        tx.proof = _prove_jobs(getattr(pending, "_proof_auths", []))
         deferred = getattr(pending, "_deferred_fee", None)
         if deferred is not None:
             # body transition ids are final now — sign the fee over the
@@ -270,9 +303,9 @@ class VM:
             old_ids[id(fee_t)] = fee_t.id()
             tx.fee_amount = base_fee
             pending.futures.extend(fee_pending.futures)
-            pending._fee_jobs = list(getattr(fee_pending, "_proof_jobs", []))
+            pending._fee_auths = list(getattr(fee_pending, "_proof_auths", []))
             pending._deferred_fee = None
-        tx.fee_proof = _prove_jobs(getattr(pending, "_fee_jobs", []))
+        tx.fee_proof = _prove_jobs(getattr(pending, "_fee_auths", []))
         # transition ids changed (outputs now carry in-circuit IDs):
         # remap the finalize futures' transition-id column
         id_map = {old_ids[id(t)]: t.id() for t in tx.transitions}
@@ -329,7 +362,8 @@ class VM:
                 raise ValueError("execute transaction carries no proof")
             if not E2.verify_execution_transitions(
                     self.srs, body, self._function_vk, tx.proof,
-                    global_state_root=tx.global_state_root):
+                    global_state_root=tx.global_state_root,
+                    process=self.process):
                 raise ValueError("invalid execution proof")
         if fee_ts:
             if tx.fee_proof is None:
@@ -408,7 +442,7 @@ class VM:
             tx.transitions.append(fee_pending.transaction.transitions[0])
             tx.fee_amount = base_fee
             pending.futures.extend(fee_pending.futures)
-            pending._fee_jobs = list(getattr(fee_pending, "_proof_jobs", []))
+            pending._fee_auths = list(getattr(fee_pending, "_proof_auths", []))
             if self.srs is not None:
                 self.prove_transaction(pending)
         return pending
