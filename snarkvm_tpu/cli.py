@@ -135,48 +135,57 @@ def cmd_run(args):
 
 
 def cmd_execute(args):
-    """vm/cli/commands/execute.rs analog: sign a request with a burner
-    key, run the FULL transition circuit (in-circuit Request::verify +
-    body + Response::from_outputs), batch-prove, and verify the proof
-    the way the chain would — against an INDEPENDENTLY re-synthesized
-    verifying key with public inputs reconstructed from the wire
-    transition (verify_execution.rs)."""
+    """vm/cli/commands/execute.rs analog: build a COMPLETE execute
+    transaction — body transitions (incl. cross-program call trees)
+    proven with the full protocol circuit, plus a credits.aleo/fee_public
+    transition bound to the execution id — verify it the way the chain
+    would (VM.check_transaction: batched Varuna verify + fee binding +
+    cost), and emit the wire bytes (--out FILE)."""
     from .polycommit import kzg
-    from .snark import varuna
     from .console import account
-    from .console.request import Request
-    from .console.types import literal_to_str
-    from .synthesizer import execute as E
-    from .synthesizer import deploy as D
-    from .synthesizer.process import parse_plaintext_str
+    from .console.types import literal_to_str, Plaintext, literal_from_str
+    from .synthesizer.vm import VM
+    from .synthesizer.process import fn_input_types
+    from .synthesizer.finalize import _key_of
+    from .formats.tx_bridge import wire_execute_transaction
+    from .utils.encoding import bech32m_encode
 
-    path, text, stack = _load_package(args)
+    path, text, stack0 = _load_package(args)
     rng = random.Random()
     sk = account.PrivateKey.new(rng)
-    fn = stack.program.functions[args.function]
-    types = [(fi.value_type.split(".")[-1], fi.value_type.split(".")[0])
-             for fi in fn.inputs]
-    from .console.types import Plaintext, Literal
-    inputs = [parse_plaintext_str(i) for i in args.inputs]
-    inputs = [Plaintext("literal", i) if isinstance(i, Literal) else i
-              for i in inputs]
-    req = Request.sign(sk, stack.program.id, args.function, inputs, types, rng)
-    tt = E.execute_function(stack, req, types, verify_in_circuit=True)
-    circ = varuna.index(tt.builder.to_synthesizer(), varuna.VarunaNonHidingMode)
-    need = circ.max_degree(varuna.VarunaNonHidingMode) + 2
-    srs = kzg.test_srs(1 << (need - 1).bit_length())
-    trace = E.Trace()
-    trace.insert(tt)
-    proof, _ = trace.prove_execution(srs, rng)
-    # verifier posture: fresh key synthesis, transition-derived publics
-    _pk2, vk2 = D.synthesize_protocol_keys(srs, stack, args.function,
-                                           random.Random(1))
-    ok = E.verify_execution_transitions(srs, [tt.transition],
-                                        lambda _k: vk2, proof)
-    print(f"✅ Executed '{stack.program.id}/{args.function}' with a Varuna proof "
-          f"(verified: {ok}):")
-    for i, out in enumerate(tt.transition.output_values):
-        print(f"  • output #{i}: {literal_to_str(out)}")
+    # dev SRS: large enough for the fee circuit (~2^14 constraints,
+    # nz ~2^16) and typical package functions
+    srs = kzg.test_srs(1 << 17)
+    vm = VM(rng, srs=srs)
+    if stack0.program.id != "credits.aleo":
+        vm.process.deploy(text)
+    stack = vm.process.get_stack(stack0.program.id)
+    # fund the burner on the dev chain so the fee can be paid
+    addr_str = bech32m_encode(
+        "aleo", sk.to_address()[0].to_bytes(32, "little"))
+    vm.store.mapping("credits.aleo", "account").insert(
+        _key_of(literal_from_str(addr_str)),
+        Plaintext.literal("u64", 1_000_000_000))
+    types = fn_input_types(stack.program.functions[args.function])
+    pending = vm.execute(sk, stack.program.id, args.function,
+                         list(args.inputs), types, priority_fee=0)
+    tx = pending.transaction
+    # chain-side validation: proofs, fee<->execution binding, cost
+    vm.check_transaction(pending)
+    blob = wire_execute_transaction(tx)
+    out_path = getattr(args, "out", None)
+    if out_path:
+        with open(out_path, "wb") as f:
+            f.write(blob)
+    print(f"✅ Executed '{stack.program.id}/{args.function}' — transaction "
+          f"{tx.id() % (1 << 64):#x}… ({len(tx.transitions)} transition(s), "
+          f"fee {tx.fee_amount} µcredits, {len(blob)} wire bytes"
+          f"{', written to ' + out_path if out_path else ''}):")
+    for i, out in enumerate(pending.outputs):
+        try:
+            print(f"  • output #{i}: {literal_to_str(out)}")
+        except Exception:
+            print(f"  • output #{i}: {out}")
 
 
 def cmd_clean(args):
@@ -222,6 +231,9 @@ def main(argv=None):
         p.add_argument("function")
         p.add_argument("inputs", nargs="*")
         p.add_argument("--path", default=".")
+        if name == "execute":
+            p.add_argument("--out", default=None,
+                           help="write the wire-format transaction bytes")
         p.set_defaults(fn=fn)
 
     p = sub.add_parser("update")

@@ -69,14 +69,23 @@ def ratifications_root(ratifies) -> int:
 class Ledger:
     def __init__(self, validator_keys, rng, public_balances=None,
                  store_path: str | None = None, _resume: bool = False,
-                 srs=None):
+                 srs="dev"):
         """validator_keys: >=3 console PrivateKeys forming the genesis
         committee (each bonded at MIN_VALIDATOR_STAKE). store_path: SQLite
         file for the persistent finalize + block stores. Use Ledger.load
         to resume from an existing store (SURVEY §5.4: the ledger IS the
-        checkpoint). srs: when given, the VM is proof-carrying and
-        check_next_block re-verifies every transaction's Varuna proofs
-        (check_next_block.rs → VM::check_transactions)."""
+        checkpoint).
+
+        srs: the proof posture. DEFAULT 'dev' is PROOF-CARRYING (the
+        reference has no proof-less mode, vm/verify.rs:70): a
+        process-cached dev SRS is built lazily and check_next_block
+        re-verifies every transaction's Varuna proofs
+        (check_next_block.rs -> VM::check_transactions). Pass a real
+        UniversalSRS/LoadedSRS for production parameters, or srs=None to
+        EXPLICITLY opt out (unit-test/dev-only shortcut)."""
+        if srs == "dev":
+            from ..polycommit import kzg
+            srs = kzg.dev_srs()
         self.vm = VM(rng, store_path=store_path, srs=srs)
         from .query import Query
         self.vm.query = Query(self)
@@ -541,13 +550,13 @@ class Ledger:
 
     @classmethod
     def load(cls, validator_keys, rng, store_path: str,
-             public_balances=None) -> "Ledger":
+             public_balances=None, srs="dev") -> "Ledger":
         """Ledger::load (ledger/src/lib.rs:113): rebuild the in-memory
         caches from the persisted store + genesis. Finalize state comes
         straight from the SQLite store; blocks replay only their cache
         bookkeeping."""
         led = cls(validator_keys, rng, public_balances=public_balances,
-                  store_path=store_path, _resume=True)
+                  store_path=store_path, _resume=True, srs=srs)
         want = led.block_store.get_meta("committee")
         if want is not None and want != led._committee_digest():
             raise ValueError("stored genesis committee does not match")

@@ -31,7 +31,7 @@ def sample_genesis_ledger(rng=None, balance: int = 1_000_000_000):
     from .ledger import Ledger
     rng = rng or sample_rng()
     keys = sample_keys(4, rng)
-    led = Ledger(keys, rng, public_balances={addr_str(keys[0]): balance})
+    led = Ledger(keys, rng, public_balances={addr_str(keys[0]): balance}, srs=None)
     led._keys = keys
     return led, keys
 

@@ -199,6 +199,18 @@ def test_srs(max_degree: int) -> UniversalSRS:
     return UniversalSRS(max_degree)
 
 
+_DEV_SRS = {}
+
+
+def dev_srs(max_degree: int = 1 << 17) -> UniversalSRS:
+    """Process-cached dev SRS — the default proof-carrying posture's
+    universal parameters (VM/Ledger srs='dev'). 2^17 covers the
+    credits.aleo fee circuit and typical package functions."""
+    if max_degree not in _DEV_SRS:
+        _DEV_SRS[max_degree] = UniversalSRS(max_degree)
+    return _DEV_SRS[max_degree]
+
+
 class LoadedSRS:
     """UniversalSRS backed by on-disk .usrs artifacts — no beta/gamma known,
     only the group elements (the trusted-setup consumption path,

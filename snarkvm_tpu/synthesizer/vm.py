@@ -138,6 +138,11 @@ class VM:
         inputs = [parse_one(i, fi.value_type)
                   for i, fi in zip(inputs, fn_decl.inputs)]
         inputs = [Plaintext("literal", i) if isinstance(i, Literal) else i for i in inputs]
+        # authorize: the root request + one CHILD request per external
+        # function call in the call tree (process/src/authorize.rs:21);
+        # record-ownership violations halt here, at signing
+        auth = E.authorize(stack, private_key, function_name, inputs,
+                           input_types, self.rng)
         # input records must exist on chain and be unspent (the reference
         # fails in Trace::prepare with "Commitment ... does not exist")
         for inp, fi in zip(inputs, fn_decl.inputs):
@@ -146,10 +151,6 @@ class VM:
                 com = inp.to_commitment(program_id, rtype)
                 if com not in self.record_commitments:
                     raise HaltError(f"Commitment '{com}field' does not exist")
-        # authorize: the root request + one CHILD request per external
-        # function call in the call tree (process/src/authorize.rs:21)
-        auth = E.authorize(stack, private_key, function_name, inputs,
-                           input_types, self.rng)
         req = auth.requests[0]
         signer = req.signer
         # wire transitions in POST-ORDER (children first), like the
@@ -180,15 +181,15 @@ class VM:
             # attach a credits.aleo/fee_public transition covering the
             # execution cost (vm/execute.rs:execute_fee_raw shape)
             from . import cost as C
-            base_fee, _ = C.execution_cost(self.process, tx.transitions)
             if self.srs is not None and _prove:
-                # the fee must sign the FINAL execution id — proving grafts
-                # in-circuit output IDs onto the body transitions, changing
-                # their ids — so it is built inside prove_transaction after
-                # the body proof lands (vm/execute.rs fee-after-execution
-                # ordering)
-                pending._deferred_fee = (private_key, base_fee, priority_fee)
+                # the fee must sign the FINAL execution id AND cover the
+                # FINAL cost — proving grafts in-circuit output IDs onto
+                # the body transitions (changing ids and wire size) — so
+                # it is built inside prove_transaction after the body
+                # proof lands (vm/execute.rs fee-after-execution ordering)
+                pending._deferred_fee = (private_key, None, priority_fee)
             else:
+                base_fee, _ = C.execution_cost(self.process, tx.transitions)
                 fee_pending = self._fee_public(private_key, base_fee,
                                                priority_fee,
                                                execution_id(tx.transitions))
@@ -296,6 +297,9 @@ class VM:
             # real execution id (verify_fee.rs binds
             # deployment_or_execution_id to the execution it pays for)
             pk_, base_fee, priority_fee = deferred
+            if base_fee is None:
+                from . import cost as C
+                base_fee, _ = C.execution_cost(self.process, tx.transitions)
             fee_pending = self._fee_public(pk_, base_fee, priority_fee,
                                            execution_id(tx.transitions))
             fee_t = fee_pending.transaction.transitions[0]

@@ -25,7 +25,7 @@ def test_resume_restores_chain_and_balances(tmp_path, keys):
     path = str(tmp_path / "ledger.db")
     alice, bob = ks[0], ks[1]
     led = Ledger(ks, rng, public_balances={_addr(alice): 1_000_000},
-                 store_path=path)
+                 store_path=path, srs=None)
     led.vm.process.deploy(
         "program cr.aleo;\nfunction bump:\n    input r0 as u64.public;\n"
         "    add r0 1u64 into r1;\n    output r1 as u64.public;\n")
@@ -46,7 +46,7 @@ def test_resume_restores_chain_and_balances(tmp_path, keys):
         if hasattr(led, "get_public_balance") else None
 
     # resume in a fresh Ledger instance from the same store
-    led2 = Ledger.load(ks, random.Random(1), store_path=path)
+    led2 = Ledger.load(ks, random.Random(1), store_path=path, srs=None)
     assert led2.latest_height == height == 2
     assert led2.latest_state_root == root
     assert led2.latest_block.hash() == hash2
@@ -68,7 +68,7 @@ def test_resume_restores_chain_and_balances(tmp_path, keys):
 def test_resume_rejects_mismatched_genesis(tmp_path, keys):
     ks, rng = keys
     path = str(tmp_path / "ledger.db")
-    Ledger(ks, rng, store_path=path)
+    Ledger(ks, rng, store_path=path, srs=None)
     other = [PrivateKey.from_seed(i + 50) for i in range(3)]
     with pytest.raises(ValueError, match="genesis"):
-        Ledger.load(other, random.Random(2), store_path=path)
+        Ledger.load(other, random.Random(2), store_path=path, srs=None)

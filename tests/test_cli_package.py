@@ -53,3 +53,23 @@ def test_run(package):
     r = _cli(["run", "hello", "3u32", "4u32"], package)
     assert r.returncode == 0, r.stderr
     assert "7u32" in r.stdout
+
+
+def test_execute_full_transaction(package):
+    """`execute` builds a complete fee-carrying transaction, verifies it
+    through VM.check_transaction, and emits wire bytes that round-trip
+    (vm/cli/commands/execute.rs + transaction bytes.rs)."""
+    r = _cli(["execute", "hello", "3u32", "4u32", "--out", "tx.bin"],
+             package)
+    assert r.returncode == 0, r.stderr
+    assert "output #0: 7u32" in r.stdout
+    assert "fee" in r.stdout
+    from snarkvm_tpu.formats.block_io import read_transaction
+    from snarkvm_tpu.formats.io import Reader
+    blob = (package / "tx.bin").read_bytes()
+    tx = read_transaction(Reader(blob))
+    assert tx.variant == 1                       # execute
+    assert len(tx.execution.transitions) == 1
+    assert tx.execution.proof is not None
+    assert tx.fee is not None and tx.fee.proof is not None
+    assert tx.fee.transition.function_name == "fee_public"

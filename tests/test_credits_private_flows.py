@@ -29,7 +29,7 @@ def _amount(rec):
 def env():
     keys = [account.PrivateKey.new(rng) for _ in range(4)]
     alice, bob = keys[0], account.PrivateKey.new(rng)
-    led = Ledger(keys, rng, public_balances={_addr(alice): 10_000_000})
+    led = Ledger(keys, rng, public_balances={_addr(alice): 10_000_000}, srs=None)
     return led, alice, bob
 
 

@@ -37,7 +37,7 @@ def _addr(pk):
 @pytest.fixture(scope="module")
 def ledger():
     keys = [account.PrivateKey.new(rng) for _ in range(4)]
-    led = Ledger(keys, rng)
+    led = Ledger(keys, rng, srs=None)
     led._key = keys[0]
     return led
 

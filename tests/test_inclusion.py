@@ -123,7 +123,7 @@ class TestLedgerInclusion:
         from snarkvm_tpu.utils.encoding import bech32m_encode
         r2 = _r.Random(0xF00)
         keys = [account.PrivateKey.new(r2) for _ in range(4)]
-        led = Ledger(keys, r2)
+        led = Ledger(keys, r2, srs=None)
         led.vm.process.deploy("""program token.aleo;
 
 record token:

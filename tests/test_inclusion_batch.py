@@ -42,7 +42,7 @@ function compute:
 def setup():
     rng = _r.Random(0x1AC)
     keys = [account.PrivateKey.new(rng) for _ in range(4)]
-    led = Ledger(keys, rng)
+    led = Ledger(keys, rng, srs=None)
     led.vm.process.deploy(PROGRAM)
     alice = keys[0]
     addr = bech32m_encode("aleo", alice.to_address()[0].to_bytes(32, "little"))

@@ -20,7 +20,7 @@ def _addr_str(pt):
 def ledger():
     keys = [account.PrivateKey.new(rng) for _ in range(4)]
     funded = _addr_str(keys[0].to_address())
-    led = Ledger(keys, rng, public_balances={funded: 1_000_000_000})
+    led = Ledger(keys, rng, public_balances={funded: 1_000_000_000}, srs=None)
     led._keys = keys
     led._funded = funded
     return led

@@ -59,7 +59,7 @@ class TestHistory:
         from snarkvm_tpu.ledger.ledger import Ledger
         from snarkvm_tpu.console.account import PrivateKey
         keys = [PrivateKey.from_seed(i) for i in range(3)]
-        ledger = Ledger(keys, random.Random(0))
+        ledger = Ledger(keys, random.Random(0), srs=None)
         ledger.history = History(0, base_dir=str(tmp_path))
         block = ledger.prepare_advance_to_next_beacon_block([])
         ledger.advance_to_next_block(block)

@@ -33,7 +33,7 @@ def _addr(pk):
 @pytest.fixture(scope="module")
 def env():
     keys = [account.PrivateKey.new(rng) for _ in range(4)]
-    led = Ledger(keys, rng)
+    led = Ledger(keys, rng, srs=None)
     led.vm.process.deploy(TOKEN)
     p = led.vm.execute(keys[0], "token.aleo", "mint", [_addr(keys[0]), "42u64"],
                        [("private", "address"), ("private", "u64")])

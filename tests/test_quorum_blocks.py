@@ -33,7 +33,7 @@ def _subdag(ledger, anchor_round, ts=None):
 @pytest.fixture(scope="module")
 def ledger():
     keys = [account.PrivateKey.new(rng) for _ in range(4)]
-    return Ledger(keys, rng)
+    return Ledger(keys, rng, srs=None)
 
 
 class TestWeightedMedian:

@@ -42,7 +42,7 @@ def _addr(pk):
 @pytest.fixture(scope="module")
 def env():
     keys = [account.PrivateKey.new(rng) for _ in range(4)]
-    led = Ledger(keys, rng)
+    led = Ledger(keys, rng, srs=None)
     led.vm.process.deploy(TOKEN)
     return led, keys[0]
 

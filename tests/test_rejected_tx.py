@@ -111,7 +111,7 @@ def test_ledger_block_with_rejected_tx():
 
     keys = [account.PrivateKey.new(rng) for _ in range(4)]
     funded = _addr(keys[0])
-    led = Ledger(keys, rng, public_balances={funded: 1_000_000_000})
+    led = Ledger(keys, rng, public_balances={funded: 1_000_000_000}, srs=None)
     alice = keys[0]
     bob = _addr(account.PrivateKey.new(rng))
 

@@ -33,7 +33,7 @@ function mint:
 def ledger_with_record():
     rng = _r.Random(0xE57)
     keys = [account.PrivateKey.new(rng) for _ in range(3)]
-    led = Ledger(keys, rng)
+    led = Ledger(keys, rng, srs=None)
     led.vm.process.deploy(PROGRAM)
     alice = keys[0]
     addr = bech32m_encode("aleo", alice.to_address()[0].to_bytes(32, "little"))

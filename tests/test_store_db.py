@@ -75,7 +75,7 @@ class TestLedgerOnDb:
         keys = [account.PrivateKey.new(rng) for _ in range(4)]
         funded = bech32m_encode("aleo", keys[0].to_address()[0].to_bytes(32, "little"))
         led = Ledger(keys, rng, public_balances={funded: 1_000_000},
-                     store_path=path)
+                     store_path=path, srs=None)
         dest = bech32m_encode("aleo", account.PrivateKey.new(rng).to_address()[0].to_bytes(32, "little"))
         p = led.vm.execute(keys[0], "credits.aleo", "transfer_public",
                            [dest, "77u64"], [("public", "address"), ("public", "u64")])

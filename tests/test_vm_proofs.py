@@ -159,3 +159,21 @@ def test_unknown_state_root_rejected(proven, srs):
     finally:
         t.inputs[:] = saved_inputs
         tx.global_state_root = saved_root
+
+
+def test_default_ledger_is_proof_carrying():
+    """Default-constructed Ledger carries the dev SRS and rejects
+    unproven execute-transactions (the reference has no proof-less mode,
+    vm/verify.rs:70; srs=None is the explicit dev opt-out)."""
+    from snarkvm_tpu.ledger.ledger import Ledger
+    rng = random.Random(17)
+    keys = [account.PrivateKey.new(rng) for _ in range(3)]
+    led = Ledger(keys, rng)              # no srs argument
+    assert led.vm.srs is not None
+    vm_dev = VM(rng)                     # proof-less VM builds the tx
+    vm_dev.process.deploy(PROGRAM)
+    sk = account.PrivateKey.new(rng)
+    p = vm_dev.execute(sk, "proofy.aleo", "double", ["21u32"],
+                       [("private", "u32")])
+    with pytest.raises(ValueError, match="carries no proof"):
+        led.vm._check_transaction_proofs(p.transaction)
