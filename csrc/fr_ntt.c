@@ -253,3 +253,77 @@ void fr_batch_inv(u64 *av, size_t n) {
     free(m);
     free(pref);
 }
+
+/* ---------------------------------------------------------------------------
+ * AHP indexer kernels (round-4): the arithmetization hot loops the
+ * reference runs with rayon over nonzeros (algorithms/src/snark/varuna/
+ * ahp/indexer/{indexer.rs:46, matrices.rs:138}) — domain element powers
+ * and the row/col/row_col/row_col_val evaluation tables.
+ * All i/o canonical 4 x u64 LE words.
+ * ------------------------------------------------------------------------- */
+
+/* out[i] = g^i for i in [0, n) (canonical). */
+void fr_powers(u64 *out, const u64 *g, size_t n) {
+    fr gm, acc;
+    memcpy(&gm, g, sizeof(fr));
+    fr_to_mont(&gm, &gm);
+    fr one; memset(&one, 0, sizeof(fr)); one.v[0] = 1;
+    fr_to_mont(&acc, &one);
+    for (size_t i = 0; i < n; i++) {
+        fr c; fr_from_mont(&c, &acc);
+        memcpy(out + 4 * i, &c, sizeof(fr));
+        fr_mul(&acc, &acc, &gm);
+    }
+}
+
+/* reindex_by_subdomain (fft/domain.rs:322). */
+static size_t reindex_sub(size_t self_size, size_t other_size, size_t idx) {
+    size_t period = self_size / other_size;
+    if (idx < other_size) return idx * period;
+    size_t i = idx - other_size;
+    size_t x = period - 1;
+    return i + (i / x) + 1;
+}
+
+/* matrices.rs:115 — per-nonzero evaluation tables.
+ *   vals:   [nnz][4] canonical matrix values
+ *   rows:   [nnz] constraint row indices
+ *   cols:   [nnz] UN-reindexed column indices
+ *   c_elems: [cd][4] canonical constraint-domain elements
+ *   v_elems: [vd][4] canonical variable-domain elements
+ *   variable_size/input_size: reindex_by_subdomain parameters
+ *   pad_to: non_zero_size; rows beyond nnz pad to (1,1,1,0)
+ * Outputs row_o/col_o/rc_o/rcv_o: [pad_to][4] canonical. */
+void fr_matrix_evals(const u64 *vals, const uint32_t *rows,
+                     const uint32_t *cols, size_t nnz,
+                     const u64 *c_elems, const u64 *v_elems,
+                     size_t variable_size, size_t input_size,
+                     size_t pad_to, u64 *row_o, u64 *col_o, u64 *rc_o,
+                     u64 *rcv_o) {
+    for (size_t i = 0; i < nnz; i++) {
+        fr r, c, v, rc, rcv;
+        memcpy(&r, c_elems + 4 * (size_t)rows[i], sizeof(fr));
+        size_t ci = reindex_sub(variable_size, input_size, (size_t)cols[i]);
+        memcpy(&c, v_elems + 4 * ci, sizeof(fr));
+        memcpy(&v, vals + 4 * i, sizeof(fr));
+        fr rm, cm, vm;
+        fr_to_mont(&rm, &r);
+        fr_to_mont(&cm, &c);
+        fr_to_mont(&vm, &v);
+        fr_mul(&rc, &rm, &cm);            /* r*c (mont) */
+        fr_mul(&rcv, &rc, &vm);           /* r*c*v (mont) */
+        fr rc_c, rcv_c;
+        fr_from_mont(&rc_c, &rc);
+        fr_from_mont(&rcv_c, &rcv);
+        memcpy(row_o + 4 * i, &r, sizeof(fr));
+        memcpy(col_o + 4 * i, &c, sizeof(fr));
+        memcpy(rc_o + 4 * i, &rc_c, sizeof(fr));
+        memcpy(rcv_o + 4 * i, &rcv_c, sizeof(fr));
+    }
+    for (size_t i = nnz; i < pad_to; i++) {
+        memset(row_o + 4 * i, 0, sizeof(fr)); row_o[4 * i] = 1;
+        memset(col_o + 4 * i, 0, sizeof(fr)); col_o[4 * i] = 1;
+        memset(rc_o + 4 * i, 0, sizeof(fr));  rc_o[4 * i] = 1;
+        memset(rcv_o + 4 * i, 0, sizeof(fr));
+    }
+}

@@ -723,6 +723,16 @@ def commit_many_dpoly(srs, kind: str, shift: int, dps):
             f"exceeds SRS degree {srs.max_degree}")
     npad = 1 << (max(dp.n for dp in dps) - 1).bit_length()
     lanes = max(ep.LANE, npad)
+    # the dense multi-set schedule materializes [L, W*npad] u32 planes x3
+    # coords (+temps): at 2^21-lane windows that is ~19GB of HLO temps —
+    # gate it here (cheap ValueError -> caller falls back to per-poly
+    # msm_v2 commits) instead of paying a doomed device compile
+    from .. import ops as _ops  # noqa: F401  (keep import graph explicit)
+    from ..ops.msm import device_window
+    est_w = (253 + device_window(npad) - 1) // device_window(npad)
+    if est_w * lanes > (1 << 24):
+        raise ValueError("grouped dense schedule too large "
+                         f"({est_w}x{lanes} lanes)")
     window = _plane_window(srs, kind, shift, lanes)
     from_mont = jax.jit(lambda a: limb_mod._from_mont(a, limb_mod.FR))
     sls = jnp.stack([from_mont(dp._padded(npad)) for dp in dps])

@@ -50,6 +50,14 @@ def _ints_to_mont(vals) -> jnp.ndarray:
     return _jit_to_mont()(jnp.asarray(arr.astype(np.uint32)))
 
 
+def _np_canonical_to_mont(arr) -> jnp.ndarray:
+    """Canonical [n, 4] u64 numpy plane -> Montgomery limb plane [n, 16]
+    (pure-numpy relimb + the device Montgomery conversion) — the C
+    indexer's bridge onto the device pipeline, no python bigints."""
+    a16 = np.ascontiguousarray(arr).view(np.uint16).reshape(len(arr), 16)
+    return _jit_to_mont()(jnp.asarray(a16.astype(np.uint32)))
+
+
 def _mont_to_ints(a) -> list:
     arr = np.asarray(a).astype(np.uint16)
     data = arr.tobytes()

@@ -88,12 +88,47 @@ def reindex_by_subdomain(self_size: int, other_size: int, index: int) -> int:
     return i + (i // x) + 1
 
 
-@dataclass
 class MatrixEvals:
-    row: list
-    col: list
-    row_col: list
-    row_col_val: list
+    """row/col/row_col/row_col_val evaluations over K (matrices.rs:115).
+    Backed either by int lists or by canonical [n, 4]-u64 numpy planes
+    (the C indexer path, csrc fr_matrix_evals); int-list access converts
+    lazily for the host round paths."""
+
+    __slots__ = ("_lists", "np_planes", "_dev_planes")
+
+    def __init__(self, row=None, col=None, row_col=None, row_col_val=None,
+                 np_planes=None):
+        self._lists = [row, col, row_col, row_col_val]
+        self.np_planes = np_planes
+        self._dev_planes = None
+
+    def _list(self, i):
+        if self._lists[i] is None:
+            from ..utils.native import _unwords4
+            self._lists[i] = _unwords4(self.np_planes[i])
+        return self._lists[i]
+
+    row = property(lambda s: s._list(0))
+    col = property(lambda s: s._list(1))
+    row_col = property(lambda s: s._list(2))
+    row_col_val = property(lambda s: s._list(3))
+
+
+def matrix_np(matrix):
+    """One pass over a sparse matrix -> (vals [nnz,4] u64 canonical,
+    rows [nnz] u32, cols [nnz] u32 UN-reindexed)."""
+    import numpy as np
+    from ..utils import native
+    rows, cols, vals = [], [], []
+    for ri, mrow in enumerate(matrix):
+        for val, ci in mrow:
+            rows.append(ri)
+            cols.append(ci)
+            vals.append(val % R)
+    vals_np = (native._words4(vals) if vals
+               else np.empty((0, 4), np.uint64))
+    return (vals_np, np.asarray(rows, np.uint32),
+            np.asarray(cols, np.uint32))
 
 
 def matrix_evals(matrix, non_zero_size, variable_size, input_size, constraint_elems, variable_elems):
@@ -161,11 +196,23 @@ class Circuit:
         )
 
     def index_polys(self):
-        """12 labeled index polynomials (a,b,c × row,col,row_col,row_col_val)."""
+        """12 labeled index polynomials (a,b,c × row,col,row_col,row_col_val).
+        With C-indexer np planes on a device backend, interpolation runs
+        as device iNTTs into DPolys (no host bigint round trips)."""
         out = []
         for m in "abc":
             ev = self.arith[m]
             nz = self.non_zero_domain(m)
+            names = ("row", "col", "row_col", "row_col_val")
+            if getattr(ev, "np_planes", None) is not None \
+                    and _use_device_poly(nz):
+                from .dpoly import DPoly, _np_canonical_to_mont
+                for name, plane in zip(names, ev.np_planes):
+                    dp = DPoly.from_evaluations(
+                        _np_canonical_to_mont(plane), nz)
+                    out.append(kzg.LabeledPoly(
+                        f"circuit_{self.id}_{name}_{m}", dp))
+                continue
             for name, evals in (("row", ev.row), ("col", ev.col),
                                 ("row_col", ev.row_col), ("row_col_val", ev.row_col_val)):
                 out.append(kzg.LabeledPoly(f"circuit_{self.id}_{name}_{m}", interpolate(evals)))
@@ -191,15 +238,36 @@ def index(cs_builder, mode=VarunaNonHidingMode, zk_randomizers=None) -> Circuit:
     cd = domain_size(info.num_constraints)
     vd = domain_size(info.num_variables)
     idd = domain_size(info.num_public_inputs)
-    c_elems = domain_elements(cd)
-    v_elems = domain_elements(vd)
-    arith = {
-        "a": matrix_evals(a, domain_size(info.num_non_zero_a), vd, idd, c_elems, v_elems),
-        "b": matrix_evals(b, domain_size(info.num_non_zero_b), vd, idd, c_elems, v_elems),
-        "c": matrix_evals(c, domain_size(info.num_non_zero_c), vd, idd, c_elems, v_elems),
-    }
+    from ..utils import native
+    np_mats = None
+    if native.fr_available():
+        # C arithmetization (indexer.rs:46 rayon analog): np planes
+        # end-to-end, no per-entry python bigints
+        c_np = native.fr_powers_np(domain_params(cd)[0], cd)
+        v_np = native.fr_powers_np(domain_params(vd)[0], vd)
+        np_mats, arith = {}, {}
+        for m, M, nnz in (("a", a, info.num_non_zero_a),
+                          ("b", b, info.num_non_zero_b),
+                          ("c", c, info.num_non_zero_c)):
+            vals_np, rows_np, cols_np = matrix_np(M)
+            np_mats[m] = (vals_np, rows_np, cols_np)
+            planes = native.fr_matrix_evals_np(
+                vals_np, rows_np, cols_np, c_np, v_np, vd, idd,
+                domain_size(nnz))
+            arith[m] = MatrixEvals(np_planes=planes)
+    else:
+        c_elems = domain_elements(cd)
+        v_elems = domain_elements(vd)
+        arith = {
+            "a": matrix_evals(a, domain_size(info.num_non_zero_a), vd, idd, c_elems, v_elems),
+            "b": matrix_evals(b, domain_size(info.num_non_zero_b), vd, idd, c_elems, v_elems),
+            "c": matrix_evals(c, domain_size(info.num_non_zero_c), vd, idd, c_elems, v_elems),
+        }
     digest = blake2s(info.serialize() + _serialize_matrix(a) + _serialize_matrix(b) + _serialize_matrix(c))
-    return Circuit(info, digest.hex(), a, b, c, arith)
+    circuit = Circuit(info, digest.hex(), a, b, c, arith)
+    if np_mats is not None:
+        circuit._np_matrices = np_mats
+    return circuit
 
 
 @dataclass
@@ -689,7 +757,7 @@ def prove_batch(srs: kzg.UniversalSRS, keys_to_constraints, rng, mode=VarunaNonH
                     circuit, m, reindex_by_subdomain)
                 m_evals.append(dround.matrix_at_alpha_evals_jit(
                     vals_p, rows_i, cols_i, l_plane, vd))
-            m_evals3 = _jnp.stack(m_evals)
+            m_evals3 = m_evals     # per-matrix planes (no [3, vd] stack)
         else:
             l_at_alpha = lagrange_coefficients(cd, alpha)
             transposes = {m: _transpose(getattr(circuit, m), vd, idd)

@@ -76,9 +76,15 @@ def _frlib():
             )
         lib = ctypes.CDLL(so_path)
         u64p = ctypes.POINTER(ctypes.c_uint64)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
         lib.fr_ntt.argtypes = [u64p, ctypes.c_size_t, u64p, ctypes.c_int, u64p]
         lib.fr_batch_mul.argtypes = [u64p, u64p, ctypes.c_size_t]
         lib.fr_batch_inv.argtypes = [u64p, ctypes.c_size_t]
+        lib.fr_powers.argtypes = [u64p, u64p, ctypes.c_size_t]
+        lib.fr_matrix_evals.argtypes = [
+            u64p, u32p, u32p, ctypes.c_size_t, u64p, u64p,
+            ctypes.c_size_t, ctypes.c_size_t, ctypes.c_size_t,
+            u64p, u64p, u64p, u64p]
         _FRLIB = lib
     except Exception:
         _FRLIB = None
@@ -118,6 +124,34 @@ def fr_batch_inv(vals):
     a = _words4(vals)
     lib.fr_batch_inv(a.ctypes.data_as(u64p), len(vals))
     return _unwords4(a)
+
+
+def fr_powers_np(g: int, n: int):
+    """[n, 4] u64 canonical powers g^0..g^(n-1) (C indexer kernel)."""
+    lib = _frlib()
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    gw = _words4([g])
+    out = np.empty((n, 4), np.uint64)
+    lib.fr_powers(out.ctypes.data_as(u64p), gw.ctypes.data_as(u64p), n)
+    return out
+
+
+def fr_matrix_evals_np(vals_np, rows_np, cols_np, c_elems_np, v_elems_np,
+                       variable_size: int, input_size: int, pad_to: int):
+    """AHP arithmetization tables (matrices.rs:115) as [pad_to, 4] u64
+    canonical arrays: (row, col, row_col, row_col_val)."""
+    lib = _frlib()
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    nnz = len(rows_np)
+    outs = [np.empty((pad_to, 4), np.uint64) for _ in range(4)]
+    lib.fr_matrix_evals(
+        vals_np.ctypes.data_as(u64p),
+        rows_np.ctypes.data_as(u32p), cols_np.ctypes.data_as(u32p), nnz,
+        c_elems_np.ctypes.data_as(u64p), v_elems_np.ctypes.data_as(u64p),
+        variable_size, input_size, pad_to,
+        *(o.ctypes.data_as(u64p) for o in outs))
+    return tuple(outs)
 
 
 def _to_limbs64(values, n_limbs):
