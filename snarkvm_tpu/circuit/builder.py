@@ -87,6 +87,15 @@ class CircuitBuilder:
 
     # -- constraints --
     def enforce(self, a: LinearCombination, b: LinearCombination, c: LinearCombination):
+        # The reference environment drops constraints whose operands are
+        # all constants, asserting satisfaction instead
+        # (circuit/environment/src/circuit.rs:173) — count parity
+        # requires the same.
+        if a.is_constant() and b.is_constant() and c.is_constant():
+            if a.constant * b.constant % R != c.constant % R:
+                raise AssertionError(
+                    f"constant constraint failed: {a.constant} * {b.constant} != {c.constant}")
+            return
         self.constraints.append((a, b, c))
 
     def assert_eq(self, a: LinearCombination, b: LinearCombination):

@@ -30,7 +30,7 @@ from ..curves import edwards as ed
 from ..console import network as N
 from ..console.request import Request, compute_function_id
 from .builder import CircuitBuilder, LinearCombination, PUBLIC, PRIVATE
-from .types import CField, CBool, CGroup
+from .types import CField, CBool, CGroup, CScalar
 from . import poseidon_gadget
 
 R = P.R
@@ -48,66 +48,63 @@ class RequestCtx:
     is_root: CBool
 
 
-def g_scalar_multiply_gadget(builder, scalar_bits):
-    """Constant-base scalar mul over the account bases (mainnet GENERATOR_G):
-    sum of bit-conditioned constant points via complete adds + ternaries."""
+def g_scalar_multiply_gadget(builder, scalar):
+    """A::g_scalar_multiply (circuit/network/src/v0.rs:145): fold over
+    the precomputed GENERATOR_G bases,
+    `output = ternary(bit, output + base, output)`. `scalar` is a
+    CScalar (bits derived lazily, range-checked once) or a raw
+    little-endian CBool list."""
     bases = N.generator_g()
-    acc = CGroup.constant(builder, ed.IDENTITY_AFFINE)
-    for i, bit in enumerate(scalar_bits[:SCALAR_BITS]):
-        base = CGroup.constant(builder, ed.to_affine(bases[i]))
-        added = acc + base
-        nx = added.x.ternary(bit, acc.x)
-        ny = added.y.ternary(bit, acc.y)
-        acc = CGroup(builder, nx, ny)
-    return acc
+    bits = scalar.to_bits_le() if isinstance(scalar, CScalar) \
+        else list(scalar)[:SCALAR_BITS]
+    output = CGroup.constant(builder, ed.IDENTITY_AFFINE)
+    for base_pt, bit in zip(bases, bits):
+        base = CGroup.constant(builder, ed.to_affine(base_pt))
+        output = (output + base).ternary(bit, output)
+    return output
 
 
-def var_scalar_multiply_gadget(builder, point: CGroup, scalar_bits):
-    """Variable-base double-and-add."""
-    return point.mul_bits(list(scalar_bits[:SCALAR_BITS]))
+def var_scalar_multiply_gadget(builder, point: CGroup, scalar):
+    """Variable-base mul (group/src/mul.rs:167): MSB-first
+    double-and-add over the scalar's big-endian bits."""
+    if isinstance(scalar, CScalar):
+        return point.mul_scalar(scalar)
+    return point.mul_bits(list(scalar)[:SCALAR_BITS])
 
 
-def scalar_to_bits_gadget(builder, value: int):
-    """Inject a scalar as SCALAR_BITS private bits + return (bits, field LC)."""
-    bits = [CBool.new(builder, PRIVATE, (value >> i) & 1) for i in range(SCALAR_BITS)]
-    acc = LinearCombination(0)
-    coeff = 1
-    for b in bits:
-        acc = acc.add(b.lc, coeff)
-        coeff = coeff * 2 % R
-    return bits, CField(builder, acc)
+def hash_to_scalar_gadget(builder, rate, inputs) -> CScalar:
+    """A::hash_to_scalar_psd{rate}
+    (circuit/algorithms/src/poseidon/hash_to_scalar.rs:25): hash to a
+    field, project onto the scalar field by 250-bit truncation."""
+    out = poseidon_gadget.hash_psd(builder, rate, inputs)[0]
+    return CScalar.from_field_lossy(builder, out)
 
 
 def hash_to_scalar_bits_gadget(builder, rate, inputs):
-    """hash_psd{rate} -> field -> low 250 bits (from_field_lossy)."""
-    out = poseidon_gadget.hash_psd(builder, rate, inputs)[0]
-    bits = out.to_bits_le(253)
-    return bits[:250]
+    """Legacy bit-list view of hash_to_scalar_gadget."""
+    return hash_to_scalar_gadget(builder, rate, inputs).to_bits_le()[:250]
 
 
 def signature_verify_gadget(builder: CircuitBuilder, sig, address: CGroup,
                             msg_fields) -> "CBool":
-    """circuit/account/src/signature/verify.rs: g_r recompute, challenge
-    re-derivation over [g_r.x, pk_sig.x, pr_sig.x, addr.x, message...],
-    and address == pk_sig + pr_sig + G^sk_prf. Returns a Boolean gadget
-    (the `sign.verify` opcode yields a value, it does not assert)."""
-    chal_bits, chal_field = scalar_to_bits_gadget(builder, sig.challenge % S)
-    resp_bits, _ = scalar_to_bits_gadget(builder, sig.response % S)
+    """circuit/account/src/signature/verify.rs:20: g_nonce recompute,
+    challenge re-derivation over [g_nonce.x, pk_sig.x, pr_sig.x, addr.x,
+    message...], and address == pk_sig + pr_sig + G^sk_prf. Returns a
+    Boolean gadget (the `sign.verify` opcode yields a value, it does not
+    assert)."""
+    challenge = CScalar.new(builder, PRIVATE, sig.challenge % S)
+    response = CScalar.new(builder, PRIVATE, sig.response % S)
     pk_sig = CGroup.new(builder, PRIVATE, sig.compute_key.pk_sig)
     pr_sig = CGroup.new(builder, PRIVATE, sig.compute_key.pr_sig)
-    g_r = (g_scalar_multiply_gadget(builder, resp_bits)
-           + var_scalar_multiply_gadget(builder, pk_sig, chal_bits))
-    preimage = [g_r.x, pk_sig.x, pr_sig.x, address.x] + list(msg_fields)
-    cand_bits = hash_to_scalar_bits_gadget(builder, 8, preimage)
-    acc = LinearCombination(0)
-    coeff = 1
-    for b in cand_bits:
-        acc = acc.add(b.lc, coeff)
-        coeff = coeff * 2 % R
-    eq_chal = chal_field.is_equal(CField(builder, acc))
-    sk_prf_bits = hash_to_scalar_bits_gadget(builder, 4, [pk_sig.x, pr_sig.x])
-    cand_addr = pk_sig + pr_sig + g_scalar_multiply_gadget(builder, sk_prf_bits)
-    return eq_chal & address.is_equal(cand_addr)
+    # g_nonce := (response * G) + (challenge * pk_sig)  (verify.rs:27)
+    g_nonce = (g_scalar_multiply_gadget(builder, response)
+               + pk_sig.mul_scalar(challenge))
+    preimage = [g_nonce.x, pk_sig.x, pr_sig.x, address.x] + list(msg_fields)
+    cand_challenge = hash_to_scalar_gadget(builder, 8, preimage)
+    # candidate address (compute_key/{from,to_address}.rs)
+    sk_prf = hash_to_scalar_gadget(builder, 4, [pk_sig.x, pr_sig.x])
+    cand_addr = pk_sig + pr_sig + g_scalar_multiply_gadget(builder, sk_prf)
+    return challenge.is_equal(cand_challenge) & address.is_equal(cand_addr)
 
 
 def verify_request_gadget(builder: CircuitBuilder, request: Request, input_types,
@@ -156,8 +153,12 @@ def verify_request_gadget(builder: CircuitBuilder, request: Request, input_types
     signer = CGroup.new(builder, PRIVATE, request.signer)
     pk_sig = CGroup.new(builder, PRIVATE, pk_sig_pt)
     pr_sig = CGroup.new(builder, PRIVATE, request.signature.compute_key.pr_sig)
-    resp_bits, _ = scalar_to_bits_gadget(builder, resp_int)
-    chal_bits, chal_field = scalar_to_bits_gadget(builder, chal_int)
+    # signature scalars as field-backed gadgets (request/mod.rs:150
+    # inject order: challenge, response); bits derive lazily at first use
+    challenge = CScalar.new(builder, PRIVATE, chal_int)
+    response = CScalar.new(builder, PRIVATE, resp_int)
+    # sk_tag and tvk ride in every Request injection (request/mod.rs:224)
+    sk_tag_g = CField.new(builder, PRIVATE, request.sk_tag)
     tvk = CField.new(builder, PRIVATE, request.tvk)
 
     # --- is_root / parent as Mode::Public; caller ternary ---
@@ -168,10 +169,16 @@ def verify_request_gadget(builder: CircuitBuilder, request: Request, input_types
     is_root_f = CField.constant(builder, 1).ternary(
         is_root_b, CField.constant(builder, 0))
 
-    # --- input ID checks + message (verify.rs:110 check_input_ids) ---
+    # --- input ID checks + message (verify.rs:110 check_input_ids):
+    # the per-input booleans fold into `input_checks` as they are
+    # produced (map+fold with a constant-true start, verify.rs:297) ---
     input_hashes = []
-    checks = []
-    sk_tag_g = None
+    input_checks = CBool.constant(builder, True)
+    class _Checks:
+        def append(self, c):
+            nonlocal input_checks
+            input_checks = input_checks & c
+    checks = _Checks()
     for index, ((vis, _name), gadgets, iid_pub) in enumerate(
             zip(input_types, input_gadgets, iid_pubs)):
         if vis in ("public", "constant"):
@@ -200,8 +207,6 @@ def verify_request_gadget(builder: CircuitBuilder, request: Request, input_types
             record_g = gadgets          # a RecordGadget (not field list)
             assert isinstance(record_g, RecordGadget), \
                 "record input requires a RecordGadget"
-            if sk_tag_g is None:
-                sk_tag_g = CField.new(builder, PRIVATE, request.sk_tag)
             cand_commitment = record_g.to_commitment(request.program_id, _name)
             cand_sn = serial_number_from_gamma_gadget(
                 builder, gamma_g, cand_commitment)
@@ -212,8 +217,8 @@ def verify_request_gadget(builder: CircuitBuilder, request: Request, input_types
             h_pt = hash_to_group_gadget(
                 builder, 2, [CField.constant(builder, N.SERIAL_NUMBER_DOMAIN),
                              cand_commitment])
-            h_r = (var_scalar_multiply_gadget(builder, gamma_g, chal_bits)
-                   + var_scalar_multiply_gadget(builder, h_pt, resp_bits))
+            h_r = (var_scalar_multiply_gadget(builder, gamma_g, challenge)
+                   + var_scalar_multiply_gadget(builder, h_pt, response))
             input_hashes += [h_pt.x, h_r.x, gamma_g.x, cand_tag]
             checks.append(sn_pub.is_equal(cand_sn))
             checks.append(commitment_g.is_equal(cand_commitment))
@@ -240,34 +245,30 @@ def verify_request_gadget(builder: CircuitBuilder, request: Request, input_types
     rtvk = request.tvk if root_tvk is None else root_tvk
     root_tvk_g = CField.new(builder, PRIVATE, rtvk)
     scm_check = poseidon_gadget.hash_psd(builder, 2, [signer.x, root_tvk_g])[0]
-    g_resp = g_scalar_multiply_gadget(builder, resp_bits)
-    pk_chal = var_scalar_multiply_gadget(builder, pk_sig, chal_bits)
+    # to_tpk (request/to_tpk.rs:28): (challenge * pk_sig) + (response * G)
+    pk_chal = pk_sig.mul_scalar(challenge)
+    g_resp = g_scalar_multiply_gadget(builder, response)
     tpk_check = pk_chal + g_resp
-    checks.append(tpk.is_equal(tpk_check))
-    checks.append(tcm.is_equal(tcm_check))
-    checks.append(scm.is_equal(scm_check))
+    # tpk_checks combine exactly as verify.rs:75-80 (computed.is_equal(
+    # injected) for tcm/scm; injected tpk vs computed to_tpk)
+    tpk_checks = (tpk.is_equal(tpk_check)
+                  & tcm_check.is_equal(tcm)
+                  & scm_check.is_equal(scm))
 
     # --- signature checks (verify.rs:83-104) ---
     msg = [tpk.x, pk_sig.x, pr_sig.x, signer.x, tvk, tcm, fid,
            is_root_f] + input_hashes
-    cand_bits = hash_to_scalar_bits_gadget(builder, 8, msg)
-    acc = LinearCombination(0)
-    coeff = 1
-    for b in cand_bits:
-        acc = acc.add(b.lc, coeff)
-        coeff = coeff * 2 % R
-    checks.append(chal_field.is_equal(CField(builder, acc)))
+    cand_challenge = hash_to_scalar_gadget(builder, 8, msg)
     # candidate address: sk_prf = HashToScalar_psd4([pk_sig.x, pr_sig.x]);
     # address = pk_sig + pr_sig + G*sk_prf (compute_key/{from,to_address}.rs)
-    sk_prf_bits = hash_to_scalar_bits_gadget(
-        builder, 4, [pk_sig.x, pr_sig.x])
-    pk_prf = g_scalar_multiply_gadget(builder, sk_prf_bits)
+    sk_prf = hash_to_scalar_gadget(builder, 4, [pk_sig.x, pr_sig.x])
+    pk_prf = g_scalar_multiply_gadget(builder, sk_prf)
     cand_addr = pk_sig + pr_sig + pk_prf
-    checks.append(signer.is_equal(cand_addr))
+    signature_checks = (challenge.is_equal(cand_challenge)
+                        & signer.is_equal(cand_addr))
 
-    ok = checks[0]
-    for c in checks[1:]:
-        ok = ok & c
+    # signature_checks & input_checks & tpk_checks (verify.rs:105)
+    ok = signature_checks & input_checks & tpk_checks
     builder.assert_eq(ok.lc, LinearCombination(1))
 
     ctx = RequestCtx(tcm=tcm, tvk=tvk, signer=signer, caller=caller,

@@ -241,10 +241,13 @@ def from_outputs_gadget(builder: CircuitBuilder, request, output_types,
                 builder.assert_eq(ok.lc, LinearCombination(1))
             ct_bits = encrypt_record_gadget(builder, rg, rand_bits)
             checksum = bhp_hash_gadget(builder, 1024, "AleoBHP1024", ct_bits)
+            # OutputID::record (response/mod.rs:55): inject the public
+            # ids and assert (public, 1, computed) — the computed LC
+            # rides in the C matrix
             pub_c = CField.new(builder, PUBLIC, builder.value_of(commitment.lc))
-            commitment.assert_eq(pub_c)
+            pub_c.assert_eq(commitment)
             pub_k = CField.new(builder, PUBLIC, builder.value_of(checksum.lc))
-            checksum.assert_eq(pub_k)
+            pub_k.assert_eq(checksum)
             out_ids.append((pub_c, pub_k))
             continue
         elif vis == "external_record":
@@ -259,7 +262,8 @@ def from_outputs_gadget(builder: CircuitBuilder, request, output_types,
             h = poseidon_gadget.hash_psd(builder, 8, preimage)[0]
         else:
             raise NotImplementedError(f"in-circuit output kind {vis}")
+        # OutputID inject+assert (response/mod.rs:70): (public, 1, computed)
         pub = CField.new(builder, PUBLIC, builder.value_of(h.lc))
-        h.assert_eq(pub)
+        pub.assert_eq(h)
         out_ids.append(pub)
     return out_ids

@@ -15,11 +15,12 @@ R = P.R
 
 
 class CField:
-    __slots__ = ("b", "lc")
+    __slots__ = ("b", "lc", "_bits253")
 
     def __init__(self, builder: CircuitBuilder, lc: LinearCombination):
         self.b = builder
         self.lc = lc
+        self._bits253 = None   # OnceCell analog (field/src/lib.rs bits_le)
 
     @classmethod
     def new(cls, builder, mode, value: int):
@@ -71,49 +72,81 @@ class CField:
         return CField(self.b, out)
 
     def pow_const(self, e: int):
+        """Constant-exponent pow (field/src/pow.rs:48): MSB-first
+        square-and-multiply with `output = output * self` — the base (a
+        possibly wide LC) lands in the B matrix, matching the reference's
+        nz orientation (the Poseidon sbox x^17 is the hot caller)."""
         if e == 0:
             return CField.constant(self.b, 1)
-        result = None
-        base = self
-        while e:
-            if e & 1:
-                result = base if result is None else result * base
-            e >>= 1
-            if e:
-                base = base.square()
+        result = CField.constant(self.b, 1)
+        for i in reversed(range(e.bit_length())):
+            result = result.square()
+            if (e >> i) & 1:
+                result = result * self
         return result
 
     # -- equality / assertions --
     def assert_eq(self, o):
         self.b.assert_eq(self.lc, o.lc)
 
-    def is_equal(self, o) -> "CBool":
-        """1 constraint pair: (a-b) * inv = 1 - eq; (a-b) * eq = 0."""
+    def is_constant(self) -> bool:
+        return self.lc.is_constant()
+
+    def is_not_equal(self, o) -> "CBool":
+        """field/src/equal.rs:38 — allocate (multiplier, is_neq);
+        enforce (a-b) * multiplier = is_neq and (a-b) * (1 - is_neq) = 0."""
+        if self.is_constant() and o.is_constant():
+            return CBool.constant(self.b, self.value != o.value)
         diff = self - o
         dv = diff.value
-        eq_val = 1 if dv == 0 else 0
-        eq = self.b.new_private(eq_val)
-        inv_val = pow(dv, -1, R) if dv else 0
-        inv = self.b.new_private(inv_val)
-        one = LinearCombination(1)
-        self.b.enforce(diff.lc, inv, one.add(eq, R - 1))
-        self.b.enforce(diff.lc, eq, LinearCombination(0))
-        return CBool(self.b, eq)
+        is_neq_v = 1 if dv != 0 else 0
+        multiplier_v = pow(dv, -1, R) if dv else 1
+        multiplier = self.b.new_private(multiplier_v)
+        is_neq = self.b.new_private(is_neq_v)
+        self.b.enforce(diff.lc, multiplier, is_neq)
+        self.b.enforce(diff.lc, LinearCombination(1).add(is_neq, R - 1),
+                       LinearCombination(0))
+        return CBool(self.b, is_neq)
+
+    def is_equal(self, o) -> "CBool":
+        """field/src/equal.rs:26: NOT is_not_equal."""
+        return ~self.is_not_equal(o)
 
     def ternary(self, cond: "CBool", other: "CField"):
-        """cond ? self : other — 1 constraint."""
+        """cond ? self : other (field/src/ternary.rs): constant condition
+        picks an arm; constant arms fold to a linear form in `cond`; else
+        `(a - b) * condition = (witness - b)`."""
+        if cond.is_constant():
+            return self if cond.value else other
+        if self.is_constant() and other.is_constant():
+            # cond*a + (1-cond)*b — linear, no constraint
+            a_v, b_v = self.lc.constant, other.lc.constant
+            return CField(self.b, LinearCombination(b_v).add(
+                cond.lc, (a_v - b_v) % R))
         out_val = self.value if cond.value else other.value
         out = self.b.new_private(out_val)
-        # cond * (self - other) = out - other
-        self.b.enforce(cond.lc, self.lc.add(other.lc, R - 1), out.add(other.lc, R - 1))
+        self.b.enforce(self.lc.add(other.lc, R - 1), cond.lc,
+                       out.add(other.lc, R - 1))
         return CField(self.b, out)
 
-    def to_bits_le(self, num_bits: int = 253, canonical: bool = False):
-        """Bit decomposition with recomposition constraint. When
-        `canonical` (the reference's Field::to_bits_le semantics,
-        circuit/types/field/src/helpers/to_bits.rs), additionally asserts
-        bits <= p-1 so the representation is unique — required whenever
-        the bits feed comparisons or hashes."""
+    def to_bits_le(self, num_bits: int = 253, canonical=None):
+        """Bit decomposition (field/src/helpers/to_bits.rs:36 /
+        to_lower_bits.rs:25): allocate bits, enforce
+        `self == sum 2^i b_i` (A = self, C = accumulator), and for the
+        full-width form assert bits <= p-1 so the representation is
+        unique — the reference's Field::to_bits_le is ALWAYS canonical;
+        to_lower_bits_le(k < 253) is not (upper bits are implicitly
+        zero)."""
+        if canonical is None:
+            canonical = num_bits >= 253
+        if self.lc.is_constant():
+            v = self.lc.constant
+            return [CBool.constant(self.b, (v >> i) & 1)
+                    for i in range(num_bits)]
+        # the reference caches the canonical decomposition per Field
+        # object (bits_le OnceCell) — a second to_bits is free
+        if canonical and num_bits == 253 and self._bits253 is not None:
+            return self._bits253
         v = self.value
         bits = []
         acc = LinearCombination(0)
@@ -123,10 +156,17 @@ class CField:
             bits.append(bit)
             acc = acc.add(bit.lc, coeff)
             coeff = coeff * 2 % R
-        self.b.assert_eq(acc, self.lc)
+        self.b.assert_eq(self.lc, acc)
         if canonical and num_bits >= 253:
             _assert_bits_lte_const(self.b, bits, R - 1)
+        if canonical and num_bits == 253:
+            self._bits253 = bits
         return bits
+
+    def to_lower_bits_le(self, k: int):
+        """field/src/helpers/to_lower_bits.rs:25 — k-bit decomposition;
+        upper bits are enforced zero by the recomposition constraint."""
+        return self.to_bits_le(k, canonical=False)
 
     # -- division / roots / powers (circuit/types/field/src) --
     def div(self, o: "CField") -> "CField":
@@ -174,13 +214,33 @@ class CField:
 
     # -- comparisons (field/src/compare.rs): bitwise LSB->MSB fold --
     def is_less_than(self, o: "CField") -> "CBool":
-        a_bits = self.to_bits_le(253, canonical=True)
-        b_bits = o.to_bits_le(253, canonical=True)
+        """field/src/compare.rs:22 — four cases by constancy; the
+        variable-variable fold is `ternary(this ^ that, that, rest)`."""
+        if self.is_constant() and o.is_constant():
+            return CBool.constant(self.b, self.value < o.value)
+        if self.is_constant():
+            a_v = self.value
+            lt = CBool.constant(self.b, False)
+            for i, that in enumerate(o.to_bits_le()):
+                if (a_v >> i) & 1:
+                    lt = that & lt
+                else:
+                    lt = that | lt
+            return lt
+        if o.is_constant():
+            b_v = o.value
+            lt = CBool.constant(self.b, False)
+            for i, this in enumerate(self.to_bits_le()):
+                if (b_v >> i) & 1:
+                    lt = (~this) | lt
+                else:
+                    lt = (~this) & lt
+            return lt
+        a_bits = self.to_bits_le()
+        b_bits = o.to_bits_le()
         lt = CBool.constant(self.b, False)
         for this, that in zip(a_bits, b_bits):
-            t_and = that & lt
-            t_or = that | lt
-            lt = _bool_select(self.b, this, t_and, t_or)
+            lt = _bool_select(self.b, this ^ that, that, lt)
         return lt
 
     def lt(self, o):
@@ -207,9 +267,11 @@ class CBool:
     def new(cls, builder, mode, value):
         lc = builder.new_variable(mode, 1 if value else 0)
         out = cls(builder, lc)
-        if mode != CONSTANT:
-            # b * (1 - b) = 0
-            builder.enforce(lc, LinearCombination(1).add(lc, R - 1), LinearCombination(0))
+        # Ensure (1 - a) * a = 0 (boolean/src/lib.rs:66-68) — the
+        # reference enforces in every mode; the all-constant row is
+        # dropped by the environment.
+        builder.enforce(LinearCombination(1).add(lc, R - 1), lc,
+                        LinearCombination(0))
         return out
 
     @classmethod
@@ -220,23 +282,73 @@ class CBool:
     def value(self) -> bool:
         return self.b.value_of(self.lc) != 0
 
+    def is_constant(self) -> bool:
+        return self.lc.is_constant()
+
     def __and__(self, o):
+        """boolean/src/and.rs: constant short-circuits; else
+        `self * other = output`."""
+        if self.is_constant():
+            return o if self.value else self
+        if o.is_constant():
+            return self if o.value else o
         out = self.b.new_private(1 if (self.value and o.value) else 0)
         self.b.enforce(self.lc, o.lc, out)
         return CBool(self.b, out)
 
     def __or__(self, o):
-        # a | b = a + b - a*b
-        land = self & o
-        return CBool(self.b, self.lc.add(o.lc).add(land.lc, R - 1))
+        """boolean/src/or.rs: constant short-circuits; else
+        `(1 - self) * (1 - other) = (1 - output)`."""
+        if self.is_constant():
+            return self if self.value else o
+        if o.is_constant():
+            return o if o.value else self
+        out = self.b.new_private(1 if (self.value or o.value) else 0)
+        one = LinearCombination(1)
+        self.b.enforce(one.add(self.lc, R - 1), one.add(o.lc, R - 1),
+                       one.add(out, R - 1))
+        return CBool(self.b, out)
 
     def __xor__(self, o):
-        # a ^ b = a + b - 2ab
-        land = self & o
-        return CBool(self.b, self.lc.add(o.lc).add(land.lc, R - 2))
+        """boolean/src/xor.rs: constant folds to other/!other; else
+        `(self + self) * other = (self + other - output)`."""
+        if self.is_constant():
+            return o if not self.value else ~o
+        if o.is_constant():
+            return self if not o.value else ~self
+        out = self.b.new_private(1 if (self.value != o.value) else 0)
+        self.b.enforce(self.lc.add(self.lc), o.lc,
+                       self.lc.add(o.lc).add(out, R - 1))
+        return CBool(self.b, out)
 
     def __invert__(self):
         return CBool(self.b, LinearCombination(1).add(self.lc, R - 1))
+
+    def nand(self, o):
+        """boolean/src/nand.rs: `self * other = (1 - output)`."""
+        if self.is_constant():
+            return ~o if self.value else CBool.constant(self.b, True)
+        if o.is_constant():
+            return ~self if o.value else CBool.constant(self.b, True)
+        out = self.b.new_private(0 if (self.value and o.value) else 1)
+        self.b.enforce(self.lc, o.lc, LinearCombination(1).add(out, R - 1))
+        return CBool(self.b, out)
+
+    def nor(self, o):
+        """boolean/src/nor.rs: `(1 - self) * (1 - other) = output`."""
+        if self.is_constant():
+            return ~o if not self.value else CBool.constant(self.b, False)
+        if o.is_constant():
+            return ~self if not o.value else CBool.constant(self.b, False)
+        out = self.b.new_private(1 if not (self.value or o.value) else 0)
+        one = LinearCombination(1)
+        self.b.enforce(one.add(self.lc, R - 1), one.add(o.lc, R - 1), out)
+        return CBool(self.b, out)
+
+    def ternary(self, cond: "CBool", other: "CBool") -> "CBool":
+        """cond ? self : other (boolean/src/ternary.rs): constant arms
+        fold to and/or forms; else `condition * (a - b) = (output - b)`."""
+        return _bool_select(self.b, cond, self, other)
 
     def assert_true(self):
         self.b.assert_eq(self.lc, LinearCombination(1))
@@ -286,18 +398,23 @@ class CInteger:
         return self.bits[-1]
 
     def add_checked(self, o: "CInteger") -> "CInteger":
-        """Checked add (integers/src/add_checked.rs). Unsigned: the
-        width+1-bit sum's carry must be 0. Signed: overflow iff the
-        operands share a sign and the result's sign differs."""
-        s = self.to_field() + o.to_field()
-        bits = self._decompose(s, self.width + 1)
-        out = CInteger(self.b, bits[: self.width], self.width, self.signed)
+        """Checked add (integers/src/add_checked.rs:69). Unsigned:
+        witness the wrapped sum and assert the field identity — overflow
+        has no satisfying witness (BITS+1 constraints). Signed: extract
+        BITS+1 lower bits of the field sum, drop the carry, and assert
+        no same-sign overflow (BITS+6 constraints)."""
         if not self.signed:
-            self.b.assert_eq(bits[-1].lc, LinearCombination(0))
-        else:
-            same_sign = ~(self.msb ^ o.msb)
-            overflow = same_sign & (out.msb ^ self.msb)
-            (~overflow).assert_true()
+            sum_v = (self.value + o.value) & ((1 << self.width) - 1)
+            out = CInteger.new(self.b, PRIVATE, sum_v, self.width, False)
+            computed = self.to_field() + o.to_field()
+            self.b.assert_eq(computed.lc, out.to_field().lc)
+            return out
+        s = self.to_field() + o.to_field()
+        bits = s.to_lower_bits_le(self.width + 1)
+        out = CInteger(self.b, bits[: self.width], self.width, True)
+        is_same_sign = ~(self.msb ^ o.msb)
+        is_overflow = is_same_sign & (out.msb ^ self.msb)
+        self.b.assert_eq(is_overflow.lc, LinearCombination(0))
         return out
 
     def add_wrapped(self, o: "CInteger") -> "CInteger":
@@ -340,18 +457,21 @@ class CInteger:
         return CInteger(self.b, bits[: self.width], self.width, self.signed)
 
     def sub_checked(self, o: "CInteger") -> "CInteger":
-        """Checked sub (integers/src/sub_checked.rs). Unsigned: the borrow
-        bit (top of a - b + 2^w) must be 1. Signed: overflow iff the
-        operands' signs differ and the result's sign differs from self."""
-        s = self.to_field() + CField.constant(self.b, 1 << self.width) - o.to_field()
-        bits = self._decompose(s, self.width + 1)
+        """Checked sub (integers/src/sub_checked.rs:69): difference =
+        a + !b + 1 on the field; extract BITS+1 lower bits; unsigned
+        asserts the carry is one, signed asserts no different-signs
+        underflow."""
+        difference = (self.to_field() + o.bitnot().to_field()
+                      + CField.constant(self.b, 1))
+        bits = difference.to_lower_bits_le(self.width + 1)
+        carry = bits[-1]
         out = CInteger(self.b, bits[: self.width], self.width, self.signed)
         if not self.signed:
-            self.b.assert_eq(bits[-1].lc, LinearCombination(1))
+            self.b.assert_eq(carry.lc, LinearCombination(1))
         else:
-            diff_sign = self.msb ^ o.msb
-            overflow = diff_sign & (out.msb ^ self.msb)
-            (~overflow).assert_true()
+            is_different_signs = self.msb ^ o.msb
+            is_underflow = is_different_signs & (~(out.msb ^ o.msb))
+            self.b.assert_eq(is_underflow.lc, LinearCombination(0))
         return out
 
     def mul_wrapped(self, o: "CInteger") -> "CInteger":
@@ -737,32 +857,41 @@ class CInteger:
         return self._barrel(amount.bits, left=False)
 
 
-def _assert_bits_lte_const(builder, bits, bound: int):
-    """Assert the little-endian CBool `bits` encode a value <= `bound`
-    (a Python int constant) — the reference's
-    Boolean::assert_less_than_or_equal_constant. LSB->MSB fold with the
-    constant folded in: lte starts True; at a const-1 bit lte |= ...;
-    cost ~1 constraint/bit."""
-    lte = CBool.constant(builder, True)
-    for i, this in enumerate(bits):
-        cbit = (bound >> i) & 1
-        if cbit:
-            # this=0 -> definitely <= so far; this=1 -> carry previous
-            lte = ~this | lte
+def _bits_lte_const(builder, bits, bound: int) -> CBool:
+    """`bits <= bound` — Boolean::is_less_than_or_equal_constant
+    (boolean/src/helpers/comparator.rs:23): NOT of the LSB->MSB fold of
+    `bound < bits`, with the constant bit selecting AND (1) / OR (0)."""
+    rest_is_less = CBool.constant(builder, False)
+    for i, that in enumerate(bits):
+        if (bound >> i) & 1:
+            rest_is_less = that & rest_is_less
         else:
-            # this=1 -> definitely > so far; this=0 -> carry previous
-            lte = ~this & lte
-    lte.assert_true()
+            rest_is_less = that | rest_is_less
+    return ~rest_is_less
+
+
+def _assert_bits_lte_const(builder, bits, bound: int):
+    """Boolean::assert_less_than_or_equal_constant
+    (boolean/src/helpers/comparator.rs:37)."""
+    _bits_lte_const(builder, bits, bound).assert_true()
 
 
 def _bool_select(builder, cond: CBool, a: CBool, b: CBool) -> CBool:
-    """cond ? a : b  with one constraint: out = b + cond*(a-b)."""
+    """cond ? a : b — Boolean::ternary (boolean/src/ternary.rs:23):
+    constant condition/arms fold; else
+    `condition * (a - b) = (output - b)`."""
+    if cond.is_constant():
+        return a if cond.value else b
+    if a.is_constant():
+        return (cond | b) if a.value else ((~cond) & b)
+    if b.is_constant():
+        return ((~cond) | a) if b.value else (cond & a)
     out_v = a.value if cond.value else b.value
-    out = CBool.new(builder, PRIVATE, bool(out_v))
+    out = builder.new_private(1 if out_v else 0)
     diff = LinearCombination(0).add(a.lc, 1).add(b.lc, R - 1)
-    lhs = LinearCombination(0).add(out.lc, 1).add(b.lc, R - 1)
-    builder.enforce(cond.lc, diff, lhs)
-    return out
+    rhs = LinearCombination(0).add(out, 1).add(b.lc, R - 1)
+    builder.enforce(cond.lc, diff, rhs)
+    return CBool(builder, out)
 
 
 class CGroup:
@@ -807,6 +936,10 @@ class CGroup:
     def double(self):
         """Edwards doubling (circuit/types/group/src/double.rs:21):
         witness (x3, y3) with x3*(ax^2+y^2)=2xy, y3*(2-ax^2-y^2)=y^2-ax^2."""
+        if self._is_constant_zero():
+            return self
+        if self.is_constant():
+            return CGroup.constant(self.b, ed.add(self.value, self.value))
         a = R - 1  # EDWARDS_A = -1
         xy = self.x * self.y
         x2 = self.x.square()
@@ -847,36 +980,65 @@ class CGroup:
         dbl = qg.double()
         dbl.enforce_double(self)
 
+    def is_constant(self) -> bool:
+        return self.x.is_constant() and self.y.is_constant()
+
+    def _is_constant_zero(self) -> bool:
+        return (self.is_constant() and self.x.lc.constant == 0
+                and self.y.lc.constant == 1)
+
     def __add__(self, o: "CGroup"):
-        """Complete twisted Edwards addition (3 mul + 2 div constraints)."""
-        x1, y1, x2, y2 = self.x, self.y, o.x, o.y
-        x1y2 = x1 * y2
-        x2y1 = x2 * y1
-        y1y2 = y1 * y2
-        x1x2 = x1 * x2
-        dxy = (x1y2 * x2y1).scale_const(P.EDWARDS_D)
-        # x3 = (x1y2 + x2y1) / (1 + d x1x2y1y2)
-        x3_num = x1y2 + x2y1
-        y3_num = y1y2 + x1x2  # a=-1: y3 = (y1y2 + x1x2)/(1 - d...)
-        pt3 = ed.add(self.value, o.value)
+        """Complete twisted Edwards addition (group/src/add.rs:28):
+        6 constraints variable+variable, 3 with a constant operand.
+        With a = -1: U = (x1 + y1)(x2 + y2), v0 = x1*y2, v1 = x2*y1,
+        v2 = d*v0*v1; x3*(v2+1) = v0+v1; y3*(1-v2) = U - v0 - v1."""
+        # constant-zero shortcuts (add.rs:38-44)
+        if self._is_constant_zero():
+            return o
+        if o._is_constant_zero():
+            return self
+        # both constant: witnesses allocate in Constant mode and every
+        # constraint row is all-constant (dropped) — fold at console level
+        if self.is_constant() and o.is_constant():
+            return CGroup.constant(self.b, ed.add(self.value, o.value))
+        # the reference swap: make `that` the constant operand when
+        # `other` is constant ("reduces the number of constants by one")
+        if o.is_constant():
+            this, that = self, o
+        else:
+            this, that = o, self
+        a = R - 1  # EDWARDS_A = -1
+        # U = (-a*x1 + y1) * (x2 + y2) = (x1 + y1)(x2 + y2) for a = -1
+        u1 = CField(self.b, this.x.lc.scale((R - a) % R).add(this.y.lc))
+        u2 = that.x + that.y
+        u = u1 * u2
+        v0 = this.x * that.y
+        v1 = that.x * this.y
+        v2 = (v0 * v1).scale_const(P.EDWARDS_D)
+        pt3 = ed.add(this.value, that.value)
         x3 = CField.new(self.b, PRIVATE, pt3[0])
         y3 = CField.new(self.b, PRIVATE, pt3[1])
-        one = LinearCombination(1)
-        self.b.enforce(x3.lc, one.add(dxy.lc), x3_num.lc)
-        self.b.enforce(y3.lc, one.add(dxy.lc, R - 1), y3_num.lc)
+        # x3 * (v2 + 1) = v0 + v1
+        self.b.enforce(x3.lc, v2.lc.add(LinearCombination(1)),
+                       v0.lc.add(v1.lc))
+        # y3 * (1 - v2) = U + a*v0 - v1
+        one_minus_v2 = LinearCombination(1).add(v2.lc, R - 1)
+        rhs = u.lc.add(v0.lc.scale(a)).add(v1.lc, R - 1)
+        self.b.enforce(y3.lc, one_minus_v2, rhs)
         return CGroup(self.b, x3, y3)
 
+    def mul_bits_be(self, bits_be):
+        """Scalar mul by big-endian CBool bits — the reference ladder
+        (group/src/mul.rs:167): output doubles, conditional add."""
+        output = CGroup.constant(self.b, ed.IDENTITY_AFFINE)
+        for bit in bits_be:
+            output = output.double()
+            output = (self + output).ternary(bit, output)
+        return output
+
     def mul_bits(self, bits):
-        """Scalar mul by little-endian CBool bits (double-and-add over gadgets)."""
-        acc = CGroup.constant(self.b, ed.IDENTITY_AFFINE)
-        base = self
-        for bit in bits:
-            added = acc + base
-            nx = added.x.ternary(bit, acc.x)
-            ny = added.y.ternary(bit, acc.y)
-            acc = CGroup(self.b, nx, ny)
-            base = base + base
-        return acc
+        """Scalar mul by little-endian CBool bits."""
+        return self.mul_bits_be(list(reversed(list(bits))))
 
     # -- remaining group ops (circuit/types/group/src) --
     def neg(self):
@@ -886,11 +1048,8 @@ class CGroup:
     def __sub__(self, o: "CGroup"):
         return self + o.neg()
 
-    def double(self):
-        return self + self
-
     def mul_scalar(self, scalar: "CScalar"):
-        return self.mul_bits(scalar.bits)
+        return self.mul_bits_be(scalar.to_bits_be())
 
     def is_equal(self, o: "CGroup") -> "CBool":
         return self.x.is_equal(o.x) & self.y.is_equal(o.y)
@@ -905,70 +1064,130 @@ class CGroup:
 
 
 class CScalar:
-    """Scalar-field gadget (circuit/types/scalar): 251 little-endian
-    bits over the base field, canonical (< S). Ops: add (mod S),
-    compare, equal, ternary, to_field."""
+    """Scalar-field gadget (circuit/types/scalar/src/lib.rs:52):
+    field-backed — one base-field member plus a lazily-derived,
+    range-checked 251-bit decomposition (OnceCell analog). Equality and
+    ternary ride the field representation (1-2 constraints, not
+    per-bit); the bits cost ~503 constraints exactly once, on first
+    use."""
 
-    __slots__ = ("b", "bits")
+    __slots__ = ("b", "field", "_bits")
     NUM_BITS = 251
+    DATA_BITS = 250
 
-    def __init__(self, builder, bits):
+    def __init__(self, builder, field: CField, bits=None):
         self.b = builder
-        self.bits = bits
+        self.field = field
+        self._bits = bits
 
     @classmethod
     def new(cls, builder, mode, value: int):
         v = value % P.S
-        bits = [CBool.new(builder, mode, (v >> i) & 1)
-                for i in range(cls.NUM_BITS)]
-        out = cls(builder, bits)
-        if mode != CONSTANT:
-            _assert_bits_lte_const(builder, bits, P.S - 1)
-        return out
+        return cls(builder, CField.new(builder, mode, v))
 
     @classmethod
     def constant(cls, builder, value: int):
-        return cls.new(builder, CONSTANT, value)
+        return cls(builder, CField.constant(builder, value % P.S))
+
+    @classmethod
+    def from_bits_le(cls, builder, bits_le):
+        """scalar/src/helpers/from_bits.rs:24 — <=250 bits: pad with
+        constant false, no range check (value < 2^250 < S); 251 bits:
+        range-check against S-1; >251: assert the excess zero first.
+        The field member is the bits' linear combination; the bits are
+        cached so a later to_bits_le is free."""
+        bits_le = list(bits_le)
+        n = len(bits_le)
+        if n > cls.NUM_BITS:
+            for bt in bits_le[cls.NUM_BITS:]:
+                builder.assert_eq(bt.lc, LinearCombination(0))
+            bits_le = bits_le[:cls.NUM_BITS]
+            n = cls.NUM_BITS
+        ranged = n > cls.DATA_BITS
+        while len(bits_le) < cls.NUM_BITS:
+            bits_le.append(CBool.constant(builder, False))
+        acc = LinearCombination(0)
+        coeff = 1
+        for bt in bits_le:
+            acc = acc.add(bt.lc, coeff)
+            coeff = coeff * 2 % R
+        if ranged:
+            _assert_bits_lte_const(builder, bits_le, P.S - 1)
+        return cls(builder, CField(builder, acc), bits_le)
+
+    @classmethod
+    def from_field_lossy(cls, builder, field: CField):
+        """scalar/src/helpers/from_field.rs (lossy): canonical field
+        bits, truncated to 250 data bits."""
+        bits = field.to_bits_le()
+        return cls.from_bits_le(builder, bits[:cls.DATA_BITS])
+
+    @classmethod
+    def from_field(cls, builder, field: CField):
+        """scalar/src/helpers/from_field.rs:28 (checked): no
+        truncation — fails for field values >= S via the 251-bit
+        range check + zero asserts on the upper bits."""
+        bits = field.to_bits_le()
+        return cls.from_bits_le(builder, bits)
 
     @property
     def value(self) -> int:
-        v = 0
-        for i, bt in enumerate(self.bits):
-            if bt.value:
-                v |= 1 << i
-        return v
+        return self.field.value
+
+    def is_constant(self) -> bool:
+        return self.field.is_constant()
+
+    def to_bits_le(self):
+        """scalar/src/helpers/to_bits.rs: lazy 251-bit decomposition +
+        uniqueness range check (bits <= S-1); cached."""
+        if self._bits is None:
+            bits = self.field.to_bits_le(self.NUM_BITS, canonical=False)
+            if not self.field.is_constant():
+                _assert_bits_lte_const(self.b, bits, P.S - 1)
+            self._bits = bits
+        return self._bits
+
+    def to_bits_be(self):
+        return list(reversed(self.to_bits_le()))
+
+    @property
+    def bits(self):
+        return self.to_bits_le()
 
     def to_field(self) -> CField:
-        acc = LinearCombination(0)
-        coeff = 1
-        for bt in self.bits:
-            acc = acc.add(bt.lc, coeff)
-            coeff = coeff * 2 % R
-        return CField(self.b, acc)
+        return self.field
 
     def __add__(self, o: "CScalar") -> "CScalar":
-        """Modular add (scalar/src/add.rs shape): witness out < S and a
-        carry bit; enforce a + b = out + carry*S over the base field —
-        binding since a, b < S implies a + b < 2S."""
-        out_v = (self.value + o.value) % P.S
-        carry_v = (self.value + o.value) >= P.S
-        out = CScalar.new(self.b, PRIVATE, out_v)
-        carry = CBool.new(self.b, PRIVATE, carry_v)
-        lhs = self.to_field().lc.add(o.to_field().lc)
-        rhs = out.to_field().lc.add(carry.lc, P.S % R)
-        self.b.assert_eq(lhs, rhs)
-        return out
+        """scalar/src/add.rs:43 — field-space sum, 252-bit lower
+        decomposition, subtract S when sum >= S (selected by a full
+        field compare), re-derive the canonical 251 bits."""
+        if self.is_constant() and o.is_constant():
+            return CScalar.constant(self.b, (self.value + o.value) % P.S)
+        total = self.to_field() + o.to_field()
+        bits_le = total.to_lower_bits_le(self.NUM_BITS + 1)
+        acc = LinearCombination(0)
+        coeff = 1
+        for bt in bits_le:
+            acc = acc.add(bt.lc, coeff)
+            coeff = coeff * 2 % R
+        sum_f = CField(self.b, acc)
+        modulus = CField.constant(self.b, P.S % R)
+        wrapping = sum_f.ternary(sum_f.is_less_than(modulus),
+                                 sum_f - modulus)
+        out_bits = wrapping.to_lower_bits_le(self.NUM_BITS)
+        return CScalar(self.b, wrapping, out_bits)
 
     def is_equal(self, o: "CScalar") -> CBool:
+        """scalar/src/equal.rs: field-representation equality."""
         return self.to_field().is_equal(o.to_field())
 
     def is_less_than(self, o: "CScalar") -> CBool:
-        lt = CBool.constant(self.b, False)
-        for this, that in zip(self.bits, o.bits):
-            t_and = that & lt
-            t_or = that | lt
-            lt = _bool_select(self.b, this, t_and, t_or)
-        return lt
+        """scalar/src/compare.rs:33 — parity of 2*(a - b) on the base
+        field: odd iff a < b (valid since S <= (R-1)/2)."""
+        if self.is_constant() and o.is_constant():
+            return CBool.constant(self.b, self.value < o.value)
+        outcome = CField(self.b, (self.to_field() - o.to_field()).lc.scale(2))
+        return outcome.to_bits_le()[0]
 
     def lt(self, o):
         return self.is_less_than(o)
@@ -983,8 +1202,8 @@ class CScalar:
         return ~self.is_less_than(o)
 
     def ternary(self, cond: CBool, other: "CScalar") -> "CScalar":
-        return CScalar(self.b, [_bool_select(self.b, cond, a, c)
-                                for a, c in zip(self.bits, other.bits)])
+        """scalar/src/ternary.rs: ternary over the field member."""
+        return CScalar(self.b, self.field.ternary(cond, other.field))
 
 
 class CAddress:

@@ -75,8 +75,7 @@ def _hash_dest_cast(builder, field_gadget, dest_type: str, console):
         return CInteger(builder, bits[:w], w, dest_type[0] == "i")
     if dest_type == "scalar":
         # from_field_lossy: truncate to 250 bits (< S by construction)
-        bits = field_gadget.to_bits_le(253, canonical=True)
-        return CScalar(builder, bits[:250] + [CBool.constant(builder, False)])
+        return CScalar.from_field_lossy(builder, field_gadget)
     if dest_type == "boolean":
         bits = field_gadget.to_bits_le(253, canonical=True)
         return bits[0]
@@ -133,16 +132,13 @@ def cast_gadget(builder, gadget, src: str, dest: str, lossy: bool, console):
             return CInteger(builder, [gadget] + [zero] * (INT[dest] - 1),
                             INT[dest], dest[0] == "i")
         if dest == "scalar":
-            zero = CBool.constant(builder, False)
-            return CScalar(builder, [gadget] + [zero] * (CScalar.NUM_BITS - 1))
+            return CScalar.from_bits_le(builder, [gadget])
         return None
     if isinstance(gadget, CInteger):
         if dest == "field":
             return CField(builder, gadget.to_field().lc)
         if dest == "scalar":
-            zero = CBool.constant(builder, False)
-            bits = list(gadget.bits) + [zero] * (CScalar.NUM_BITS - gadget.width)
-            return CScalar(builder, bits)
+            return CScalar.from_bits_le(builder, list(gadget.bits))
         if dest == "boolean":
             if lossy:
                 return gadget.bits[0]
@@ -197,13 +193,9 @@ def cast_gadget(builder, gadget, src: str, dest: str, lossy: bool, console):
                 builder.assert_eq(hi, LinearCombination(0))
             return CInteger(builder, bits[:w2], w2, s2)
         if dest == "scalar":
-            bits = gadget.to_bits_le(253, canonical=True)
             if lossy:
-                zero = CBool.constant(builder, False)
-                return CScalar(builder, bits[:250] + [zero])
-            from ..circuit.types import _assert_bits_lte_const
-            _assert_bits_lte_const(builder, bits, P.S - 1)
-            return CScalar(builder, bits[:CScalar.NUM_BITS])
+                return CScalar.from_field_lossy(builder, gadget)
+            return CScalar.from_field(builder, gadget)
         if dest == "boolean":
             if lossy:
                 return gadget.to_bits_le(253, canonical=True)[0]
@@ -274,10 +266,10 @@ class DualStack:
             # gadgets (stack/execute.rs:245-252 set_signer/caller_circuit)
             regs["self.signer"] = CircuitValue(
                 Literal("address", (ctx.signer.x.value, ctx.signer.y.value)),
-                ctx.signer)
+                CAddress(builder, ctx.signer))
             regs["self.caller"] = CircuitValue(
                 Literal("address", (ctx.caller.x.value, ctx.caller.y.value)),
-                ctx.caller)
+                CAddress(builder, ctx.caller))
         for idx, (finput, value) in enumerate(zip(fn.inputs, inputs)):
             lit = value
             if isinstance(lit, str):
@@ -642,6 +634,10 @@ class DualStack:
             elif isinstance(a.gadget, CBool) and isinstance(b.gadget, CBool):
                 flag = ~(a.gadget ^ b.gadget)
                 (flag if op == "assert.eq" else ~flag).assert_true()
+            else:
+                # never skip an assert silently — an unconstrained assert
+                # would be a soundness hole in the transition circuit
+                self._weak_witness(builder, op, a.literal)
             return
         if op == "ternary":
             c, a, b = ld(inst.operands[0]), ld(inst.operands[1]), ld(inst.operands[2])

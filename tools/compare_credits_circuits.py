@@ -34,6 +34,11 @@ SAMPLE_INPUTS = {
     "transfer_public": ["aleo1qqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqq5g5tz2", "1000000u64"],
     "transfer_public_as_signer": [None, "1000000u64"],
     "fee_public": ["1000u64", "10u64", "123field"],
+    "bond_validator": [None, "1000000u64", "10u8"],
+    "bond_public": [None, None, "1000000u64"],
+    "unbond_public": [None, "1000000u64"],
+    "claim_unbond_public": [None],
+    "set_validator_state": ["true"],
 }
 
 
@@ -48,10 +53,11 @@ def main(names):
     with open(CREDITS) as f:
         stack = Stack(parse_program(f.read()))
     pk = account.PrivateKey.new(rng)
-    addr_str = None
-    # use the signer's own address for transfer targets
     from snarkvm_tpu.console.types import literal_to_str, Literal
-    addr_str = literal_to_str(Literal("address", pk.to_address()))
+    # a SECOND keypair's address for targets: bond_validator and friends
+    # assert.neq the signer against the withdrawal/validator address
+    pk2 = account.PrivateKey.new(rng)
+    addr_str = literal_to_str(Literal("address", pk2.to_address()))
 
     for fname in names:
         fn = stack.program.functions.get(fname)
@@ -75,7 +81,7 @@ def main(names):
         # POST-PADDING counts (ahp/indexer/indexer.rs:170
         # num_padded_public_variables) — index ours the same way
         from snarkvm_tpu.snark import varuna as V
-        circ = V.index(builder.to_synthesizer(), V.VarunaNonHidingMode)
+        circ = V.index(builder.to_synthesizer(), V.VarunaHidingMode)
         info = circ.info
         try:
             vk, _ = credits_verifying_key(fname)
@@ -97,6 +103,5 @@ def main(names):
 
 
 if __name__ == "__main__":
-    names = sys.argv[1:] or ["transfer_public", "transfer_public_as_signer",
-                             "fee_public"]
+    names = sys.argv[1:] or list(SAMPLE_INPUTS)
     main(names)
