@@ -49,6 +49,13 @@ def synthesize(stack, pk, fname, inputs, itypes):
     return tt.builder
 
 
+def synthesize_sampled(stack, fname):
+    """Burner-sampled synthesis — the deploy/key-synthesis path
+    (stack/helpers/synthesize.rs shape); handles record inputs."""
+    from snarkvm_tpu.synthesizer.deploy import synthesize_function_circuit
+    return synthesize_function_circuit(stack, fname, rng).builder
+
+
 def main(names):
     with open(CREDITS) as f:
         stack = Stack(parse_program(f.read()))
@@ -67,13 +74,13 @@ def main(names):
         itypes = [(fi.value_type.split(".")[-1], fi.value_type.split(".")[0])
                   for fi in fn.inputs]
         inputs = SAMPLE_INPUTS.get(fname)
-        if inputs is None:
-            print(f"{fname}: no sample inputs configured")
-            continue
-        inputs = [addr_str if i is None or i.startswith("aleo1qqq") else i
-                  for i in inputs]
         try:
-            builder = synthesize(stack, pk, fname, inputs, itypes)
+            if inputs is None:
+                builder = synthesize_sampled(stack, fname)
+            else:
+                inputs = [addr_str if i is None or i.startswith("aleo1qqq")
+                          else i for i in inputs]
+                builder = synthesize(stack, pk, fname, inputs, itypes)
         except Exception as e:
             print(f"{fname}: synthesis failed: {type(e).__name__}: {e}")
             continue
@@ -102,6 +109,11 @@ def main(names):
                   f"(no shipped key)")
 
 
+ALL_SHIPPED = list(SAMPLE_INPUTS) + [
+    "join", "split", "transfer_private", "transfer_private_to_public",
+    "transfer_public_to_private", "fee_private",
+]
+
 if __name__ == "__main__":
-    names = sys.argv[1:] or list(SAMPLE_INPUTS)
+    names = sys.argv[1:] or ALL_SHIPPED
     main(names)
