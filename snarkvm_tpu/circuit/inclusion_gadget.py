@@ -39,12 +39,14 @@ def bhp_commit_gadget(builder, variant: int, domain: str, bits,
     (circuit/algorithms/src/bhp/commit.rs). Returns the x-coordinate."""
     acc = bhp_hash_point_gadget(builder, variant, domain, bits)
     bhp = N._bhp(variant)
+    # commit_uncompressed.rs:30: ternary(bit, power, zero) folds to LCs
+    # (both arms constant), then a full 6-constraint Edwards add per bit
     for i, bit in enumerate(randomizer_bits[:SCALAR_BITS]):
-        base = CGroup.constant(builder, ed.to_affine(bhp.random_base[i]))
-        added = acc + base
-        acc = CGroup(builder,
-                     added.x.ternary(bit, acc.x),
-                     added.y.ternary(bit, acc.y))
+        px, py = ed.to_affine(bhp.random_base[i])
+        x_lc = LinearCombination(0).add(bit.lc, px)
+        y_lc = LinearCombination(1).add(bit.lc, (py - 1) % R)
+        term = CGroup(builder, CField(builder, x_lc), CField(builder, y_lc))
+        acc = acc + term
     return acc.x
 
 
@@ -76,8 +78,7 @@ def inclusion_assignment(state_path: StatePath, commitment: int, gamma,
     is_global_g = CBool.new(builder, PRIVATE, is_global)
 
     # 1. serial number derivation
-    doubled = gamma_g + gamma_g
-    cleared = doubled + doubled                      # COFACTOR = 4
+    cleared = gamma_g.double().double()              # COFACTOR = 4
     sn_domain = CField.constant(builder, N.SERIAL_NUMBER_DOMAIN)
     nonce_field = poseidon_gadget.hash_psd(builder, 2, [sn_domain, cleared.x])[0]
     nonce_bits = nonce_field.to_bits_le(253)[:250]   # from_field_lossy
@@ -138,8 +139,7 @@ def ledger_inclusion_assignment(sp, commitment: int, gamma,
     gamma_g = CGroup.new(builder, PRIVATE, gamma)
 
     # serial number derivation (identical to the local-path variant)
-    doubled = gamma_g + gamma_g
-    cleared = doubled + doubled
+    cleared = gamma_g.double().double()
     sn_domain = CField.constant(builder, N.SERIAL_NUMBER_DOMAIN)
     nonce_field = poseidon_gadget.hash_psd(builder, 2, [sn_domain, cleared.x])[0]
     nonce_bits = nonce_field.to_bits_le(253)[:250]

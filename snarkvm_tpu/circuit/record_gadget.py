@@ -153,8 +153,8 @@ def serial_number_from_gamma_gadget(builder, gamma: CGroup,
     (SN domain || commitment) bits."""
     from .request_gadget import hash_to_scalar_bits_gadget
     from .inclusion_gadget import bhp_commit_gadget
-    g2 = gamma + gamma
-    cleared = g2 + g2                       # cofactor 4
+    # mul_by_cofactor: two doublings (group/helpers/mul_by_cofactor.rs)
+    cleared = gamma.double().double()
     sn_nonce_bits = hash_to_scalar_bits_gadget(
         builder, 2, [CField.constant(builder, N.SERIAL_NUMBER_DOMAIN),
                      cleared.x])
@@ -168,17 +168,24 @@ def record_tag_gadget(builder, sk_tag: CField, commitment: CField) -> CField:
     return poseidon_gadget.hash_psd(builder, 2, [sk_tag, commitment])[0]
 
 
-def encrypt_record_gadget(builder, record: RecordGadget, randomizer_bits):
-    """record/encrypt.rs in-circuit: rvk = (owner · randomizer).x,
+def encrypt_record_gadget(builder, record: RecordGadget, randomizer):
+    """record/encrypt.rs in-circuit: assert nonce == G^randomizer
+    (encrypt.rs:22, x-coordinate binding), rvk = (owner · randomizer).x,
     randomizer stream via HashMany_psd8, private fields masked — returns
     the CIPHERTEXT record bit gadgets (for the output checksum) without
-    materializing a ciphertext record object."""
-    from .request_gadget import var_scalar_multiply_gadget
+    materializing a ciphertext record object. `randomizer` is a CScalar
+    (or a legacy bit list)."""
+    from .request_gadget import (var_scalar_multiply_gadget,
+                                 g_scalar_multiply_gadget)
     from .response_gadget import plaintext_fields_gadget
 
     b = builder
     rec = record.record
-    rvk = var_scalar_multiply_gadget(b, record.owner.group, randomizer_bits).x
+    # Ensure the randomizer corresponds to the record nonce (encrypt.rs:22):
+    # Group -> LinearCombination is the x-coordinate (group/src/lib.rs:231)
+    nonce_check = g_scalar_multiply_gadget(b, randomizer)
+    b.assert_eq(record.nonce.x.lc, nonce_check.x.lc)
+    rvk = var_scalar_multiply_gadget(b, record.owner.group, randomizer).x
     n_rand = rec.num_randomizers()
     randomizers = poseidon_gadget.hash_psd(
         b, 8, [CField.constant(b, N.ENCRYPTION_DOMAIN), rvk],

@@ -222,8 +222,7 @@ def from_outputs_gadget(builder: CircuitBuilder, request, output_types,
             # BHP1024 checksum; commitment + checksum become the two
             # public verifier inputs (transition/output/mod.rs:150)
             from .record_gadget import RecordGadget, encrypt_record_gadget
-            from .request_gadget import (g_scalar_multiply_gadget,
-                                         hash_to_scalar_bits_gadget)
+            from .request_gadget import hash_to_scalar_gadget
             from .bhp_gadget import bhp_hash_gadget
             rg = gadgets
             assert isinstance(rg, RecordGadget), \
@@ -231,15 +230,12 @@ def from_outputs_gadget(builder: CircuitBuilder, request, output_types,
             commitment = rg.to_commitment(request.program_id, _name)
             locator = (output_registers or [None] * len(output_types))[index]
             assert locator is not None, "record output requires its register"
-            rand_bits = getattr(rg, "randomizer_bits", None)
-            if rand_bits is None or getattr(rg, "locator", None) != locator:
-                rand_bits = hash_to_scalar_bits_gadget(
-                    builder, 2, [tvk_gadget, CField.constant(builder, locator)])
-                # bind the record's nonce: nonce == G^randomizer
-                nonce_check = g_scalar_multiply_gadget(builder, rand_bits)
-                ok = rg.nonce.is_equal(nonce_check)
-                builder.assert_eq(ok.lc, LinearCombination(1))
-            ct_bits = encrypt_record_gadget(builder, rg, rand_bits)
+            # from_outputs.rs:118: randomizer := HashToScalar(tvk || index)
+            # is ALWAYS derived here; encrypt (record/encrypt.rs:22)
+            # asserts nonce == G^randomizer unconditionally
+            randomizer = hash_to_scalar_gadget(
+                builder, 2, [tvk_gadget, CField.constant(builder, locator)])
+            ct_bits = encrypt_record_gadget(builder, rg, randomizer)
             checksum = bhp_hash_gadget(builder, 1024, "AleoBHP1024", ct_bits)
             # OutputID::record (response/mod.rs:55): inject the public
             # ids and assert (public, 1, computed) — the computed LC
