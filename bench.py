@@ -192,8 +192,11 @@ def bench_varuna():
     circ.generate_constraints(cs)
     cs.pad_input_to_power_of_two()
     varuna.prove_batch(srs, [(pk, [cs])], rng, varuna.VarunaNonHidingMode)  # warm
+    # one timed run at the 2^20 headline scale (a prove is ~60s there);
+    # best-of-2 below it
+    runs = 1 if logn >= 20 else 2
     dt = min(_timed(lambda: varuna.prove_batch(
-        srs, [(pk, [cs])], rng, varuna.VarunaNonHidingMode)) for _ in range(2))
+        srs, [(pk, [cs])], rng, varuna.VarunaNonHidingMode)) for _ in range(runs))
     rate = 60.0 / dt
     print(json.dumps({
         "metric": f"varuna_prove_2^{logn}_constraints_proofs_per_min",
@@ -244,6 +247,11 @@ def bench_all():
         (bench_ntt, {"NTT_SIZE": "22"}, 90.0),
         (bench_varuna, {"VARUNA_LOG2": "18"}, 220.0),
         (bench_msm_v2, {"MSM_LOG2": "16"}, 60.0),
+        # the BASELINE.json headline config, LAST: an overshoot through a
+        # blocked tunnel compile can only cost the tail (nothing follows);
+        # with the persistent TPU compile cache warm it lands ~0.97
+        # proofs/min (62 s/proof measured 2026-08-21)
+        (bench_varuna, {"VARUNA_LOG2": "20"}, 400.0),
     ]
 
     class _MetricTimeout(Exception):
