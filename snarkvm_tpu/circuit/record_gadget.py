@@ -108,15 +108,15 @@ class RecordGadget:
         rec = self.record
         bits = [CBool.constant(b, rec.owner_visibility == "private")]
         bits += self.owner.group.x.to_bits_le(FIELD_BITS, canonical=True)
-        bits += const_bits(b, len(self.data), 8)
+        data_bits = []
+        TAG = {"constant": (False, False), "public": (False, True),
+               "private": (True, False)}
         for ident, vis, lit, g in self.data:
-            bits += const_bits(b, ident.size_in_bits(), 8)
-            bits += [CBool.constant(b, v) for v in ident.to_bits_le()]
-            vis_idx = {"constant": 0, "public": 1, "private": 2}[vis]
-            bits += const_bits(b, vis_idx, 8)
-            vb = plaintext_literal_bits(b, g, lit)
-            bits += const_bits(b, len(vb), 16)
-            bits += vb
+            data_bits += [CBool.constant(b, v) for v in ident.to_bits_le()]
+            data_bits += [CBool.constant(b, t) for t in TAG[vis]]
+            data_bits += plaintext_literal_bits(b, g, lit)
+        bits += const_bits(b, len(data_bits), 32)
+        bits += data_bits
         bits += self.nonce.x.to_bits_le(FIELD_BITS, canonical=True)
         return bits
 
@@ -191,6 +191,9 @@ def encrypt_record_gadget(builder, record: RecordGadget, randomizer):
         b, 8, [CField.constant(b, N.ENCRYPTION_DOMAIN), rvk],
         num_outputs=max(1, n_rand))[:n_rand]
     index = 0
+    # ciphertext record layout (record/to_bits.rs:54): owner flag+field,
+    # u32 data-bit length, per entry (ident bits + 2-bit tag +
+    # ciphertext field bits), nonce
     bits = [CBool.constant(b, rec.owner_visibility == "private")]
     if rec.owner_visibility == "private":
         enc_owner = record.owner.group.x + randomizers[index]
@@ -198,22 +201,21 @@ def encrypt_record_gadget(builder, record: RecordGadget, randomizer):
         bits += enc_owner.to_bits_le(FIELD_BITS, canonical=True)
     else:
         bits += record.owner.group.x.to_bits_le(FIELD_BITS, canonical=True)
-    bits += const_bits(b, len(record.data), 8)
+    TAG = {"constant": (False, False), "public": (False, True),
+           "private": (True, False)}
+    data_bits = []
     for ident, vis, lit, g in record.data:
-        bits += const_bits(b, ident.size_in_bits(), 8)
-        bits += [CBool.constant(b, v) for v in ident.to_bits_le()]
-        vis_idx = {"constant": 0, "public": 1, "private": 2}[vis]
-        bits += const_bits(b, vis_idx, 8)
+        data_bits += [CBool.constant(b, v) for v in ident.to_bits_le()]
+        data_bits += [CBool.constant(b, t) for t in TAG[vis]]
         if vis == "private":
             fields = plaintext_fields_gadget(b, g, lit.type_name)
             enc = [f + randomizers[index + i] for i, f in enumerate(fields)]
             index += len(fields)
-            vb = []
             for f in enc:
-                vb += f.to_bits_le(FIELD_BITS, canonical=True)
+                data_bits += f.to_bits_le(FIELD_BITS, canonical=True)
         else:
-            vb = plaintext_literal_bits(b, g, lit)
-        bits += const_bits(b, len(vb), 16)
-        bits += vb
+            data_bits += plaintext_literal_bits(b, g, lit)
+    bits += const_bits(b, len(data_bits), 32)
+    bits += data_bits
     bits += record.nonce.x.to_bits_le(FIELD_BITS, canonical=True)
     return bits

@@ -50,7 +50,9 @@ class Record:
     nonce: tuple                  # group point
     is_ciphertext: bool = False
 
-    # -- bit encoding (record/to_bits.rs: owner visibility flag + entries) --
+    # -- bit encoding (record/to_bits.rs:20): owner (flag + field) ||
+    #    u32 data-bit length || per entry (identifier bits + 2-bit
+    #    visibility tag + plaintext/ciphertext bits) || nonce --
     def to_bits_le(self):
         bits = []
         bits.append(self.owner_visibility == "private")
@@ -58,20 +60,19 @@ class Record:
             bits += int_to_bits_le(self.owner % R, FIELD_BITS)
         else:
             bits += int_to_bits_le(self.owner[0], FIELD_BITS)
-        bits += int_to_bits_le(len(self.data), 8)
+        TAG = {"constant": [False, False], "public": [False, True],
+               "private": [True, False]}
+        data_bits = []
         for ident, entry in self.data:
-            bits += int_to_bits_le(ident.size_in_bits(), 8)
-            bits += ident.to_bits_le()
-            vis_idx = {"constant": 0, "public": 1, "private": 2}[entry.visibility]
-            bits += int_to_bits_le(vis_idx, 8)
+            data_bits += ident.to_bits_le()
+            data_bits += TAG[entry.visibility]
             if isinstance(entry.value, Plaintext):
-                vb = entry.value.to_bits_le()
+                data_bits += entry.value.to_bits_le()
             else:
-                vb = []
                 for f in entry.value:
-                    vb += int_to_bits_le(f, FIELD_BITS)
-            bits += int_to_bits_le(len(vb), 16)
-            bits += vb
+                    data_bits += int_to_bits_le(f, FIELD_BITS)
+        bits += int_to_bits_le(len(data_bits), 32)
+        bits += data_bits
         bits += int_to_bits_le(self.nonce[0], FIELD_BITS)
         return bits
 
