@@ -23,6 +23,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
+# jax >= 0.8 renamed check_rep and moved shard_map to the top level;
+# keep the experimental import (still present, same semantics) until the
+# pinned jax drops it
 from jax.experimental.shard_map import shard_map
 
 from ..fields import limb
