@@ -4,7 +4,7 @@ This is the "console" numeric path: exact, scalar, CPU. It mirrors the
 semantics of the reference's `fields/` crate (Fp256/Fp384 + Fp2/Fp6/Fp12
 towers — see SURVEY.md §2.1) but is representation-free: values are
 canonical integers mod p, not Montgomery limbs. The batched TPU path in
-`snarkvm_tpu.fields.batched` is cross-checked against this module.
+`snarkvm_tpu.fields.limb` is cross-checked against this module.
 
 Reference parity targets: fields/src/{fp_256.rs,fp_384.rs,fp2.rs,
 fp6_3over2.rs,fp12_2over3over2.rs} behavior (not code).

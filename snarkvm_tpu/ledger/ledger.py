@@ -35,6 +35,7 @@ from . import rewards as RW
 
 R = P.R
 GENESIS_TIMESTAMP = 1725462000  # MainnetV0 (console/network/src/mainnet_v0.rs)
+# TestnetV0/CanaryV0 swap these via console.networks (test_networks.py)
 MAX_SOLUTIONS = 1 << T.MAX_SOLUTIONS_AS_POWER_OF_TWO
 BLOCK_TREE_DEPTH = 32
 
@@ -113,14 +114,16 @@ class Ledger:
             for addr, amount in (public_balances or {}).items():
                 self._credit_account(addr, amount)
 
+        from ..console import networks as NETS
+        spec = NETS.current()
         md = Metadata(
-            network=0, round=0, height=0,
+            network=spec.id, round=0, height=0,
             cumulative_weight=0, cumulative_proof_target=0,
-            coinbase_target=T.GENESIS_COINBASE_TARGET,
-            proof_target=T.GENESIS_PROOF_TARGET,
-            last_coinbase_target=T.GENESIS_COINBASE_TARGET,
-            last_coinbase_timestamp=GENESIS_TIMESTAMP,
-            timestamp=GENESIS_TIMESTAMP,
+            coinbase_target=spec.genesis_coinbase_target,
+            proof_target=spec.genesis_proof_target,
+            last_coinbase_target=spec.genesis_coinbase_target,
+            last_coinbase_timestamp=spec.genesis_timestamp,
+            timestamp=spec.genesis_timestamp,
         )
         ratifies = [Ratify("genesis")]
         header = Header(
@@ -238,8 +241,9 @@ class Ledger:
         accepted, rejected, aborted = self.vm.speculate(candidate_transactions, state)
         self.vm.abort_speculation()  # dry run — advance commits for real
 
+        from ..console import networks as NETS
         md = Metadata(
-            network=0, round=next_round, height=next_height,
+            network=NETS.current().id, round=next_round, height=next_height,
             cumulative_weight=next_cumulative_weight,
             cumulative_proof_target=next_cumulative_proof_target,
             coinbase_target=next_coinbase_target,

@@ -23,10 +23,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-# jax >= 0.8 renamed check_rep and moved shard_map to the top level;
-# keep the experimental import (still present, same semantics) until the
-# pinned jax drops it
-from jax.experimental.shard_map import shard_map
+# jax >= 0.8 moved shard_map to the top level and renamed check_rep to
+# check_vma (same semantics for our use: disable the replication check
+# on EC limb planes, which shard_map cannot infer through fori bodies)
+from jax import shard_map
 
 from ..fields import limb
 from ..fields.limb import FR, FQ
@@ -104,7 +104,7 @@ class DistributedNTT:
             mesh=self.mesh,
             in_specs=(P(None, ax), P(None, ax)),
             out_specs=P(ax, None),
-            check_rep=False,
+            check_vma=False,
         )
         return jax.jit(lambda m: fn(m, tw_full))
 
@@ -148,7 +148,7 @@ def sharded_msm_g1(mesh: Mesh, c: int, num_bits: int, axis: str = "x"):
         mesh=mesh,
         in_specs=({"X": P(ax), "Y": P(ax), "Z": P(ax)}, P(ax)),
         out_specs={"X": P(), "Y": P(), "Z": P()},
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit
@@ -183,7 +183,7 @@ def batch_parallel_ntt(mesh: Mesh, domain: Domain, axis: str = "x"):
         return domain.fft(batch)
 
     return jax.jit(
-        shard_map(local, mesh=mesh, in_specs=P(ax, None, None), out_specs=P(ax, None, None), check_rep=False)
+        shard_map(local, mesh=mesh, in_specs=P(ax, None, None), out_specs=P(ax, None, None), check_vma=False)
     )
 
 
@@ -231,6 +231,6 @@ def witness_polys_mesh(mesh: Mesh, jobs, vd: int, idd: int, axis: str = "x"):
     fn = jax.jit(shard_map(
         local, mesh=mesh,
         in_specs=(P(axis, None, None), P(axis, None, None)),
-        out_specs=P(axis, None, None), check_rep=False))
+        out_specs=P(axis, None, None), check_vma=False))
     coeffs = fn(x_planes, w_ext)
     return [DPoly.from_mont_plane(coeffs[i], vd) for i in range(b)]
