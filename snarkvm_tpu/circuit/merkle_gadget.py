@@ -30,11 +30,17 @@ def _hash_children_gadget(builder, left: CField, right: CField) -> CField:
 def verify_merkle_path_gadget(builder, leaf_hash: CField, index_bits, siblings,
                               expected_root: CField):
     """index_bits: CBool list (LSB first); siblings: CField list.
-    Constrains the walk to reach expected_root."""
+    Constrains the walk to reach expected_root.
+
+    The condition is the NEGATED index bit, as in the reference
+    (merkle_tree/verify.rs:43 `indicators = bits.map(|b| !b)`): the
+    `!bit` LC spans {one, bit}, so each ternary contributes TWO B-side
+    nz entries — load-bearing for matrix parity with shipped keys."""
     node = leaf_hash
     for bit, sib in zip(index_bits, siblings):
-        left = sib.ternary(bit, node)
-        right = node.ternary(bit, sib)
+        indicator = ~bit
+        left = node.ternary(indicator, sib)
+        right = sib.ternary(indicator, node)
         node = _hash_children_gadget(builder, left, right)
     node.assert_eq(expected_root)
     return node

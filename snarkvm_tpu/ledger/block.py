@@ -26,6 +26,33 @@ def _u8_field_leaf(index: int, value: int):
     return int_to_bits_le(index, 8) + int_to_bits_le(value, 253)
 
 
+# ---------------------------------------------------------------------------
+# Reference-exact state-path leaf structs (console/program/src/state_path/)
+# ---------------------------------------------------------------------------
+
+TRANSITION_LEAF_VERSION = 1   # transition_leaf/mod.rs TRANSITION_LEAF_VERSION
+
+# Input variants: transition/input/mod.rs:45 (Constant..ExternalRecord);
+# Output variants: transition/output/mod.rs:47 (adds Future=5). Input and
+# output leaves share the variant space; the leaf INDEX disambiguates
+# (outputs start at len(inputs) — transition/merkle.rs:53).
+LEAF_VARIANT = {"constant": 0, "public": 1, "private": 2, "record": 3,
+                "external_record": 4, "future": 5}
+
+
+def transition_leaf_bits(index: int, variant: int, leaf_id: int):
+    """TransitionLeaf{version,index,variant,id}.to_bits_le()."""
+    return (int_to_bits_le(TRANSITION_LEAF_VERSION, 8)
+            + int_to_bits_le(index, 8) + int_to_bits_le(variant, 8)
+            + int_to_bits_le(leaf_id % N.R, 253))
+
+
+def transaction_leaf_bits(variant: int, index: int, leaf_id: int):
+    """TransactionLeaf{variant,index,id}.to_bits_le()."""
+    return (int_to_bits_le(variant, 8) + int_to_bits_le(index, 16)
+            + int_to_bits_le(leaf_id % N.R, 253))
+
+
 @dataclass
 class Metadata:
     """header/metadata/mod.rs."""
@@ -111,12 +138,28 @@ class Transition:
         bits += int_to_bits_le(self.tcm, 253)
         return bits
 
+    def leaves(self):
+        """TransitionLeaf bit-vectors for every input then output
+        (transition/merkle.rs:67 function_tree; outputs indexed after
+        inputs)."""
+        out = []
+        for i, (kind, val) in enumerate(list(self.inputs) + list(self.outputs)):
+            out.append(transition_leaf_bits(i, LEAF_VARIANT[kind], val))
+        return out or [transition_leaf_bits(0, 0, 0)]
+
+    def to_root(self) -> int:
+        """The transition FUNCTION root: Merkle tree over the
+        TransitionLeaf structs (transition/merkle.rs:20 to_root)."""
+        return MerkleTree(TRANSITION_DEPTH, _BHP, self.leaves()).root
+
     def id(self) -> int:
-        """Transition id = tree root over input/output ids (transition/merkle.rs)."""
-        leaves = [int_to_bits_le(v % N.R, 253) for _, v in list(self.inputs) + list(self.outputs)]
-        if not leaves:
-            leaves = [int_to_bits_le(0, 253)]
-        return MerkleTree(TRANSITION_DEPTH, _BHP, leaves).root
+        """Transition id = BHP512(function_root || tcm)
+        (transition/mod.rs:106 Transition::id via N::hash_bhp512 over
+        to_bits_le![root, tcm] — the tcm binding the inclusion circuit
+        re-derives in-circuit, state_path/verify.rs:63)."""
+        root = self.to_root()
+        return N.hash_bhp(512, int_to_bits_le(root, 253)
+                          + int_to_bits_le(self.tcm % N.R, 253))
 
 
 @dataclass
@@ -132,11 +175,37 @@ class Transaction:
     fee_proof: object = None
     global_state_root: int = 0
 
+    def _split_fee(self):
+        body, fee_ts = [], []
+        for t in self.transitions:
+            is_fee = (t.program_id == "credits.aleo"
+                      and t.function_name.startswith("fee_"))
+            (fee_ts if is_fee else body).append(t)
+        return body, fee_ts
+
+    def leaves(self):
+        """TransactionLeaf bit-vectors (transaction/merkle.rs to_tree):
+        deploys get variant-0 function-hash leaves + the fee last;
+        executions get variant-1 transition leaves + the fee last;
+        fee-only transactions a single variant-1 leaf."""
+        body, fee_ts = self._split_fee()
+        leaves = []
+        if self.kind == "deploy" and self.payload is not None:
+            from ..formats import program_io
+            from ..formats.parity import deployment_function_leaf_id
+            ast = program_io.program_from_text(self.payload.program_text)
+            for i, fn in enumerate(ast.functions()):
+                leaves.append(transaction_leaf_bits(
+                    0, i, deployment_function_leaf_id(self.payload.program_id, fn)))
+            for t in fee_ts:
+                leaves.append(transaction_leaf_bits(1, len(leaves), t.id()))
+        else:
+            for i, t in enumerate(body + fee_ts):
+                leaves.append(transaction_leaf_bits(1, i, t.id()))
+        return leaves or [transaction_leaf_bits(1, 0, 0)]
+
     def id(self) -> int:
-        leaves = [int_to_bits_le(t.id(), 253) for t in self.transitions]
-        if not leaves:
-            leaves = [int_to_bits_le(0, 253)]
-        return MerkleTree(TRANSACTION_DEPTH, _BHP, leaves).root
+        return MerkleTree(TRANSACTION_DEPTH, _BHP, self.leaves()).root
 
 
 @dataclass

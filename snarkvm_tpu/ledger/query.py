@@ -2,21 +2,23 @@
 (ledger/src/get.rs get_state_path_for_commitment + ledger/query/).
 
 A LedgerStatePath proves a transition output commitment against the
-ledger's state root through the REAL block trees (block.py / ledger.py
-encodings):
+ledger's state root through the REAL block trees (block.py encodings,
+reference-exact since round 5):
 
-  commitment (leaf) -> transition tree  (field leaves, depth 5)
-                    -> transaction tree (field leaves, depth 5)
-                    -> transactions tree (field leaves, depth 20)
-                    -> header tree      (u8-prefixed leaves, depth 3,
-                                         transactions_root at index 1)
+  commitment -> TransitionLeaf{version,index,variant=3,id} (leaf)
+             -> transition tree   (depth 5) = transition FUNCTION root
+  transition_id = BHP512(transition_root || tcm)
+             -> TransactionLeaf{variant=1,index,id} (leaf)
+             -> transaction tree  (depth 5) = transaction id
+             -> transactions tree (field leaves, depth 20)
+             -> header tree       (HeaderLeaf{index,id}, depth 3,
+                                   transactions_root at index 1)
   block_hash == BHP1024(previous_hash bits || header_root bits)
-  block_hash (leaf)  -> block tree      (field leaves, depth 32)
-                    -> global state root
+  block_hash (leaf) -> block tree (field leaves, depth 32)
+             -> global state root
 
-This is the console-side inclusion witness; the in-circuit version is
-circuit/inclusion_gadget.py (unification of both shapes is tracked in
-ROADMAP.md).
+This is the console-side inclusion witness (state_path/verify.rs
+semantics); the in-circuit version is circuit/inclusion_gadget.py.
 """
 from __future__ import annotations
 
@@ -62,23 +64,56 @@ class LedgerStatePath:
     previous_block_hash: int
     block_hash: int
     block_level: PathLevel           # -> global state root
+    # reference StatePath members binding the transition to its id
+    # (console/program/src/state_path/mod.rs): the transition FUNCTION
+    # root and tcm, with transition_id == BHP512(root || tcm)
+    tcm: int = 0
+    leaf_index: int = 0              # TransitionLeaf.index (inputs first)
 
-    def verify(self) -> bool:
-        if self.transition_level.leaf_bits != int_to_bits_le(self.commitment, 253):
+    @property
+    def transition_root(self) -> int:
+        return self.transition_level.root
+
+    @property
+    def transaction_id(self) -> int:
+        return self.transaction_level.root
+
+    def verify(self, is_global: bool = True, local_state_root: int = 0) -> bool:
+        """state_path/verify.rs semantics: struct leaves, variant checks,
+        and the transition_id = BHP512(transition_root || tcm) binding."""
+        from .block import transition_leaf_bits, transaction_leaf_bits
+        # transition leaf: version/index/variant=3 (Record) struct with
+        # the commitment as its id (verify.rs:58-60)
+        if self.transition_level.leaf_bits != transition_leaf_bits(
+                self.leaf_index, 3, self.commitment):
             return False
         for lvl in (self.transition_level, self.transaction_level,
-                    self.transactions_level, self.header_level,
-                    self.block_level):
+                    self.transactions_level, self.header_level):
             if not lvl.verify():
                 return False
-        # chain the roots
-        if self.transaction_level.leaf_bits != int_to_bits_le(self.transition_level.root, 253):
+        # transaction leaf: variant=1 (Execution) struct whose id is
+        # transition_id = BHP512(transition_root || tcm) (verify.rs:62-71)
+        transition_id = N.hash_bhp(
+            512, int_to_bits_le(self.transition_root, 253)
+            + int_to_bits_le(self.tcm % R, 253))
+        tx_leaf = self.transaction_level.leaf_bits
+        # the leaf's variant must be 1 and its id the derived transition id;
+        # its u16 index is the transition's position in the transaction
+        if tx_leaf[:8] != int_to_bits_le(1, 8):
             return False
-        if self.transactions_level.leaf_bits != int_to_bits_le(self.transaction_level.root, 253):
+        if tx_leaf[24:] != int_to_bits_le(transition_id, 253):
             return False
+        # transactions tree leaf: the transaction id as bare field bits
+        if self.transactions_level.leaf_bits != int_to_bits_le(self.transaction_id, 253):
+            return False
+        # header leaf: HeaderLeaf{index=1, transactions_root} (verify.rs:79-82)
         if self.header_level.leaf_bits != _u8_field_leaf(1, self.transactions_level.root):
             return False
-        # block hash = BHP1024(previous_hash || header_root) (block.py:150)
+        if not is_global:
+            return self.transaction_id == local_state_root
+        if not self.block_level.verify():
+            return False
+        # block hash = BHP1024(previous_hash || header_root) (verify.rs:85-90)
         expect_hash = N.hash_bhp(
             1024, int_to_bits_le(self.previous_block_hash, 253)
             + int_to_bits_le(self.header_level.root, 253))
@@ -140,6 +175,8 @@ def state_path_from_json(data: dict) -> "LedgerStatePath":
         previous_block_hash=int(data["previous_block_hash"]),
         block_hash=int(data["block_hash"]),
         block_level=lvl(data["block"]),
+        tcm=int(data.get("tcm", 0)),
+        leaf_index=int(data.get("leaf_index", 0)),
     )
 
 
@@ -159,6 +196,8 @@ def state_path_to_json(sp: "LedgerStatePath") -> dict:
         "previous_block_hash": str(sp.previous_block_hash),
         "block_hash": str(sp.block_hash),
         "block": lvl(sp.block_level),
+        "tcm": str(sp.tcm),
+        "leaf_index": sp.leaf_index,
     }
 
 
@@ -203,16 +242,19 @@ class Query:
             idx, sibs = tree.prove(index)
             return PathLevel(leaves_bits[index], idx, sibs, tree.root)
 
-        # level 1: transition tree over input/output ids (block.py:110)
-        tvals = [v % R for _, v in list(transition.inputs) + list(transition.outputs)]
+        # level 1: transition tree over TransitionLeaf structs
+        # (transition/merkle.rs function_tree)
         leaf_index = len(transition.inputs) + [v for _, v in transition.outputs].index(commitment)
-        lvl1 = prove(TRANSITION_DEPTH,
-                     [int_to_bits_le(v, 253) for v in tvals], leaf_index)
+        lvl1 = prove(TRANSITION_DEPTH, transition.leaves(), leaf_index)
 
-        # level 2: transaction tree over transition ids
-        tids = [t.id() for t in tx.transitions]
-        lvl2 = prove(TRANSACTION_DEPTH,
-                     [int_to_bits_le(v, 253) for v in tids], tr_index)
+        # level 2: transaction tree over TransactionLeaf structs; locate
+        # this transition's leaf by its id (transaction/merkle.rs to_leaf)
+        tx_leaves = tx.leaves()
+        from .block import transaction_leaf_bits
+        want = transaction_leaf_bits(1, 0, transition.id())[24:]
+        tr_leaf_index = next(i for i, lb in enumerate(tx_leaves)
+                             if lb[24:] == want)
+        lvl2 = prove(TRANSACTION_DEPTH, tx_leaves, tr_leaf_index)
 
         # level 3: transactions tree over transaction ids
         txids = [t.id() for t in block.transactions]
@@ -246,4 +288,6 @@ class Query:
             previous_block_hash=block.previous_hash,
             block_hash=block.hash(),
             block_level=lvl5,
+            tcm=transition.tcm % R,
+            leaf_index=leaf_index,
         )

@@ -224,13 +224,18 @@ class DualStack:
 
     def _weak_witness(self, builder, op, console):
         """LOUD witness fallback: the console result enters the circuit as
-        an unconstrained private witness. Recorded in self.weak_ops; with
-        SNARKVM_TPU_STRICT_CIRCUIT=1 this raises instead (the reference
-        never synthesizes unconstrained ops — circuit/types/*)."""
+        an unconstrained private witness. Recorded in self.weak_ops.
+
+        STRICT BY DEFAULT (VERDICT r4 #4): the reference never synthesizes
+        unconstrained ops (circuit/types/* has a real gadget for every
+        op x type combination), so an uncovered combination raises.
+        SNARKVM_TPU_STRICT_CIRCUIT=0 opts into the weak-witness fallback
+        for development runs only; deployments reject weak synthesis
+        regardless (synthesizer/deploy.py)."""
         import os
         self.weak_ops.append((op, console.type_name
                               if hasattr(console, "type_name") else "?"))
-        if os.environ.get("SNARKVM_TPU_STRICT_CIRCUIT"):
+        if os.environ.get("SNARKVM_TPU_STRICT_CIRCUIT", "1") != "0":
             raise HaltError(
                 f"no circuit gadget for {op} over "
                 f"{getattr(console, 'type_name', '?')} (strict mode)")

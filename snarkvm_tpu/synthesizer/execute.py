@@ -57,31 +57,45 @@ class Trace:
 
     def __init__(self):
         self.traced = []
-        self.inclusion_tasks = []   # (commitment, gamma, serial_number)
+        # (commitment, gamma, serial_number, transition_pos) — the
+        # position feeds the per-transition local_state_root public
+        # (trace/inclusion/mod.rs:134)
+        self.inclusion_tasks = []
         self._inclusion_paths = None
 
     def insert(self, tt: TracedTransition):
         self.traced.append(tt)
+        pos = len(self.traced) - 1
         for task in getattr(tt, "record_inputs", None) or []:
-            self.inclusion_tasks.append(task)
+            self.inclusion_tasks.append(tuple(task[:3]) + (pos,))
 
-    def insert_inclusion(self, commitment: int, gamma, serial_number: int):
+    def insert_inclusion(self, commitment: int, gamma, serial_number: int,
+                         transition_pos: int | None = None):
         """Register a record input that needs a state-path inclusion proof."""
-        self.inclusion_tasks.append((commitment, gamma, serial_number))
+        if transition_pos is None:
+            transition_pos = max(len(self.traced) - 1, 0)
+        self.inclusion_tasks.append((commitment, gamma, serial_number,
+                                     transition_pos))
 
     def prepare(self, query):
         """Trace::prepare (trace/mod.rs:117): fetch the global state root +
         a StatePath per record-input commitment from the Query."""
         self._inclusion_paths = [
-            (query.get_state_path_for_commitment(c), c, gamma, sn)
-            for c, gamma, sn in self.inclusion_tasks]
+            (query.get_state_path_for_commitment(c), c, gamma, sn, pos)
+            for c, gamma, sn, pos in self.inclusion_tasks]
 
     def _inclusion_builders(self):
         from ..circuit.inclusion_gadget import ledger_inclusion_assignment
         if self.inclusion_tasks and self._inclusion_paths is None:
             raise ValueError("Trace has record inputs: call prepare(query) first")
-        return [ledger_inclusion_assignment(sp, c, gamma, sn)
-                for sp, c, gamma, sn in (self._inclusion_paths or [])]
+        if not self._inclusion_paths:
+            return []
+        local_roots = _local_state_roots(
+            [tt.transition for tt in self.traced])
+        return [ledger_inclusion_assignment(
+                    sp, c, gamma, sn,
+                    local_state_root=local_roots[pos], is_global=True)
+                for sp, c, gamma, sn, pos in self._inclusion_paths]
 
     def prove_execution(self, srs: kzg.UniversalSRS, rng, mode=varuna.VarunaNonHidingMode,
                         key_cache: dict | None = None):
@@ -659,14 +673,19 @@ def verify_execution_transitions(srs, transitions, vk_resolver, proof,
 
     groups = {}
     inclusion_publics = []
-    for t in transitions:
+    # local_state_root per transition: the INCREMENTAL transaction-tree
+    # root over the PRECEDING transitions' leaves
+    # (trace/inclusion/mod.rs:127 prepare_verifier_inputs)
+    local_roots = _local_state_roots(transitions)
+    for ti, t in enumerate(transitions):
         groups.setdefault((t.program_id, t.function_name), []).append(t)
         for kind, v in t.inputs:
             if kind == "record":
                 if not global_state_root:
                     raise ValueError(
                         "record inputs require a global state root")
-                inclusion_publics.append([1, global_state_root % R, v % R])
+                inclusion_publics.append(
+                    [1, global_state_root % R, local_roots[ti], v % R])
     entries = []
     for fkey, ts in sorted(groups.items()):
         vk = vk_resolver(fkey)
@@ -691,3 +710,17 @@ def verify_execution_transitions(srs, transitions, vk_resolver, proof,
     # prove_batch's BTreeMap key order) — mirror it
     entries.sort(key=lambda e: e[0].id)
     return varuna.verify_batch(srs, entries, proof, mode)
+
+
+def _local_state_roots(transitions):
+    """Per-transition incremental transaction-tree roots: root over the
+    TransactionLeaf structs of all PRECEDING transitions
+    (trace/inclusion/mod.rs:134)."""
+    from ..console.merkle import MerkleTree, BHPHasher
+    from ..ledger.block import transaction_leaf_bits, TRANSACTION_DEPTH
+    bhp = BHPHasher(1024, 512)
+    roots, leaves = [], []
+    for i, t in enumerate(transitions):
+        roots.append(MerkleTree(TRANSACTION_DEPTH, bhp, list(leaves)).root)
+        leaves.append(transaction_leaf_bits(1, i, t.id()))
+    return roots

@@ -148,8 +148,22 @@ function mint:
         sn = serial_number_from_gamma(gamma, commitment)
         b = ledger_inclusion_assignment(sp, commitment, gamma, sn)
         assert b.is_satisfied()
+        # publics: [1, global_state_root, local_state_root, serial_number]
+        # (trace/inclusion/mod.rs:142)
         assert b.public[1] == sp.global_state_root == led.latest_state_root
-        assert b.public[2] == sn
+        assert b.public[3] == sn
+
+        # CircuitInfo parity with the SHIPPED mainnet inclusion verifier
+        # key — all six fields exact (constraints 134767, vars 134564,
+        # nz profile) when indexed in hiding mode
+        import os as _os
+        res = "/root/reference/parameters/src/mainnet/resources"
+        if _os.path.isdir(res):
+            from snarkvm_tpu.snark import varuna as V
+            from snarkvm_tpu.params.mainnet_artifacts import credits_verifying_key
+            circ = V.index(b.to_synthesizer(), V.VarunaHidingMode)
+            vk, _ = credits_verifying_key("inclusion")
+            assert circ.info == vk.circuit_info
         # wrong root fails
         import copy
         bad = copy.deepcopy(sp)
