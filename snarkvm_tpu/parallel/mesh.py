@@ -116,6 +116,106 @@ class DistributedNTT:
         c = self._fn(m)                                    # [n1, n2, L] (sharded rows)
         return jnp.swapaxes(c, 0, 1).reshape(self.n, FR.L)
 
+    # -- inverse: iNTT(e)[k] = (1/n) sum_j e[j] w^{-jk} is itself a
+    #    four-step transform with the inverse generator; d1.ifft/d2.ifft
+    #    carry the 1/n1 and 1/n2 scales (product = 1/n) --
+
+    @functools.cached_property
+    def _inv_twiddle(self):
+        p = FR.p
+        winv = pow(self.big.group_gen, p - 2, p)
+        rows = []
+        wj1 = 1
+        for j1 in range(self.n1):
+            row = [1] * self.n2
+            for k2 in range(1, self.n2):
+                row[k2] = row[k2 - 1] * wj1 % p
+            rows.append(row)
+            wj1 = wj1 * winv % p
+        flat = [x * FR.R % p for row in rows for x in row]
+        return np.stack([limb.int_to_limbs_py(x, FR.L)
+                         for x in flat]).reshape(self.n1, self.n2, FR.L)
+
+    @functools.cached_property
+    def _ifn(self):
+        ax = self.axis
+        d1, d2 = self.d1, self.d2
+        tw_full = jnp.asarray(self._inv_twiddle)
+
+        def step(m_local, tw_local):
+            a = jnp.swapaxes(m_local, 0, 1)               # [n2/D, n1, L]
+            a = d1.ifft(a)                                 # inverse size-n1
+            a = jnp.swapaxes(a, 0, 1)                      # [n1, n2/D, L]
+            b = limb.mont_mul(a, tw_local, FR)
+            c = jax.lax.all_to_all(b, ax, split_axis=0, concat_axis=1,
+                                   tiled=True)
+            return d2.ifft(c)                              # [n1/D, n2, L]
+
+        fn = shard_map(
+            step, mesh=self.mesh,
+            in_specs=(P(None, ax), P(None, ax)),
+            out_specs=P(ax, None), check_vma=False)
+        return jax.jit(lambda m: fn(m, tw_full))
+
+    def ifft(self, evals):
+        """evals [n, L] natural order -> coeffs [n, L]. The same
+        four-step with the inverse generator; input/output transposes
+        mirror fft() (the inverse transform reads the forward's natural
+        order directly as its own row-major input)."""
+        m = evals.reshape(self.n1, self.n2, FR.L)
+        c = self._ifn(m)
+        return jnp.swapaxes(c, 0, 1).reshape(self.n, FR.L)
+
+
+# ---------------------------------------------------------------------------
+# Domain-sharded prover round (VERDICT r4 #7): the round-2 rowcheck with
+# every polynomial transform running as a distributed four-step NTT
+# ---------------------------------------------------------------------------
+
+class ShardedRowcheck:
+    """Varuna round-2 rowcheck (dround._rowcheck_fn math) with the
+    polynomial domain sharded over the mesh:
+
+        h_0 = ((z_A z_B - z_C) * mult) / (x^cd - 1)
+
+    3 size-cd iNTTs + 3 size-2cd NTTs + pointwise + 1 size-2cd iNTT,
+    ALL as DistributedNTT four-step transforms (all_to_all over ICI);
+    the pointwise multiply/subtract runs on the sharded evaluation
+    planes. Bit-exact vs dround.rowcheck_contrib (test_parallel.py)."""
+
+    def __init__(self, mesh: Mesh, cd: int, axis: str = "x"):
+        self.cd = cd
+        D = mesh.shape[axis]
+        import math
+
+        def split(n):
+            n1 = 1 << (n.bit_length() - 1).__floordiv__(2)
+            while n1 % D or (n // n1) % D:
+                n1 <<= 1
+                if n1 > n:
+                    raise ValueError(f"cannot split {n} over {D} devices")
+            return n1, n // n1
+
+        n1, n2 = split(cd)
+        m1, m2 = split(2 * cd)
+        self.small = DistributedNTT(n1, n2, mesh, axis)
+        self.big = DistributedNTT(m1, m2, mesh, axis)
+
+    def __call__(self, za_e, zb_e, zc_e, mult_m):
+        from ..snark.dround import (_divide_vanishing_plane, _pad_to,
+                                    _scale_plane)
+        cd = self.cd
+        za_c = self.small.ifft(za_e)
+        zb_c = self.small.ifft(zb_e)
+        zc_c = self.small.ifft(zc_e)
+        A = self.big.fft(_pad_to(za_c, 2 * cd))
+        B = self.big.fft(_pad_to(zb_c, 2 * cd))
+        C = self.big.fft(_pad_to(zc_c, 2 * cd))
+        rc = limb._sub(limb.mont_mul(A, B, FR), C, FR)
+        coeffs = self.big.ifft(rc)
+        q, _ = _divide_vanishing_plane(coeffs, cd)
+        return _scale_plane(q, mult_m)
+
 
 # ---------------------------------------------------------------------------
 # Sharded MSM

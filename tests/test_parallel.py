@@ -95,3 +95,43 @@ def test_prove_batch_mesh_instance_dp_proof_equality():
     got = varuna.prove_batch(srs, [(pk, insts)], _rand.Random(1),
                              varuna.VarunaNonHidingMode, mesh=m)
     assert got == want   # bit-identical proof
+
+
+def test_distributed_intt_matches_single():
+    m = pm.make_mesh(8)
+    n1, n2 = 16, 8
+    d = pm.DistributedNTT(n1, n2, m)
+    vals = [rng.randrange(P.R) for _ in range(n1 * n2)]
+    dev = limb.mont_from_ints(vals, limb.FR)
+    # round-trip: ifft(fft(x)) == x
+    got = limb.ints_from_mont(d.ifft(d.fft(dev)), limb.FR)
+    assert got == vals
+    # and against the single-device inverse
+    dom = Domain(n1 * n2)
+    got2 = limb.ints_from_mont(d.ifft(dev), limb.FR)
+    want2 = limb.ints_from_mont(dom.ifft(dev), limb.FR)
+    assert got2 == want2
+
+
+def test_sharded_rowcheck_matches_dround():
+    """The domain-sharded round-2 rowcheck (VERDICT r4 #7): bit-exact vs
+    the single-device dround.rowcheck_contrib."""
+    from snarkvm_tpu.snark import dround
+
+    m = pm.make_mesh(8)
+    cd = 256
+    vals = lambda: [rng.randrange(P.R) for _ in range(cd)]
+    za, zb, zc = vals(), vals(), vals()
+    # satisfy nothing in particular — the rowcheck pipeline is linear in
+    # its inputs after the pointwise product; bit-exactness is the claim
+    za_e = limb.mont_from_ints(za, limb.FR)
+    zb_e = limb.mont_from_ints(zb, limb.FR)
+    zc_e = limb.mont_from_ints(zc, limb.FR)
+    ic, ccomb, max_cd = 3, 7, 2 * cd
+    want = dround.rowcheck_contrib(za_e, zb_e, zc_e, ic, ccomb, max_cd, cd)
+
+    mult = ic * ccomb % P.R * cd % P.R * pow(max_cd, -1, P.R) % P.R
+    from snarkvm_tpu.snark.dround import _ints_to_mont
+    src = pm.ShardedRowcheck(m, cd)
+    got = src(za_e, zb_e, zc_e, _ints_to_mont([mult]))
+    assert np.asarray(got).tolist() == np.asarray(want).tolist()
