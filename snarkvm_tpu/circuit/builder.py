@@ -61,6 +61,31 @@ class CircuitBuilder:
         self.private = []
         self.constraints = []       # (a_lc, b_lc, c_lc)
         self.scope_stack = []
+        # (label, c0, c1, v0, v1) spans recorded by scope() — the
+        # Circuit::scope analog used to diff constraint-emission ORDER
+        # against the reference synthesis (tools/dump_circuit_order.py)
+        self.scopes = []
+
+    def scope(self, label: str):
+        """Context manager: record the constraint/private-var span of a
+        named synthesis block (environment.rs Circuit::scope analog)."""
+        b = self
+
+        class _Scope:
+            def __enter__(self):
+                self.c0 = len(b.constraints)
+                self.v0 = len(b.private)
+                b.scope_stack.append(label)
+                return self
+
+            def __exit__(self, *exc):
+                b.scope_stack.pop()
+                b.scopes.append((".".join(b.scope_stack + [label]),
+                                 self.c0, len(b.constraints),
+                                 self.v0, len(b.private)))
+                return False
+
+        return _Scope()
 
     # -- variables --
     def new_public(self, value: int) -> LinearCombination:
