@@ -139,9 +139,13 @@ class RecordGadget:
 
     def to_commitment(self, program_id: str, record_name: str) -> CField:
         """BHP1024(program_id bits || record name bits || record bits)
-        (record/to_commitment.rs)."""
+        (record/to_commitment.rs). ProgramID bits carry NO separator dot
+        (id/to_bits.rs:32: name ident bits ++ network ident bits)."""
         b = self.b
-        pid = [CBool.constant(b, v) for v in bytes_to_bits_le(program_id.encode())]
+        pname, pnet = program_id.rsplit(".", 1)
+        pid = [CBool.constant(b, v)
+               for v in bytes_to_bits_le(pname.encode())
+               + bytes_to_bits_le(pnet.encode())]
         name = [CBool.constant(b, v) for v in bytes_to_bits_le(record_name.encode())]
         return bhp_hash_gadget(b, 1024, "AleoBHP1024", pid + name + self.to_bits_le())
 

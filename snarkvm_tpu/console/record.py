@@ -148,7 +148,13 @@ class Record:
 
     # -- commitments / serial numbers / tags --
     def to_commitment(self, program_id: str, record_name: str) -> int:
-        pid_bits = bytes_to_bits_le(program_id.encode())
+        """BHP1024(program_id bits || record name bits || record bits).
+        ProgramID::to_bits_le = name ident bits ++ network ident bits —
+        NO separator dot (console/program/src/id/to_bits.rs:32; each
+        Identifier contributes exactly its ascii bytes' LE bits)."""
+        name, network = program_id.rsplit(".", 1)
+        pid_bits = (bytes_to_bits_le(name.encode())
+                    + bytes_to_bits_le(network.encode()))
         name_bits = bytes_to_bits_le(record_name.encode())
         return N.hash_bhp(1024, pid_bits + name_bits + self.to_bits_le())
 
