@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-B = 2048            # rows per block
+B = int(os.environ.get("BLOCK", "2048"))  # rows per block
 ROWB = 128          # payload bytes per row (96 used + pad)
 NBINS = 16
 CHUNK = B // NBINS  # rows per bin chunk
@@ -36,7 +36,9 @@ def probe_scatter_dma(nblocks: int):
 
     def kernel(offs_ref, in_ref, out_ref, sem):
         def body(i, _):
-            off = offs_ref[pl.program_id(0), i]
+            # destination offsets are CHUNK-aligned by construction; the
+            # hint lets Mosaic prove sublane-tile divisibility
+            off = pl.multiple_of(offs_ref[pl.program_id(0), i], CHUNK)
             cp = pltpu.make_async_copy(
                 in_ref.at[pl.ds(i * CHUNK, CHUNK), :],
                 out_ref.at[pl.ds(off, CHUNK), :],
@@ -98,13 +100,24 @@ def probe_onehot_mxu(nblocks: int):
     """Per block: one-hot(rank) @ rows — the VMEM permutation."""
     total = nblocks * B
 
+    dt = os.environ.get("ONEHOT_DTYPE", "bf16")
+
     def kernel(rank_ref, in_ref, out_ref):
         rank = rank_ref[:]                       # [B, 1] i32
         iota = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
-        onehot = (iota == rank.reshape(1, B)).astype(jnp.int8)
-        rows = in_ref[:].astype(jnp.int8)
-        out_ref[:] = jnp.dot(onehot, rows,
-                             preferred_element_type=jnp.int32).astype(jnp.uint8)
+        if dt == "int8":
+            onehot = (iota == rank.reshape(1, B)).astype(jnp.int8)
+            rows = in_ref[:].astype(jnp.int8)
+            out_ref[:] = jnp.dot(onehot, rows,
+                                 preferred_element_type=jnp.int32).astype(jnp.uint8)
+        else:
+            # bf16 is exact here: one-hot 0/1 times u8 payloads (<=255,
+            # all integers <=256 are exact in bf16), single-term sums
+            onehot = (iota == rank.reshape(1, B)).astype(jnp.bfloat16)
+            rows = in_ref[:].astype(jnp.int32).astype(jnp.bfloat16)
+            out_ref[:] = jnp.dot(
+                onehot, rows,
+                preferred_element_type=jnp.float32).astype(jnp.int32).astype(jnp.uint8)
 
     fn = pl.pallas_call(
         kernel,
