@@ -80,13 +80,14 @@ def test_inclusion_joins_the_execution_batch(setup):
     assert E.verify_execution(srs, proof, vks)
     keys = [k for k, _, _ in vks]
     assert E.INCLUSION_KEY in keys
-    # the inclusion instance's public inputs carry the live state root + sn
+    # the inclusion instance's publics: [1, global_state_root,
+    # local_state_root, serial_number] (trace/inclusion/mod.rs:142)
     _, _, pubs = next(v for v in vks if v[0] == E.INCLUSION_KEY)
     assert pubs[0][1] == led.latest_state_root
-    assert pubs[0][2] == sn
+    assert pubs[0][3] == sn
 
     # a corrupted serial number must not verify
-    bad = [(k, vk, ([[p_[0], p_[1], p_[2] + 1]] if k == E.INCLUSION_KEY else ins))
+    bad = [(k, vk, ([[p_[0], p_[1], p_[2], p_[3] + 1]] if k == E.INCLUSION_KEY else ins))
            for (k, vk, ins) in vks for p_ in [ins[0]]]
     assert not E.verify_execution(srs, proof, bad)
 
