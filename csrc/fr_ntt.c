@@ -276,6 +276,24 @@ void fr_powers(u64 *out, const u64 *g, size_t n) {
     }
 }
 
+/* out[i][j] = 16-bit limb j (stored as u32) of the MONTGOMERY residue
+ * (c * g^i) * R mod p — exactly the [n, 16] twiddle/power planes the
+ * TPU limb kernels consume (ops/ntt.py Domain twiddles; replaces the
+ * per-element Python bigint loop that cost ~77 s at n = 2^22). */
+void fr_powers_mont16(uint32_t *out, const u64 *g, const u64 *c, size_t n) {
+    fr gm, acc;
+    memcpy(&gm, g, sizeof(fr));
+    fr_to_mont(&gm, &gm);
+    memcpy(&acc, c, sizeof(fr));
+    fr_to_mont(&acc, &acc);       /* acc = mont(c); words are c*R mod p */
+    for (size_t i = 0; i < n; i++) {
+        for (int j = 0; j < 16; j++)
+            out[16 * i + j] =
+                (uint32_t)((acc.v[j >> 2] >> (16 * (j & 3))) & 0xFFFF);
+        fr_mul(&acc, &acc, &gm);  /* mont(c*g^i) -> mont(c*g^(i+1)) */
+    }
+}
+
 /* reindex_by_subdomain (fft/domain.rs:322). */
 static size_t reindex_sub(size_t self_size, size_t other_size, size_t idx) {
     size_t period = self_size / other_size;

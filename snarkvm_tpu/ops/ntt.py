@@ -76,18 +76,24 @@ class Domain:
 
     def _twiddles(self, root: int):
         """Per-stage twiddle planes in Montgomery form: stage s (1-indexed,
-        block size 2^s) needs w_n^(n/2^s * k) for k < 2^(s-1)."""
-        p = self.spec.p
+        block size 2^s) needs w_n^(n/2^s * k) for k < 2^(s-1) — every
+        stage is a strided slice of the full power plane of `root`."""
+        full = self._full_power_plane(root)
         out = []
         for s in range(1, self.log_n + 1):
             half = 1 << (s - 1)
-            w = pow(root, self.n >> s, p)
-            tw = [1] * half
-            for k in range(1, half):
-                tw[k] = tw[k - 1] * w % p
-            R = self.spec.R
-            out.append(np.stack([limb.int_to_limbs_py(x * R % p, self.spec.L) for x in tw]))
+            out.append(np.ascontiguousarray(full[:: self.n >> s][:half]))
         return out
+
+    def _full_power_plane(self, root: int):
+        """[n, L] Montgomery limb plane of root^i — C fast path when the
+        spec is Fr (csrc fr_powers_mont16; the Python bigint loop costs
+        ~77 s at n = 2^22), Python fallback otherwise."""
+        if self.spec is FR and self.spec.L == 16:
+            from ..utils import native
+            if native.fr_available():
+                return native.fr_powers_mont16_np(root, 1, self.n)
+        return np.asarray(self._power_plane_py(root, 1))
 
     @functools.cached_property
     def _fwd_twiddles(self):
@@ -117,6 +123,13 @@ class Domain:
         return limb.int_to_limbs_py(self.size_inv * self.spec.R % self.spec.p, self.spec.L)
 
     def _power_plane(self, g: int, c: int):
+        if self.spec is FR and self.spec.L == 16:
+            from ..utils import native
+            if native.fr_available():
+                return native.fr_powers_mont16_np(g, c, self.n)
+        return self._power_plane_py(g, c)
+
+    def _power_plane_py(self, g: int, c: int):
         p, R, L = self.spec.p, self.spec.R, self.spec.L
         vals = [c % p] * self.n
         for i in range(1, self.n):

@@ -81,6 +81,7 @@ def _frlib():
         lib.fr_batch_mul.argtypes = [u64p, u64p, ctypes.c_size_t]
         lib.fr_batch_inv.argtypes = [u64p, ctypes.c_size_t]
         lib.fr_powers.argtypes = [u64p, u64p, ctypes.c_size_t]
+        lib.fr_powers_mont16.argtypes = [u32p, u64p, u64p, ctypes.c_size_t]
         lib.fr_matrix_evals.argtypes = [
             u64p, u32p, u32p, ctypes.c_size_t, u64p, u64p,
             ctypes.c_size_t, ctypes.c_size_t, ctypes.c_size_t,
@@ -133,6 +134,20 @@ def fr_powers_np(g: int, n: int):
     gw = _words4([g])
     out = np.empty((n, 4), np.uint64)
     lib.fr_powers(out.ctypes.data_as(u64p), gw.ctypes.data_as(u64p), n)
+    return out
+
+
+def fr_powers_mont16_np(g: int, c: int, n: int):
+    """[n, 16] u32 Montgomery 16-bit limb planes of c * g^i (the Domain
+    twiddle/power-plane layout, ops/ntt.py) — C fast path."""
+    lib = _frlib()
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    gw = _words4([g])
+    cw = _words4([c])
+    out = np.empty((n, 16), np.uint32)
+    lib.fr_powers_mont16(out.ctypes.data_as(u32p), gw.ctypes.data_as(u64p),
+                         cw.ctypes.data_as(u64p), n)
     return out
 
 
