@@ -182,15 +182,35 @@ def bench_varuna():
             cs.enforce([(1, x)], [(1, cur_v)], [(3 * cur % R, cs.one)])
 
     rng = _rand.Random(7)
-    srs = kzg.test_srs(1 << (logn + 2))
-    circ = Chain()
-    pk, vk = varuna.circuit_setup(srs, circ, varuna.VarunaNonHidingMode)
-    # pre-synthesize the assignment: the reference's prove_batch signature
-    # takes ready assignments (varuna.rs:336); synthesis is benched by the
-    # synthesizer suites, not here
-    cs = r1cs.ConstraintSystem()
-    circ.generate_constraints(cs)
-    cs.pad_input_to_power_of_two()
+    # the SETUP (dev SRS + circuit_setup) is deterministic and NOT the
+    # thing measured — cache it on disk so repeat runs spend their time
+    # on the prove (at 2^18 setup costs ~390 s of the 420 s child)
+    import pickle
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "tpu_cache", "host")
+    cache_path = os.path.join(cache_dir, f"varuna_bench_{logn}.pkl")
+    srs = pk = cs = None
+    try:
+        with open(cache_path, "rb") as f:
+            srs, pk, cs = pickle.load(f)
+    except Exception:
+        pass
+    if srs is None:
+        srs = kzg.test_srs(1 << (logn + 2))
+        circ = Chain()
+        pk, vk = varuna.circuit_setup(srs, circ, varuna.VarunaNonHidingMode)
+        # pre-synthesize the assignment: the reference's prove_batch
+        # signature takes ready assignments (varuna.rs:336); synthesis is
+        # benched by the synthesizer suites, not here
+        cs = r1cs.ConstraintSystem()
+        circ.generate_constraints(cs)
+        cs.pad_input_to_power_of_two()
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            with open(cache_path, "wb") as f:
+                pickle.dump((srs, pk, cs), f, protocol=4)
+        except Exception:
+            pass
     varuna.prove_batch(srs, [(pk, [cs])], rng, varuna.VarunaNonHidingMode)  # warm
     # one timed run at the 2^20 headline scale (a prove is ~60s there);
     # best-of-2 below it
@@ -224,79 +244,85 @@ def main():
 
 def bench_all():
     """The full north-star metric set, one JSON line each, streamed as
-    soon as each exists, HIGH-VALUE METRICS FIRST. All metrics run in
-    THIS process (a subprocess per metric re-uploaded each cached
-    executable over the tunnel — 10s-100s of volatile seconds per
-    child); per-metric SIGALRM caps keep one slow metric from hiding
-    the rest, and a total budget guarantees an exit before the driver's
-    own timeout. Compiles persist via jax_compilation_cache_dir
-    (snarkvm_tpu/__init__.py)."""
-    import signal
-    import traceback
+    soon as each exists. Each metric runs in its OWN SUBPROCESS:
 
-    total_budget = float(os.environ.get("BENCH_TOTAL_BUDGET", "540"))
+    - isolation: loading the 2^20 MSM program degrades every subsequent
+      executable load/compile in the same process ~35x (measured
+      2026-08-21: varuna 2^13 circuit_setup 3.9 s standalone vs 136 s
+      after bench_msm_v2 in-process — an axon/jax runtime effect;
+      jax.live_arrays() is empty, so not memory residency), and a
+      SIGALRM abort mid-trace can poison jax trace state for later
+      metrics (observed: an internal "couldn't apply typeof" failure);
+    - caps become hard child kills with no parent side effects;
+    - the repo-committed compile cache (tpu_cache/, preferred by
+      snarkvm_tpu/__init__.py) makes each child's loads cheap.
+
+    A total budget still guarantees an exit before the driver's own
+    timeout; metric lines already printed stand regardless."""
+    import subprocess
+
+    # 840 s default: with the shipped compile cache + disk-cached bench
+    # setups every child runs warm (sum ~550-650 s incl. the 2^20
+    # headline); metric lines stream as they land, so even an external
+    # kill keeps everything already printed
+    total_budget = float(os.environ.get("BENCH_TOTAL_BUDGET", "840"))
     t_start = time.monotonic()
-    # NOTE: SIGALRM caps only fire when a blocking tunnel call returns,
-    # so a cap can overshoot through a long compile — order matters more
-    # than the caps: high-value metrics first, varuna before the cheap
-    # repeats, and the total-budget guard skips the tail.
-    # Ordering rationale (r5): cheapest-WARM metrics first so a cold
-    # cache (a fresh driver machine / new jax version) can only cost the
-    # tail. The repo ships a warm compile cache (tpu_cache/, see
-    # snarkvm_tpu/__init__.py) so on the usual driver image every item
-    # lands: measured warm times 2026-08-21 on v5e-1 — msm_v2 2^20 ~5s,
-    # poseidon ~8s, varuna 2^13 ~25s (incl. setup), ntt 2^22 ~15s,
-    # varuna 2^18 ~60s, varuna 2^20 ~150s.
-    # NOTE: a SIGALRM abort that fires mid-trace can poison jax's trace
-    # state for the REST of the process (observed 2026-08-21: a later
-    # metric failed with an internal "couldn't apply typeof" error after
-    # two caps fired) — caps are a hang backstop, not a scheduler; keep
-    # them comfortably above the warm timings so they fire only when
-    # something is actually wrong.
+    # measured warm standalone child times (v5e, cache warm, quiet):
+    # varuna13 ~25 s, poseidon ~30 s, msm20 ~70 s, ntt22 ~95 s,
+    # msm16 ~55 s; varuna18/20 are the big tail items. Cheapest first
+    # so a cold tail can only cost the largest configs.
     plan = [
-        (bench_msm_v2, {"MSM_LOG2": "20"}, 150.0),
-        (bench_poseidon, {}, 90.0),
-        (bench_varuna, {"VARUNA_LOG2": "13"}, 150.0),
-        (bench_ntt, {"NTT_SIZE": "22"}, 150.0),
-        (bench_msm_v2, {"MSM_LOG2": "16"}, 60.0),
-        (bench_varuna, {"VARUNA_LOG2": "18"}, 220.0),
-        # the BASELINE.json headline config, LAST: an overshoot through a
-        # blocked tunnel compile can only cost the tail (nothing follows)
-        (bench_varuna, {"VARUNA_LOG2": "20"}, 400.0),
+        ("varuna", {"VARUNA_LOG2": "13"}, 150.0),
+        ("poseidon", {}, 90.0),
+        ("msm_v2", {"MSM_LOG2": "20"}, 150.0),
+        ("ntt", {"NTT_SIZE": "22"}, 160.0),
+        ("msm_v2", {"MSM_LOG2": "16"}, 90.0),
+        ("varuna", {"VARUNA_LOG2": "18"}, 260.0),
+        # the BASELINE.json headline config, LAST: an overshoot can only
+        # cost the tail (nothing follows)
+        ("varuna", {"VARUNA_LOG2": "20"}, 500.0),
     ]
 
-    class _MetricTimeout(Exception):
-        pass
-
-    def _alarm(_sig, _frm):
-        raise _MetricTimeout()
-
-    signal.signal(signal.SIGALRM, _alarm)
-    for fn, extra, cap in plan:
+    for metric, extra, cap in plan:
         remaining = total_budget - (time.monotonic() - t_start)
-        tag = fn.__name__ + (f" {extra}" if extra else "")
+        tag = f"{metric} {extra}" if extra else metric
         if remaining < 20:
             print(f"[bench] total budget exhausted; skipping {tag}",
                   file=sys.stderr, flush=True)
             continue
-        saved = {k: os.environ.get(k) for k in extra}
-        os.environ.update(extra)
-        signal.alarm(int(min(cap, remaining)))
+        env = dict(os.environ)
+        env["METRIC"] = metric
+        env.update(extra)
+        t_m = time.monotonic()
         try:
-            fn()
-        except _MetricTimeout:
-            print(f"[bench] {tag} exceeded {min(cap, remaining):.0f}s cap; "
-                  "aborted", file=sys.stderr, flush=True)
-        except Exception:
-            print(f"[bench] {tag} failed:", file=sys.stderr, flush=True)
-            traceback.print_exc()
-        finally:
-            signal.alarm(0)
-            for k, v in saved.items():
-                if v is None:
-                    os.environ.pop(k, None)
-                else:
-                    os.environ[k] = v
+            res = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, timeout=min(cap, remaining),
+                capture_output=True, text=True)
+            for line in res.stdout.splitlines():
+                if line.startswith("{"):
+                    print(line, flush=True)
+            if res.returncode != 0:
+                print(f"[bench] {tag} child rc={res.returncode}:",
+                      file=sys.stderr, flush=True)
+                print((res.stderr or "")[-2000:], file=sys.stderr,
+                      flush=True)
+            else:
+                print(f"[bench] {tag} done in "
+                      f"{time.monotonic()-t_m:.0f}s",
+                      file=sys.stderr, flush=True)
+        except subprocess.TimeoutExpired as e:
+            out = e.stdout or ""
+            if isinstance(out, bytes):
+                out = out.decode(errors="replace")
+            for line in out.splitlines():
+                if line.startswith("{"):
+                    print(line, flush=True)
+            print(f"[bench] {tag} exceeded {min(cap, remaining):.0f}s "
+                  "cap; killed", file=sys.stderr, flush=True)
+        except Exception as e:
+            print(f"[bench] {tag} failed: {e}", file=sys.stderr,
+                  flush=True)
 
 
 def bench_ntt():
