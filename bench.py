@@ -261,26 +261,26 @@ def bench_all():
     timeout; metric lines already printed stand regardless."""
     import subprocess
 
-    # 840 s default: with the shipped compile cache + disk-cached bench
+    # 1200 s default: with the shipped compile cache + disk-cached bench
     # setups every child runs warm (sum ~550-650 s incl. the 2^20
     # headline); metric lines stream as they land, so even an external
     # kill keeps everything already printed
-    total_budget = float(os.environ.get("BENCH_TOTAL_BUDGET", "840"))
+    total_budget = float(os.environ.get("BENCH_TOTAL_BUDGET", "1200"))
     t_start = time.monotonic()
-    # measured warm standalone child times (v5e, cache warm, quiet):
-    # varuna13 ~25 s, poseidon ~30 s, msm20 ~70 s, ntt22 ~95 s,
-    # msm16 ~55 s; varuna18/20 are the big tail items. Cheapest first
-    # so a cold tail can only cost the largest configs.
+    # measured warm child times fluctuate ±50% with tunnel weather
+    # (msm16 56s twice, then 90s+); caps are a HANG backstop only —
+    # generous — while the total budget is the scheduler. Cheapest
+    # first so a cold tail can only cost the largest configs.
     plan = [
-        ("varuna", {"VARUNA_LOG2": "13"}, 150.0),
-        ("poseidon", {}, 90.0),
-        ("msm_v2", {"MSM_LOG2": "20"}, 150.0),
-        ("ntt", {"NTT_SIZE": "22"}, 160.0),
-        ("msm_v2", {"MSM_LOG2": "16"}, 90.0),
-        ("varuna", {"VARUNA_LOG2": "18"}, 260.0),
+        ("varuna", {"VARUNA_LOG2": "13"}, 240.0),
+        ("poseidon", {}, 120.0),
+        ("msm_v2", {"MSM_LOG2": "20"}, 200.0),
+        ("ntt", {"NTT_SIZE": "22"}, 220.0),
+        ("msm_v2", {"MSM_LOG2": "16"}, 150.0),
+        ("varuna", {"VARUNA_LOG2": "18"}, 350.0),
         # the BASELINE.json headline config, LAST: an overshoot can only
         # cost the tail (nothing follows)
-        ("varuna", {"VARUNA_LOG2": "20"}, 500.0),
+        ("varuna", {"VARUNA_LOG2": "20"}, 600.0),
     ]
 
     for metric, extra, cap in plan:
