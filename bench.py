@@ -320,6 +320,14 @@ def bench_all():
                     print(line, flush=True)
             print(f"[bench] {tag} exceeded {min(cap, remaining):.0f}s "
                   "cap; killed", file=sys.stderr, flush=True)
+            # a hard-killed child leaks its device lease for minutes and
+            # the NEXT child stalls acquiring the chip (observed: the
+            # first child after a kill blew even a 240s cap while the
+            # same metric lands standalone) — cool down before moving on
+            print("[bench] cooling down 90s after kill",
+                  file=sys.stderr, flush=True)
+            time.sleep(min(90.0, max(0.0, total_budget
+                                     - (time.monotonic() - t_start))))
         except Exception as e:
             print(f"[bench] {tag} failed: {e}", file=sys.stderr,
                   flush=True)
