@@ -261,11 +261,15 @@ def bench_all():
     timeout; metric lines already printed stand regardless."""
     import subprocess
 
-    # 1200 s default: with the shipped compile cache + disk-cached bench
+    # 1560 s default: measured settled-state child times sum to ~755 s
+    # for the first six metrics + ~480 s for the varuna 2^20 tail
+    # (2026-08-21 full validation: 181/40/68/84/54/328 s). Metric lines
+    # stream as they land, so an external kill loses only the tail.
+    # Previously: with the shipped compile cache + disk-cached bench
     # setups every child runs warm (sum ~550-650 s incl. the 2^20
     # headline); metric lines stream as they land, so even an external
     # kill keeps everything already printed
-    total_budget = float(os.environ.get("BENCH_TOTAL_BUDGET", "1200"))
+    total_budget = float(os.environ.get("BENCH_TOTAL_BUDGET", "1560"))
     t_start = time.monotonic()
     # measured warm child times fluctuate ±50% with tunnel weather
     # (msm16 56s twice, then 90s+); caps are a HANG backstop only —

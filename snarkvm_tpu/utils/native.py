@@ -148,7 +148,7 @@ def fr_powers_mont16_np(g: int, c: int, n: int):
     out = np.empty((n, 16), np.uint32)
     lib.fr_powers_mont16(out.ctypes.data_as(u32p), gw.ctypes.data_as(u64p),
                          cw.ctypes.data_as(u64p), n)
-    return out
+    return out   # uint32, the int_to_limbs_py plane dtype
 
 
 def fr_matrix_evals_np(vals_np, rows_np, cols_np, c_elems_np, v_elems_np,
